@@ -1,0 +1,156 @@
+"""Queries reproducing the reference's core data-plane semantics on the
+driver's `events` table (SURVEY.md §2.2: q_cursor_translate, q_dedup).
+
+Mapping of roles (FIXTURES.md): user_id ~ topic-partition / cursor owner,
+ts ~ publish time, event_id ~ MessageId (total order tie-break).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pulsar_sync_java_spark.operators.asof import asof_join
+from pulsar_sync_java_spark.queries import query
+from pulsar_sync_java_spark.sources.tables import load_table
+
+# Millisecond-precision string form used on both engines so timestamp
+# type/zone differences can never affect the oracle hash.
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%g"
+
+
+def fmt_ts(col) -> Column:
+    return F.date_format(col, TS_FMT_SPARK)
+
+
+_CURSOR_TRANSLATE_SQL = f"""
+WITH mapping AS (
+  SELECT user_id, ts, event_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           row_number() OVER (
+             PARTITION BY user_id, date_trunc('minute', ts)
+             ORDER BY ts, event_id) AS rn
+    FROM events) t
+  WHERE rn = 1
+), cursors AS (
+  SELECT user_id, ts, event_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) t
+  WHERE rn = 1
+), resolved AS (
+  SELECT c.user_id,
+         c.event_id AS cursor_event_id,
+         c.ts       AS cursor_ts,
+         m.event_id AS translated_event_id,
+         m.ts       AS translated_ts,
+         row_number() OVER (
+           PARTITION BY c.user_id
+           ORDER BY m.ts DESC, m.event_id DESC) AS rn
+  FROM cursors c
+  JOIN mapping m ON m.user_id = c.user_id AND m.ts <= c.ts
+)
+SELECT user_id, cursor_event_id,
+       strftime(cursor_ts, '{TS_FMT_DUCK}')     AS cursor_ts,
+       translated_event_id,
+       strftime(translated_ts, '{TS_FMT_DUCK}') AS translated_ts
+FROM resolved WHERE rn = 1
+"""
+
+
+@query("q_cursor_translate", oracle=_CURSOR_TRANSLATE_SQL)
+def q_cursor_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's cursor-translation pipeline, composed.
+
+    1. Sparse sampling — keep the first message-id sample per
+       (partition, 60 s interval): `PulsarPartitionSyncWorker.java:236-239`
+       keeps <=1 (srcId -> dstId) pair per minute.
+    2. Cursor snapshot — each owner's latest position:
+       `PulsarPartitionSyncWorker.java:126-147` reads cursor stats.
+    3. Floor resolution — greatest sample <= cursor position
+       (`SparseMap.java:55-62` floorKey): backward as-of join.
+
+    Conservatism property (tested): translated_ts <= cursor_ts, i.e. a
+    translated cursor replays, never skips (SURVEY.md §2 fine print).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+
+    w_map = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    mapping = (
+        ev.withColumn("bucket", F.date_trunc("minute", F.col("ts")))
+        .withColumn("rn", F.row_number().over(w_map))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", F.col("event_id").alias("map_event_id"))
+    )
+
+    w_cur = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    cursors = (
+        ev.withColumn("rn", F.row_number().over(w_cur))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", F.col("event_id").alias("cursor_event_id"))
+    )
+
+    resolved = asof_join(
+        cursors,
+        mapping.withColumn("map_ts", F.col("ts")),
+        on="ts",
+        by="user_id",
+        right_tiebreak=["map_event_id"],
+        suffix="",
+    )
+    return resolved.select(
+        "user_id",
+        "cursor_event_id",
+        fmt_ts(F.col("ts")).alias("cursor_ts"),
+        F.col("map_event_id").alias("translated_event_id"),
+        fmt_ts(F.col("map_ts")).alias("translated_ts"),
+    )
+
+
+_DEDUP_SQL = f"""
+SELECT user_id, event_type, event_id,
+       strftime(ts, '{TS_FMT_DUCK}') AS ts, value
+FROM (
+  SELECT user_id, event_type, event_id, ts, value,
+         row_number() OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY ts, event_id) AS rn
+  FROM events) t
+WHERE rn = 1
+"""
+
+
+@query("q_dedup", oracle=_DEDUP_SQL)
+def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact keyed dedup: first event per (user_id, event_type) by time.
+
+    Reference analogue: effectively-once cursor creation — the worker
+    memoizes (topic, cursor) first sightings and never re-creates
+    (`PulsarPartitionSyncWorker.java:158-176`, memo set at :174); the
+    ack-after-produce protocol gives the same at-least-once + dedup
+    shape (`:231-244`).  Streaming twin: `dropDuplicatesWithinWatermark`
+    (streaming/replicate.py).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            fmt_ts(F.col("ts")).alias("ts"),
+            "value",
+        )
+    )

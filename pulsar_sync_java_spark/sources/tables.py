@@ -1,0 +1,62 @@
+"""Parquet loaders for the driver-generated synthetic tables (TESTDATA.md).
+
+These are the engine's batch sources.  At 100 TB the same loaders apply
+unchanged: `spark.read.parquet` gets predicate pushdown, column pruning
+and partition pruning from Catalyst for free, so every query in
+`queries/` keeps its scan minimal without hand-tuning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Set the runtime SQL confs our semantics depend on, regardless of
+    who built the session (the driver builds its own plain session).
+
+    - UTC session timezone: timestamp<->string formatting must match
+      the DuckDB oracle's naive timestamps;
+    - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), which
+      Spark otherwise refuses to read (converted in load_table).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table; scans stay prunable (no caching here)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as ns-since-epoch long (see session.py);
+        # floor to micros — identical to DuckDB's ns->us truncation.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so SQL-form queries can run."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
