@@ -11,14 +11,14 @@ fine at sf0.01, fatal at 100 TB.  The scale-correct formulation used here
 is the **union-window** (merge) form:
 
     union(right tagged 0, left tagged 1)
-      -> single shuffle on the `by` key
-      -> sort within partition by (ts, tag)
-      -> last(right cols, ignorenulls) over rows unbounded-preceding
+      -> ONE shuffle on the `by` key
+      -> sort within partition by (on, tag, tiebreak)
+      -> last(struct-of-right-cols, ignorenulls) over unbounded-preceding
       -> keep left rows
 
-One shuffle, no row explosion, whole-stage codegen throughout; skewed
-keys are handled by AQE.  This is the same trick Flink/Kafka-Streams use
-for temporal joins expressed relationally.
+One shuffle, zero row explosion, whole-stage codegen throughout; skewed
+keys are handled by AQE.  Right columns travel as one struct so a match
+is always a single consistent right row (never a column-wise mix).
 """
 
 from __future__ import annotations
@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _TAG = "__asof_side"
+_PAYLOAD = "__asof_payload"
 
 
 def asof_join(
@@ -35,61 +36,70 @@ def asof_join(
     on: str,
     by: list[str] | str | None = None,
     right_tiebreak: list[str] | None = None,
-    suffix: str = "_right",
+    suffix: str = "",
     strict: bool = False,
 ) -> DataFrame:
     """Backward as-of join: for each left row, attach the right row with
-    the greatest ``on`` value <= (< if ``strict``) the left's ``on``,
-    within the same ``by`` group.
+    the greatest ``on`` value <= (< if ``strict``) the left's ``on``
+    value, within the same ``by`` group.
 
     Left rows with no floor match are kept with nulls (left-outer
-    semantics), matching `SparseMap.get` returning "not found" when the
-    probe precedes every sampled key (`SparseMap.java:55-62` minus its
-    null-floorKey NPE bug, which we deliberately do not reproduce —
-    SURVEY.md §2 fine print).
+    semantics) — `SparseMap.get` "not found" when the probe precedes
+    every sampled key (minus the reference's null-floorKey NPE bug,
+    deliberately not reproduced; SURVEY.md §2 fine print).
 
-    ``right_tiebreak``: right columns ordering equal-``on`` right rows;
-    the last one wins (greatest tiebreak), keeping results deterministic.
+    Equal-``on`` right rows are ordered by ``right_tiebreak`` (ascending;
+    the last, i.e. greatest, wins) so results are deterministic.
+    Output columns: all left columns, then each non-key right column
+    (renamed with ``suffix`` on collision).
     """
     by = [by] if isinstance(by, str) else list(by or [])
     right_tiebreak = list(right_tiebreak or [])
 
     right_vals = [c for c in right.columns if c not in by and c != on]
-    # Right rows: tag 0 so they sort before left rows at equal `on`
-    # (inclusive floor); tag 2 under strict mode so they sort after.
+    out_names = {
+        c: f"{c}{suffix}" if (c in left.columns and suffix) else c for c in right_vals
+    }
+    clash = [c for c in right_vals if out_names[c] in left.columns]
+    if clash:
+        raise ValueError(f"right columns collide with left: {clash}; pass a suffix")
+
+    payload = F.struct(*[F.col(c) for c in right_vals]).alias(_PAYLOAD)
     r = right.select(
         *[F.col(c) for c in by],
-        F.col(on).alias(on),
+        F.col(on),
         F.lit(2 if strict else 0).alias(_TAG),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_vals],
+        payload,
     )
+    payload_type = r.schema[_PAYLOAD].dataType
     l = left.select(
-        *[F.col(c) for c in left.columns],
+        "*",
         F.lit(1).alias(_TAG),
-        *[F.lit(None).cast(r.schema[f"{c}{suffix}"].dataType).alias(f"{c}{suffix}") for c in right_vals],
+        F.lit(None).cast(payload_type).alias(_PAYLOAD),
     )
-    left_only = [c for c in left.columns if c not in by and c != on]
-    r_full = r.select(
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
+    left_extra = [c for c in left.columns if c not in by and c != on]
+    r_aligned = r.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_extra],
         *by,
         on,
         _TAG,
-        *[f"{c}{suffix}" for c in right_vals],
+        _PAYLOAD,
     )
-    combined = l.select(r_full.columns).unionByName(r_full)
+    combined = l.select(*r_aligned.columns).unionByName(r_aligned)
 
-    order: list[Column] = [F.col(on).asc_nulls_first(), F.col(_TAG).asc()]
-    order += [F.col(f"{c}{suffix}").asc_nulls_first() for c in right_tiebreak]
+    order: list[Column] = [F.col(on).asc(), F.col(_TAG).asc()]
+    order += [F.col(_PAYLOAD)[c].asc_nulls_first() for c in right_tiebreak]
     w = (
         Window.partitionBy(*[F.col(c) for c in by])
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = combined.select(
-        *left_only,
+    filled = combined.withColumn(
+        _PAYLOAD, F.last(F.col(_PAYLOAD), ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col(_TAG) == 1).select(
+        *left_extra,
         *by,
         on,
-        _TAG,
-        *[F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in right_vals],
+        *[F.col(f"{_PAYLOAD}.{c}").alias(out_names[c]) for c in right_vals],
     )
-    return filled.filter(F.col(_TAG) == 1).drop(_TAG)

@@ -1,1 +1,186 @@
-"""Placeholder — filled in as the milestone lands."""
+"""Aggregation queries (SURVEY.md §2.2: q_groupby_agg, q_distinct_count,
+q_rollup, q_topk, q_set_ops, plus the non-oracle q_approx_distinct).
+
+Reference analogue: the 3-minute incremental recompute of catalog state
+(R25) is a periodic group-style recomputation; memoization keys (R26)
+are distinct aggregations.
+
+Scale notes: every groupBy here is a partial (map-side) + final
+aggregate — one shuffle sized by group count, not row count.  Decimal
+accumulation (functions/numeric.py) keeps double sums order-independent
+for the oracle without leaving whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_sync_java_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from pulsar_sync_java_spark.queries import query
+from pulsar_sync_java_spark.sources.tables import load_table
+
+_GROUPBY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {sql_davg('l_quantity')} AS avg_qty,
+       {sql_davg('l_extendedprice')} AS avg_price,
+       {sql_davg('l_discount')} AS avg_disc,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_extendedprice) AS max_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q_groupby_agg", oracle=_GROUPBY_SQL)
+def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: hash aggregate with sum/avg/count/min/max over
+    computed expressions, grouped by two low-cardinality keys."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount").alias("avg_disc"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+_DISTINCT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS distinct_parts,
+       COUNT(DISTINCT l_suppkey) AS distinct_supps,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q_distinct_count", oracle=_DISTINCT_SQL)
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct aggregation (R26 memoization keys).
+    Spark expands multiple DISTINCTs via a single expand + two-phase
+    agg; still one logical shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("q_approx_distinct")  # no oracle: sketch output is engine-specific
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB path where exact
+    distinct would shuffle every key.  Deliberately rows-only checked
+    (sketch estimates differ across engines by design)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_ROLLUP_SQL = f"""
+SELECT r.r_name AS region, n.n_name AS nation,
+       GROUPING(r.r_name) AS g_region, GROUPING(n.n_name) AS g_nation,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o.o_totalprice')} AS total_revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+
+@query("q_rollup", oracle=_ROLLUP_SQL)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (region -> nation -> grand total) with
+    GROUPING markers disambiguating subtotal rows.  Spark executes one
+    Expand + hash aggregate; dims join broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"), "o_totalprice")
+    )
+    return joined.rollup("region", "nation").agg(
+        F.grouping("region").alias("g_region"),
+        F.grouping("nation").alias("g_nation"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_revenue"),
+    )
+
+
+_TOPK_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 10
+"""
+
+
+@query("q_topk", oracle=_TOPK_SQL)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 with a total-order tie-break.  Spark plans
+    TakeOrderedAndProject: per-partition heaps + driver merge of 10-row
+    candidates — no global sort, scales to any row count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.orderBy(
+        F.col("l_extendedprice").desc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    ).limit(10).select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+
+
+_SET_OPS_SQL = """
+WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+     rich AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+SELECT 'union' AS op, custkey FROM (SELECT custkey FROM buyers UNION SELECT custkey FROM rich) u
+UNION ALL
+SELECT 'intersect' AS op, custkey FROM (SELECT custkey FROM buyers INTERSECT SELECT custkey FROM rich) i
+UNION ALL
+SELECT 'except' AS op, custkey FROM (SELECT custkey FROM buyers EXCEPT SELECT custkey FROM rich) e
+"""
+
+
+@query("q_set_ops", oracle=_SET_OPS_SQL)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union / intersect / except over key sets, tagged into one result
+    (the catalog-diff family R3: 'present on src but not dst' is
+    EXCEPT)."""
+    buyers = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    rich = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    tag = lambda df, t: df.select(F.lit(t).alias("op"), "custkey")  # noqa: E731
+    return (
+        tag(buyers.union(rich).distinct(), "union")
+        .unionAll(tag(buyers.intersect(rich), "intersect"))
+        .unionAll(tag(buyers.exceptAll(rich.distinct()), "except"))
+    )

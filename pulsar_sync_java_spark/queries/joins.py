@@ -1,1 +1,211 @@
-"""Placeholder — filled in as the milestone lands."""
+"""Join strategy queries (SURVEY.md §2.2: anti, semi, broadcast,
+sort-merge, range/theta, as-of).
+
+Reference analogues: the catalog diff is an anti-join (create only what
+dst lacks — R3/R6/R9/R11, e.g. `PulsarTenantSyncManager.java:75-84`);
+the dedup guard is a semi-join existence check (R22,
+`PulsarPartitionSyncWorker.java:158-176`); policies lookup is a small-dim
+join (R5, `PulsarNamespaceSyncManager.java:74-78`); floor lookup is the
+as-of join (R21, `SparseMap.java:55-62`).
+
+Scale notes per query in docstrings; the broadcast join is explicitly
+hinted, the sort-merge join is left to Catalyst (it picks SMJ for two
+large fact tables), and the as-of join uses the single-shuffle
+union-window operator instead of a range join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_sync_java_spark.functions.numeric import dsum, sql_dsum
+from pulsar_sync_java_spark.operators.asof import asof_join
+from pulsar_sync_java_spark.queries import query
+from pulsar_sync_java_spark.queries.reference import TS_FMT_DUCK, fmt_ts
+from pulsar_sync_java_spark.sources.tables import load_table
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@query("q_anti_join", oracle=_ANTI_SQL)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders — the catalog-diff primitive: the
+    reference creates exactly the entities present on src and absent on
+    dst (R3, `PulsarTenantSyncManager.java:75-84`).  At scale: Spark
+    rewrites left_anti with a broadcast when the right side's distinct
+    keys are small; otherwise a shuffled hash anti-join — no change
+    needed here."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+_SEMI_SQL = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+"""
+
+
+@query("q_semi_join", oracle=_SEMI_SQL)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts that appear in lineitem — existence check, the shape of the
+    reference's created-cursor guard (R22 memo at
+    `PulsarPartitionSyncWorker.java:174`)."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+
+
+_BROADCAST_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.r_name AS region
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+@query("q_join_broadcast", oracle=_BROADCAST_SQL)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dim lookup join, explicitly broadcast (R5 policies lookup).
+    At 100 TB the fact side streams through map-side hash joins with
+    ZERO shuffle of the big table — the one non-negotiable plan shape
+    for dim enrichment."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+
+
+_SORTMERGE_SQL = f"""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("q_join_sortmerge", oracle=_SORTMERGE_SQL)
+def q_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-fact equi-join (lineitem x orders) + aggregation.  Catalyst
+    picks sort-merge for two large sides; AQE converts to broadcast when
+    one side turns out small at runtime.  The aggregate is partial
+    (map-side) before the final shuffle — one shuffle per side for the
+    join, one for the 5-group agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+_RANGE_SQL = f"""
+SELECT p.p_brand,
+       COUNT(*) AS n_matched,
+       {sql_dsum('l.l_extendedprice')} AS matched_price
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+           AND l.l_extendedprice >= 0.5 * p.p_retailprice
+           AND l.l_extendedprice <= 2.0 * p.p_retailprice
+GROUP BY p.p_brand
+"""
+
+
+@query("q_join_range", oracle=_RANGE_SQL)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range (theta) join: the equi key keeps it a hash/SMJ join
+    with the range conjuncts evaluated as residual predicates — NOT a
+    nested-loop.  (A pure theta join would fall back to
+    BroadcastNestedLoopJoin; keeping an equi conjunct is the scale
+    discipline.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (li.l_partkey == p.p_partkey)
+        & (li.l_extendedprice >= 0.5 * p.p_retailprice)
+        & (li.l_extendedprice <= 2.0 * p.p_retailprice)
+    )
+    return (
+        li.join(p, cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            dsum("l_extendedprice").alias("matched_price"),
+        )
+    )
+
+
+_ASOF_SQL = f"""
+WITH ranked AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         o.o_orderkey, o.o_orderdate, o.o_totalprice,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT event_id, user_id,
+       strftime(ts, '{TS_FMT_DUCK}') AS ts,
+       o_orderkey,
+       strftime(o_orderdate, '{TS_FMT_DUCK}') AS o_orderdate,
+       o_totalprice
+FROM ranked
+WHERE rn = 1 OR rn IS NULL
+"""
+
+
+@query("q_asof_join", oracle=_ASOF_SQL)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event resolves to the user's latest
+    order at-or-before the event time — exactly the reference's floor
+    lookup (R21, `SparseMap.java:55-62`) with orders as the sampled map.
+    Uses the union-window operator: one shuffle on user_id, no range
+    explosion (operators/asof.py)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", F.col("user_id"), F.col("ts"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+        F.col("o_orderdate"),
+        "o_totalprice",
+    )
+    joined = asof_join(
+        ev, o, on="ts", by="user_id", right_tiebreak=["o_orderkey"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        fmt_ts(F.col("ts")).alias("ts"),
+        "o_orderkey",
+        fmt_ts(F.col("o_orderdate")).alias("o_orderdate"),
+        "o_totalprice",
+    )

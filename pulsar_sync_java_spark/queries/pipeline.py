@@ -1,1 +1,301 @@
-"""Placeholder — filled in as the milestone lands."""
+"""LLM-training-data pipeline queries (SURVEY.md §2.2 north-star set:
+q_sim_topk, q_text_stats, plus dedup / quality / lang-id / fingerprint /
+multimodal plumbing — BASELINE.json north star).
+
+These run on the `documents` and `embeddings` tables.  Heavy lifting
+stays in JVM built-ins (higher-order array functions, string functions);
+Python appears only in the multimodal mapInPandas plumbing where decode
+libraries would live in production.
+
+Scale notes: similarity/dedup operators that are quadratic by nature are
+implemented with a candidate-generation step (LSH banding / shingle
+inverted index) so the pairwise work is bounded by bucket, not by n² —
+see operators/dedup.py and operators/similarity.py for the primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_sync_java_spark.queries import query
+from pulsar_sync_java_spark.sources.tables import load_table
+
+_DEC12 = "decimal(30,12)"
+
+
+def _dec_arr_sum(arr_col):
+    """Exact fold-sum of a double array into decimal -> double.
+
+    The merge re-casts to the accumulator type: Spark widens
+    (30,12)+(30,12) to (31,12) and requires the lambda to return the
+    accumulator type; the cast back preserves scale (no rounding), so
+    the fold stays exact and bit-identical to DuckDB's DECIMAL sum.
+    """
+    return F.aggregate(
+        arr_col,
+        F.lit(0).cast(_DEC12),
+        lambda acc, x: (acc + x.cast(_DEC12)).cast(_DEC12),
+    ).cast("double")
+
+
+_SIM_TOPK_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+dims AS (
+  SELECT unnest(generate_series(1, (SELECT MAX(len(embedding)) FROM embeddings))) AS i
+),
+pairs AS (
+  SELECT e.vec_id,
+         CAST(e.embedding[d.i] AS DOUBLE) AS x,
+         CAST(q.qv[d.i] AS DOUBLE) AS y
+  FROM embeddings e, q, dims d
+  WHERE d.i <= len(e.embedding)
+),
+scored AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS nx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS ny
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id, dot / (sqrt(nx) * sqrt(ny)) AS cos_sim
+FROM scored
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@query("q_sim_topk", oracle=_SIM_TOPK_SQL)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against the vec_id=0 query vector.
+
+    The query vector is broadcast (1 row); each row computes dot and
+    norms via zip_with/aggregate higher-order functions with exact
+    decimal accumulation; TakeOrderedAndProject gives top-10 without a
+    global sort.  Scale path: operators/similarity.py adds the
+    LSH-bucketed variant where candidates per query are bounded."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    joined = e.crossJoin(F.broadcast(qv))
+    prod = F.zip_with("embedding", "qv", lambda x, y: x.cast("double") * y.cast("double"))
+    sq = lambda c: F.transform(c, lambda x: x.cast("double") * x.cast("double"))  # noqa: E731
+    scored = joined.select(
+        "vec_id",
+        _dec_arr_sum(prod).alias("dot"),
+        _dec_arr_sum(sq(F.col("embedding"))).alias("nx"),
+        _dec_arr_sum(sq(F.col("qv"))).alias("ny"),
+    )
+    return (
+        scored.select(
+            "vec_id",
+            (F.col("dot") / (F.sqrt("nx") * F.sqrt("ny"))).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+# Token definition shared by every text query: non-empty runs split on
+# whitespace.  Spark and DuckDB twins must agree exactly.
+_DUCK_TOKENS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+
+def _spark_tokens():
+    return F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+
+
+_TEXT_STATS_SQL = f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(SUM(len({_DUCK_TOKENS})) AS BIGINT) AS total_tokens,
+       CAST(SUM(len({_DUCK_TOKENS})) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM documents
+WHERE lang IS NOT NULL
+GROUP BY lang
+"""
+
+
+@query("q_text_stats", oracle=_TEXT_STATS_SQL)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats: docs, chars, whitespace-token counts.
+    Token counting is a JVM-side split+filter (no UDF)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    toks = F.size(_spark_tokens())
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.sum(toks).alias("total_tokens"),
+        (F.sum(toks).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
+
+
+_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@query("q_dedup_exact", oracle=_EXACT_DEDUP_SQL)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash-groupBy on md5(text), keep the lowest
+    doc_id.  One shuffle on the hash; at 100 TB this is the standard
+    first pass before near-dup (operators/dedup.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.encode("text", "UTF-8")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       length(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS norm_len
+FROM documents
+"""
+
+
+@query("q_doc_fingerprint", oracle=_FINGERPRINT_SQL)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint: whitespace-normalized, lowercased
+    md5 — the near-dup-robust variant of exact hashing."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        F.md5(F.encode(norm, "UTF-8")).alias("fingerprint"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
+_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "for", "on", "with"]
+_PUNCT_RE = "[.,!?;:]"
+
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         {_DUCK_TOKENS} AS toks,
+         length(text) - length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       n_punct,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE CAST(len(list_filter(toks, x -> list_contains({_STOPWORDS!r}, lower(x)))) AS DOUBLE)
+                 / len(toks) END AS stopword_ratio,
+       CASE WHEN n_chars = 0 THEN 0.0
+            ELSE CAST(n_punct AS DOUBLE) / n_chars END AS punct_ratio,
+       (len(toks) >= 5 AND n_chars >= 30) AS passes_quality
+FROM t
+"""
+
+
+@query("q_text_quality", oracle=_QUALITY_SQL)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: token count, punctuation density,
+    stopword ratio, pass/fail gate — the standard pre-training corpus
+    filter, all in JVM string/array functions."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _spark_tokens()
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), _PUNCT_RE, "")
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    t = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        toks.alias("toks"),
+        n_punct.alias("n_punct"),
+    )
+    n_toks = F.size("toks")
+    n_stop = F.size(
+        F.filter(F.col("toks"), lambda x: F.array_contains(stop_arr, F.lower(x)))
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        n_toks.cast("bigint").alias("n_tokens"),
+        "n_punct",
+        F.when(n_toks == 0, F.lit(0.0))
+        .otherwise(n_stop.cast("double") / n_toks)
+        .alias("stopword_ratio"),
+        F.when(F.col("n_chars") == 0, F.lit(0.0))
+        .otherwise(F.col("n_punct").cast("double") / F.col("n_chars"))
+        .alias("punct_ratio"),
+        ((n_toks >= 5) & (F.col("n_chars") >= 30)).alias("passes_quality"),
+    )
+
+
+_LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht", "ist"],
+    "en": ["the", "and", "of", "is", "not", "this"],
+    "es": ["el", "la", "los", "y", "no", "es"],
+    "fr": ["le", "la", "les", "et", "pas", "est"],
+    "zh": ["的", "是", "不", "了", "在", "我"],
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    return (
+        f"len(list_filter(toks, x -> list_contains({_LANG_MARKERS[lang]!r}, lower(x))))"
+    )
+
+
+_LANG_ID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang AS true_lang, {_DUCK_TOKENS} AS toks FROM documents
+), scored AS (
+  SELECT doc_id, true_lang,
+         {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('es')} AS s_es,
+         {_lang_score_sql('fr')} AS s_fr,
+         {_lang_score_sql('zh')} AS s_zh
+  FROM t
+)
+SELECT doc_id, true_lang,
+       CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+            WHEN 0 THEN 'unknown'
+            WHEN s_de THEN 'de'
+            WHEN s_en THEN 'en'
+            WHEN s_es THEN 'es'
+            WHEN s_fr THEN 'fr'
+            ELSE 'zh' END AS predicted_lang
+FROM scored
+"""
+
+
+@query("q_lang_id", oracle=_LANG_ID_SQL)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (n-gram heuristic): count per-language
+    stopword hits, argmax with alphabetical tie-break, 'unknown' when
+    no marker hits.  Identical CASE cascade on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.col("lang").alias("true_lang"), _spark_tokens().alias("toks")
+    )
+
+    def score(lang: str):
+        markers = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
+        return F.size(
+            F.filter(F.col("toks"), lambda x: F.array_contains(markers, F.lower(x)))
+        )
+
+    scored = t.select(
+        "doc_id",
+        "true_lang",
+        *[score(lg).alias(f"s_{lg}") for lg in sorted(_LANG_MARKERS)],
+    )
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in sorted(_LANG_MARKERS)])
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lg in sorted(_LANG_MARKERS):
+        pred = pred.when(F.col(f"s_{lg}") == best, F.lit(lg))
+    return scored.select("doc_id", "true_lang", pred.alias("predicted_lang"))

@@ -1,1 +1,174 @@
-"""Placeholder — filled in as the milestone lands."""
+"""Window-function and time-window queries (SURVEY.md §2.2:
+q_window_rank, q_window_analytic, q_window_tumbling, q_window_session).
+
+Reference analogues: top-1-per-key is the floor-resolution shape (R21);
+the 60-s sampling interval (R17, `PulsarPartitionSyncWorker.java:236-239`)
+is a tumbling window; the per-partition ordered stream (R13) is what
+sessionization assumes.  The tumbling/session queries are the batch
+analogues of the streaming layer's windowed aggregations
+(streaming/replicate.py); identical grouping logic runs under
+`readStream` with watermarks.
+
+Scale notes: all four are single-shuffle plans (partitionBy/groupBy
+key); running sums use decimal accumulation inside the frame so the
+oracle hash is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pulsar_sync_java_spark.functions.numeric import DEC, dsum, sql_dsum
+from pulsar_sync_java_spark.queries import query
+from pulsar_sync_java_spark.queries.reference import TS_FMT_DUCK, fmt_ts
+from pulsar_sync_java_spark.sources.tables import load_table
+
+_RANK_SQL = """
+SELECT o_custkey, rnk, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders) t
+WHERE rnk <= 3
+"""
+
+
+@query("q_window_rank", oracle=_RANK_SQL)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (row_number, deterministic
+    tie-break).  Spark 3.5+ pushes the rnk<=3 limit into the sort as a
+    group-limit, so no full per-key sort materializes."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+    )
+
+
+_ANALYTIC_SQL = f"""
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '{TS_FMT_DUCK}') AS o_orderdate,
+       o_totalprice,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_revenue,
+       lag(o_totalprice) OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_totalprice
+FROM orders
+"""
+
+
+@query("q_window_analytic", oracle=_ANALYTIC_SQL)
+def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frame functions: per-customer running revenue
+    (unbounded-preceding frame, exact decimal accumulation) and lag —
+    the R17 'last sample seen' semantics relationally."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        fmt_ts(F.col("o_orderdate")).alias("o_orderdate"),
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(frame).cast("double").alias("running_revenue"),
+        F.lag("o_totalprice").over(w).alias("prev_totalprice"),
+    )
+
+
+_TUMBLING_SQL = f"""
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+@query("q_window_tumbling", oracle=_TUMBLING_SQL)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type — the batch analogue of
+    the streaming `groupBy(window('ts','1 hour'))` aggregation (R17's
+    sampling interval generalized; streaming twin in
+    streaming/replicate.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        ev.groupBy("event_type", win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            fmt_ts(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SESSION_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sessions AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM ordered
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+       strftime(MAX(ts), '{TS_FMT_DUCK}') AS session_end,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@query("q_window_session", oracle=_SESSION_SQL)
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap: lag -> new-session
+    flag -> cumulative sum as session id -> per-session aggregates.
+    Batch analogue of Structured Streaming's `session_window` (the
+    streaming layer uses the native operator; this formulation is the
+    oracle-checkable twin).  Duration in integer microseconds — exact."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 1800 * 1_000_000
+    with_flag = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    with_session = with_flag.withColumn("session_id", F.sum("is_new").over(frame))
+    return with_session.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        fmt_ts(F.min("ts")).alias("session_start"),
+        fmt_ts(F.max("ts")).alias("session_end"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
