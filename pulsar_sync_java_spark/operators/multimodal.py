@@ -1,0 +1,121 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata, processed by Arrow-batched Pandas
+iterators.
+
+The Spark-side architecture here is REAL and tested — schema contract,
+mapInPandas batch shape, partitioning discipline; only the codec call
+itself is stubbed (`decode_image` raises NotImplementedError unless the
+deterministic fake is requested), since no image/audio library ships in
+this container.  Swapping the stub for PIL/ffmpeg changes one function.
+
+Scale notes: payloads ride as BinaryType so Parquet stores them inline
+with the row (no small-file side-channel); mapInPandas streams Arrow
+batches, so executor memory is bounded by
+`spark.sql.execution.arrow.maxRecordsPerBatch` x mean payload size —
+size that config, not the partition count, when payloads are large.
+Feature extraction keyed per row never shuffles; only the optional
+group-level stats do.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, payload binary, "
+    "meta map<string,string>"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, "
+    "width int, height int, n_frames int, checksum string"
+)
+
+
+def attach_payload(documents: DataFrame, media_type: str = "image") -> DataFrame:
+    """Stand-in ingest: wrap each document's UTF-8 bytes as an opaque
+    payload with typed metadata — the schema a real image/audio ingest
+    produces (payload column + sidecar metadata map)."""
+    return documents.select(
+        "doc_id",
+        F.lit(media_type).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.create_map(
+            F.lit("source"), F.col("source"), F.lit("lang"), F.col("lang")
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes, *, fake: bool = False) -> dict[str, Any]:
+    """Codec boundary.  Real decoding requires an image library that is
+    not in this container — the production hook point.
+
+    With ``fake=True``, returns deterministic pseudo-metadata derived
+    only from the byte content (stable across engines/runs), keeping
+    the full pipeline testable end-to-end.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an imaging library (PIL/opencv); "
+            "install one and replace this stub — the Spark plumbing "
+            "around it is complete"
+        )
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "width": n % 640 + 1,
+        "height": (n * 31) % 480 + 1,
+        "n_frames": n % 16,
+    }
+
+
+def extract_media_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches in, feature rows
+    out.  One task per input partition, zero shuffle; the pandas code
+    is the only Python in the pipeline (this is the sanctioned slow
+    path — a codec cannot be a Catalyst expression)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            feats = [decode_image(p, fake=fake_decode) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [f["n_bytes"] for f in feats],
+                    "width": pd.array([f["width"] for f in feats], dtype="int32"),
+                    "height": pd.array([f["height"] for f in feats], dtype="int32"),
+                    "n_frames": pd.array([f["n_frames"] for f in feats], dtype="int32"),
+                    "checksum": [
+                        hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_nth: int = 4, fake_decode: bool = True) -> DataFrame:
+    """Frame-sampling plumbing for video-typed payloads: one output row
+    per sampled frame index.  The decode is stubbed; the explode shape
+    (row -> frames) and its partitioning cost model are the real
+    architecture being exercised."""
+    feats = extract_media_features(media, fake_decode=fake_decode)
+    return feats.select(
+        "doc_id",
+        "checksum",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("n_frames") - 1, F.lit(0)),
+                F.lit(max(every_nth, 1)),
+            )
+        ).alias("frame_idx"),
+    ).filter(F.col("n_frames") > 0)

@@ -1,0 +1,129 @@
+"""Scale-path dedup / similarity / multimodal queries (BASELINE.json
+north star) — the `queries()` surface over operators/dedup.py,
+operators/similarity.py, operators/multimodal.py.
+
+Oracle-checked where cross-engine determinism is achievable
+(n-gram Jaccard via inverted index, multimodal metadata); sketch-based
+operators (MinHash/LSH, SimHash, hyperplane LSH) hash with xxhash64,
+which DuckDB lacks, so they are declared rows-only and their semantics
+are property-tested against exact ground truth in
+tests/test_dedup_ops.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_sync_java_spark.operators.dedup import (
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash64,
+    simhash_near_pairs,
+)
+from pulsar_sync_java_spark.operators.multimodal import (
+    attach_payload,
+    extract_media_features,
+)
+from pulsar_sync_java_spark.operators.similarity import embedding_near_pairs, lsh_topk
+from pulsar_sync_java_spark.queries import query
+from pulsar_sync_java_spark.sources.tables import load_table
+
+_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), dims AS (
+  SELECT unnest(generate_series(1, (SELECT MAX(len(t)) FROM toks))) AS i
+), sh AS (
+  SELECT DISTINCT doc_id, t[d.i] || ' ' || t[d.i+1] || ' ' || t[d.i+2] AS shingle
+  FROM toks, dims d WHERE d.i <= len(t) - 2
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+), hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
+), pruned AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN hot USING (shingle)
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.5
+"""
+
+
+@query("q_ngram_jaccard", oracle=_JACCARD_SQL)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-duplicate pairs (>= 0.5) via the
+    shingle inverted index — cost bounded by shingle bucket size, never
+    by doc-pair count (operators/dedup.py:jaccard_pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(d, threshold=0.5, max_bucket=1000)
+
+
+@query("q_minhash_lsh")  # rows-only: xxhash64 sketch, engine-specific
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16-band LSH candidate pairs with estimated Jaccard
+    >= 0.5.  Property-tested against exact Jaccard ground truth
+    (tests/test_dedup_ops.py): planted near-dups are recalled."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=64)
+    return lsh_candidate_pairs(sigs, bands=16).filter(F.col("est_jaccard") >= 0.5)
+
+
+@query("q_simhash")  # rows-only: xxhash64-based fingerprint
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs within Hamming distance 3, found by
+    the 16-bit pigeonhole chunk index (no pair enumeration)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(simhash64(d), max_hamming=3)
+
+
+@query("q_embedding_neardup")  # rows-only: LSH bucketing is engine-specific
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates (>= 0.95) within hyperplane-LSH
+    buckets — exact cosine computed only inside buckets."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_pairs(e, threshold=0.95, num_planes=12)
+
+
+@query("q_ann_lsh_topk")  # rows-only: approximate by design
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 for the vec_id=0 query via hyperplane signatures +
+    exact re-rank of the Hamming-ball candidates; recall vs the exact
+    q_sim_topk is asserted in tests/test_dedup_ops.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in row.embedding]
+    return lsh_topk(e, qv, k=10, num_planes=16, max_hamming=6)
+
+
+_MULTIMODAL_SQL = """
+SELECT doc_id,
+       'image' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+       CAST((octet_length(encode(text)) * 31) % 480 + 1 AS INT) AS height,
+       CAST(octet_length(encode(text)) % 16 AS INT) AS n_frames,
+       md5(text) AS checksum
+FROM documents
+"""
+
+
+@query("q_multimodal_meta", oracle=_MULTIMODAL_SQL)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: binary payload column ->
+    mapInPandas (Arrow batches) -> typed feature rows.  The decode stub
+    derives metadata deterministically from payload bytes, so the whole
+    Python path is oracle-checkable — the codec swap-in point is
+    operators/multimodal.py:decode_image."""
+    d = load_table(spark, sf_dir, "documents")
+    return extract_media_features(attach_payload(d), fake_decode=True)

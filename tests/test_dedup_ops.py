@@ -1,0 +1,127 @@
+"""Property tests for the sketch-based dedup/similarity operators —
+their queries are rows-only in the oracle gate, so correctness is
+asserted here against exact ground truth (SURVEY.md §5 spirit:
+observable convergence, not implementation details).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_sync_java_spark.operators.dedup import (
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash64,
+    simhash_near_pairs,
+)
+from pulsar_sync_java_spark.operators.multimodal import (
+    attach_payload,
+    decode_image,
+    extract_media_features,
+    frame_sample,
+)
+from pulsar_sync_java_spark.operators.similarity import cosine_topk, lsh_topk
+from pulsar_sync_java_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark, documents):
+    """Exact Jaccard >= 0.5 ground truth (itself oracle-checked in
+    test_oracle.py as q_ngram_jaccard)."""
+    return {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(documents, threshold=0.5).collect()
+    }
+
+
+def test_testdata_contains_planted_near_dups(exact_pairs):
+    # sanity: the corpus actually exercises the operators
+    assert len(exact_pairs) > 0
+
+
+def test_minhash_lsh_recalls_near_dups(spark, documents, exact_pairs):
+    """LSH with 16 bands / 4 rows has collision prob 1-(1-s^4)^16 —
+    > 0.999 at s=0.7; planted near-dups (s >= 0.7) must all surface,
+    and signature agreement must estimate Jaccard within 0.25."""
+    sigs = minhash_signatures(documents, num_hashes=64)
+    cand = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in lsh_candidate_pairs(sigs, bands=16).collect()
+    }
+    strong = {p: j for p, j in exact_pairs.items() if j >= 0.7}
+    assert strong, "expected strong near-dup pairs in testdata"
+    missed = set(strong) - set(cand)
+    assert not missed, f"LSH missed strong pairs: {missed}"
+    for p, j in strong.items():
+        assert abs(cand[p] - j) <= 0.25, (p, cand[p], j)
+
+
+def test_minhash_estimates_unbiased_on_exact_dups(spark):
+    rows = [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon zeta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, num_hashes=32)
+    [pair] = lsh_candidate_pairs(sigs, bands=8).collect()
+    assert pair.est_jaccard == 1.0
+
+
+def test_simhash_finds_exact_and_near_dups(spark, documents, exact_pairs):
+    """Identical docs have identical simhash (distance 0); the chunk
+    index must surface them without pair enumeration."""
+    dup = documents.limit(1).select(F.lit(10_000_000).alias("doc_id"), "text")
+    with_dup = documents.select("doc_id", "text").unionByName(dup)
+    sims = simhash64(with_dup)
+    pairs = simhash_near_pairs(sims, max_hamming=3).collect()
+    first_id = documents.limit(1).collect()[0].doc_id
+    assert any(
+        {r.doc_a, r.doc_b} == {first_id, 10_000_000} and r.hamming == 0 for r in pairs
+    )
+
+
+def test_lsh_topk_recall_vs_exact(spark, embeddings):
+    row = embeddings.filter(F.col("vec_id") == 0).first()
+    qv = [float(x) for x in row.embedding]
+    exact = [r.vec_id for r in cosine_topk(embeddings, qv, k=10).collect()]
+    approx = [r.vec_id for r in lsh_topk(embeddings, qv, k=10, num_planes=16, max_hamming=6).collect()]
+    # the query vector itself is always in its own bucket
+    assert 0 in approx
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"recall {recall}: exact={exact} approx={approx}"
+
+
+def test_multimodal_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"bytes")
+
+
+def test_multimodal_feature_plumbing(spark, documents):
+    media = attach_payload(documents.limit(20))
+    feats = extract_media_features(media, fake_decode=True).collect()
+    assert len(feats) == 20
+    docs = {r.doc_id: r for r in documents.limit(20).collect()}
+    for r in feats:
+        n = len(docs[r.doc_id].text.encode("utf-8"))
+        assert r.n_bytes == n and r.width == n % 640 + 1
+        assert len(r.checksum) == 32
+
+
+def test_frame_sample_shape(spark, documents):
+    media = attach_payload(documents.limit(50), media_type="video")
+    frames = frame_sample(media, every_nth=4)
+    rows = frames.collect()
+    assert all(r.frame_idx % 4 == 0 for r in rows)
+    feats = {r.doc_id: r.n_frames for r in extract_media_features(media).collect()}
+    for r in rows:
+        assert r.frame_idx < feats[r.doc_id]
