@@ -131,6 +131,57 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CUBE_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+       COUNT(*) AS n_items,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("q_cube", oracle=_CUBE_SQL)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over (returnflag, linestatus): all 2^2 grouping sets in
+    one Expand + hash aggregate — same family as q_rollup, completing
+    the grouping-sets surface."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").alias("g_flag"),
+        F.grouping("l_linestatus").alias("g_status"),
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+_PIVOT_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS status_O,
+       CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS status_F
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q_pivot", oracle=_PIVOT_SQL)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide) with an explicit value list — the explicit
+    list keeps it a single-pass aggregate (no extra distinct-values
+    job), which is the 100 TB discipline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        )
+    )
+
+
 _TOPK_SQL = """
 SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
 FROM lineitem
