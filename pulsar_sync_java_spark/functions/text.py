@@ -15,14 +15,21 @@ def tokens(text_col: Column | str) -> Column:
     return F.filter(F.split(c, r"\s+"), lambda x: x != "")
 
 
-def shingles(text_col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string>.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED tokens column.
 
-    Built with transform over an index sequence — stays in codegen,
-    no explode needed until the caller wants rows.  Documents shorter
-    than n tokens produce an empty array (not null).
+    `toks` must be a plain column reference (project `tokens(...)` into
+    a named column first).  The n-gram builder references the array many
+    times (size + n gets per gram); Catalyst does not share
+    subexpressions across higher-order-function lambdas, so passing the
+    raw `tokens(text)` expression here would re-split the text once per
+    reference — measured 20x slower on the documents table.  Because
+    the alias is referenced more than once, CollapseProject keeps the
+    tokenizing projection as its own step and the array is computed
+    once per row.
+
+    Documents shorter than n tokens produce an empty array (not null).
     """
-    toks = tokens(text_col)
     count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     idx = F.sequence(F.lit(0), count - 1)
     gram = lambda i: F.concat_ws(  # noqa: E731
@@ -31,6 +38,14 @@ def shingles(text_col: Column | str, n: int = 3) -> Column:
     return F.when(count > 0, F.array_distinct(F.transform(idx, gram))).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Shingles straight from a text column — convenience form for
+    one-shot expressions.  Hot paths (operators/dedup.py) materialize
+    the tokens column first and use `shingles_from_tokens` (see its
+    docstring for why)."""
+    return shingles_from_tokens(tokens(text_col), n)
 
 
 def hash64(col: Column, seed: int) -> Column:

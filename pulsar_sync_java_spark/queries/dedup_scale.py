@@ -89,10 +89,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_embedding_neardup")  # rows-only: LSH bucketing is engine-specific
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicates (>= 0.95) within hyperplane-LSH
-    buckets — exact cosine computed only inside buckets."""
+    """Embedding-cosine near-duplicates (>= 0.95) via centered, banded
+    hyperplane LSH — exact cosine computed only inside band buckets
+    (operators/similarity.py:embedding_near_pairs)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_pairs(e, threshold=0.95, num_planes=12)
+    return embedding_near_pairs(e, threshold=0.95, num_planes=48, bands=6)
 
 
 @query("q_ann_lsh_topk")  # rows-only: approximate by design

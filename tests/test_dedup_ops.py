@@ -22,7 +22,11 @@ from pulsar_sync_java_spark.operators.multimodal import (
     extract_media_features,
     frame_sample,
 )
-from pulsar_sync_java_spark.operators.similarity import cosine_topk, lsh_topk
+from pulsar_sync_java_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_pairs,
+    lsh_topk,
+)
 from pulsar_sync_java_spark.sources.tables import load_table
 from tests.conftest import SF_DIR
 
@@ -99,6 +103,19 @@ def test_lsh_topk_recall_vs_exact(spark, embeddings):
     assert 0 in approx
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.5, f"recall {recall}: exact={exact} approx={approx}"
+
+
+def test_embedding_neardup_finds_planted_dup(spark, embeddings):
+    """An exact copy of vec_id=0 shares every band bucket with it, so
+    banded hyperplane LSH must surface the pair with cos_sim == 1."""
+    dup = embeddings.filter(F.col("vec_id") == 0).select(
+        F.lit(9_999_999).alias("vec_id"), "embedding"
+    )
+    with_dup = embeddings.select("vec_id", "embedding").unionByName(dup)
+    pairs = embedding_near_pairs(with_dup, threshold=0.95).collect()
+    assert any(
+        {r.id_a, r.id_b} == {0, 9_999_999} and r.cos_sim >= 0.999999 for r in pairs
+    )
 
 
 def test_multimodal_stub_raises_without_fake():
