@@ -139,6 +139,111 @@ def lsh_topk(
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def assign_clusters(
+    df: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Add a `__cluster` column: index of the nearest centroid (squared
+    L2).  Centroids ship as a nested literal array; distances are a
+    compact HOF transform (one expression regardless of k, codegen-
+    friendly).  The distances array is materialized in its own
+    projection so argmin's two references don't recompute it."""
+    cl = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centroids])
+    d2 = F.transform(
+        cl,
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (
+        df.withColumn("__dists", d2)
+        .withColumn(
+            "__cluster",
+            (F.array_position(F.col("__dists"), F.array_min("__dists")) - 1).cast(
+                "int"
+            ),
+        )
+        .drop("__dists")
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic k-means for the IVF coarse quantizer.
+
+    Seeds are the k vectors with the smallest seeded hash of their id
+    (a reproducible pseudo-random sample, no data order dependence);
+    each Lloyd iteration is one assign-projection plus one
+    posexplode/groupBy mean — per-dimension partial aggregation, so an
+    iteration is a single shuffle of (cluster, pos, x) triples no
+    matter how large the corpus.  Empty clusters keep their previous
+    centroid."""
+    sdf = spread(df)
+    seeds = (
+        sdf.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    cents = [[float(x) for x in r[1]] for r in seeds]
+    for _ in range(iters):
+        rows = (
+            assign_clusters(sdf, vec_col, cents)
+            .select("__cluster", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("__cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r["__cluster"], {})[r.pos] = float(r.m)
+        for ci, dims in by_cluster.items():
+            cents[ci] = [dims[p] for p in range(len(cents[ci]))]
+    return cents
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into
+    `n_centroids` inverted lists, probe the `nprobe` lists nearest the
+    query, exact cosine re-rank inside them only.
+
+    The scale path vs hyperplane LSH (`lsh_topk`): at 100 TB the
+    cluster assignment is a precomputed partition column — probing
+    nprobe/n_centroids of the corpus becomes partition PRUNING at the
+    parquet scan, not a filter; recall is tuned by nprobe with cost
+    linear in the probed fraction."""
+    cents = kmeans_centroids(df, id_col, vec_col, n_centroids, iters, seed)
+    order = sorted(
+        range(len(cents)),
+        key=lambda i: sum((a - b) ** 2 for a, b in zip(query_vec, cents[i])),
+    )
+    probe = order[:nprobe]
+    assigned = assign_clusters(spread(df), vec_col, cents)
+    cand = assigned.filter(F.col("__cluster").isin(*probe)).drop("__cluster")
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def embedding_near_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -26,7 +26,11 @@ from pulsar_sync_java_spark.operators.multimodal import (
     attach_payload,
     extract_media_features,
 )
-from pulsar_sync_java_spark.operators.similarity import embedding_near_pairs, lsh_topk
+from pulsar_sync_java_spark.operators.similarity import (
+    embedding_near_pairs,
+    ivf_topk,
+    lsh_topk,
+)
 from pulsar_sync_java_spark.queries import query
 from pulsar_sync_java_spark.sources.tables import load_table
 
@@ -105,6 +109,18 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = e.filter(F.col("vec_id") == 0).select("embedding").first()
     qv = [float(x) for x in row.embedding]
     return lsh_topk(e, qv, k=10, num_planes=16, max_hamming=6)
+
+
+@query("q_ann_ivf_topk")  # rows-only: approximate by design
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 for the vec_id=0 query via an IVF coarse quantizer
+    (deterministic k-means, nprobe inverted lists, exact re-rank) —
+    the partition-pruning scale path next to the hyperplane-LSH one;
+    recall vs exact asserted in tests/test_dedup_ops.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in row.embedding]
+    return ivf_topk(e, qv, k=10, n_centroids=16, nprobe=4)
 
 
 _MULTIMODAL_SQL = """

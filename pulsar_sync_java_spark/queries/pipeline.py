@@ -132,6 +132,41 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish tokenizer: letter runs, digit runs, single non-alnum marks —
+# the word/number/punct split every byte-pair tokenizer starts from.
+# Deliberately ASCII-class-based so Java (Spark) and RE2 (DuckDB) regex
+# semantics agree exactly (verified corpus-wide).
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INT) AS n_bpe_tokens,
+       CASE WHEN len(regexp_extract_all(text, '{_BPE_RE}')) = 0 THEN 0.0
+            ELSE CAST(n_chars AS DOUBLE) / len(regexp_extract_all(text, '{_BPE_RE}'))
+       END AS chars_per_token
+FROM documents
+"""
+
+
+@query("q_token_count", oracle=_TOKEN_COUNT_SQL)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways — whitespace words and a BPE-ish regex
+    (letter/digit runs + punctuation marks) — plus chars-per-token, the
+    standard tokens-budget estimator for an LLM data pipeline.  All
+    JVM-side regexp functions; identical pattern on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0))
+    return d.select(
+        "doc_id",
+        F.size(_spark_tokens()).alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.when(bpe == 0, F.lit(0.0))
+        .otherwise(F.col("n_chars").cast("double") / bpe)
+        .alias("chars_per_token"),
+    )
+
+
 _EXACT_DEDUP_SQL = """
 SELECT md5(text) AS text_hash,
        MIN(doc_id) AS keeper_doc_id,

@@ -25,6 +25,7 @@ from pulsar_sync_java_spark.operators.multimodal import (
 from pulsar_sync_java_spark.operators.similarity import (
     cosine_topk,
     embedding_near_pairs,
+    ivf_topk,
     lsh_topk,
 )
 from pulsar_sync_java_spark.sources.tables import load_table
@@ -100,6 +101,17 @@ def test_lsh_topk_recall_vs_exact(spark, embeddings):
     exact = [r.vec_id for r in cosine_topk(embeddings, qv, k=10).collect()]
     approx = [r.vec_id for r in lsh_topk(embeddings, qv, k=10, num_planes=16, max_hamming=6).collect()]
     # the query vector itself is always in its own bucket
+    assert 0 in approx
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"recall {recall}: exact={exact} approx={approx}"
+
+
+def test_ivf_topk_recall_vs_exact(spark, embeddings):
+    row = embeddings.filter(F.col("vec_id") == 0).first()
+    qv = [float(x) for x in row.embedding]
+    exact = [r.vec_id for r in cosine_topk(embeddings, qv, k=10).collect()]
+    approx = [r.vec_id for r in ivf_topk(embeddings, qv, k=10, n_centroids=16, nprobe=4).collect()]
+    # the query's own list is always probed, so vec 0 must appear
     assert 0 in approx
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.5, f"recall {recall}: exact={exact} approx={approx}"

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from pulsar_sync_java_spark.plans.cursor_translate import sparse_sample
 from pulsar_sync_java_spark.sources.tables import load_table
+from pulsar_sync_java_spark.streaming.stateful import stateful_sparse_sampler
 from pulsar_sync_java_spark.streaming.replicate import (
     dedup_stream,
     message_projection,
@@ -206,6 +207,46 @@ def test_sessionize_stream_runs(spark, message_dir):
     rows = spark.table(tbl).collect()
     assert len(rows) > 0
     assert all(r.session_end >= r.session_start and r.n_events >= 1 for r in rows)
+
+
+def test_stateful_sampler_matches_greedy_oracle(spark, message_dir):
+    """applyInPandasWithState sampler == a driver-side replay of the
+    reference's greedy gate + put-time eviction
+    (PulsarPartitionSyncWorker.java:236-239, SparseMap.java:36-53)."""
+    stream = stateful_sparse_sampler(
+        read_message_stream(spark, message_dir), interval_s=60, ttl_s=3600
+    )
+    tbl = run_to_memory(stream, "stateful_samples")
+    got = {
+        (r.topic, r.partition, r.sample_ts, r.ledger_id, r.entry_id, r.n_live)
+        for r in spark.table(tbl).collect()
+    }
+
+    # greedy oracle in plain python over the same rows
+    rows = (
+        build_messages(spark)
+        .select("topic", "partition", "event_time", "ledger_id", "entry_id")
+        .collect()
+    )
+    by_key: dict = {}
+    for r in sorted(
+        rows, key=lambda r: (r.topic, r.partition, r.event_time, r.ledger_id, r.entry_id)
+    ):
+        by_key.setdefault((r.topic, r.partition), []).append(r)
+    want = set()
+    for (topic, partition), rs in by_key.items():
+        last, live = None, []
+        for r in rs:
+            ts = int(r.event_time.timestamp() * 1_000_000)
+            if last is not None and ts - last < 60_000_000:
+                continue
+            last = ts
+            live = [s for s in live if ts - s <= 3600_000_000]
+            live.append(ts)
+            want.add((topic, partition, ts, r.ledger_id, r.entry_id, len(live)))
+    assert got == want
+    # the reference's memory envelope: <= ttl/interval live entries
+    assert all(n <= 60 for *_, n in got)
 
 
 def test_dedup_stream_drops_duplicate_deliveries(spark, message_dir, tmp_path):
