@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pulsar_sync_java_spark.functions.text import shingles_from_tokens, tokens
-from pulsar_sync_java_spark.operators.util import spread
+from pulsar_sync_java_spark.operators.util import spread, spread_by
 
 
 def shingle_rows(
@@ -88,7 +88,8 @@ def jaccard_pairs(
     sizes = arr.select(F.col(id_col), F.size("__sh").alias("set_size"))
     sh = arr.select(
         F.col(id_col), F.explode("__sh").alias("shingle")
-    ).repartition(F.col("shingle"))
+    )
+    sh = spread_by(sh, "shingle")
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df_count"))
@@ -191,7 +192,7 @@ def lsh_candidate_pairs(
     Signatures are joined back by id on the deduplicated candidate
     pairs only (both lookups reuse the same signature exchange).
     """
-    sig = signatures.repartition(F.col(id_col))
+    sig = spread_by(signatures, id_col)
     rows_per_band = max(num_hashes // bands, 1)
     # Generator first, hash after: explode the band indexes, then slice-
     # hash in a separate projection within the same stage.  (Building
@@ -291,7 +292,7 @@ def simhash_near_pairs(
     The fingerprint projection feeds both join sides plus the bucket
     census; the repartition barrier makes ReuseExchange compute it once.
     """
-    sims = sims.repartition(F.col(id_col))
+    sims = spread_by(sims, id_col)
     chunk = lambda i: F.shiftright(F.col("simhash"), i * 16).bitwiseAND(  # noqa: E731
         F.lit(0xFFFF)
     )

@@ -23,7 +23,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pulsar_sync_java_spark.operators.util import spread
+from pulsar_sync_java_spark.operators.util import spread, spread_by
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -311,7 +311,8 @@ def embedding_near_pairs(
         F.col(vec_col),
         "nrm",
         signature_bits(F.col("__cv"), planes).alias("sig"),
-    ).repartition(F.col(id_col))
+    )
+    sig = spread_by(sig, id_col)
     band_mask = (1 << rows_per_band) - 1
     banded = sig.select(
         id_col,

@@ -24,3 +24,18 @@ def spread(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     return df.repartition(sc.defaultParallelism)
+
+
+def spread_by(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash repartition on `cols` with an EXPLICIT partition count.
+
+    `repartition(col)` without a count is a REPARTITION_BY_COL shuffle,
+    which AQE freely coalesces by size — on small inputs it collapses
+    to ONE partition and serializes every downstream stage (measured:
+    the whole self-join pipeline ran single-task).  An explicit count
+    (REPARTITION_BY_NUM) is exempt from coalescing, so the barrier
+    keeps both its ReuseExchange role and its parallelism."""
+    from pyspark.sql import functions as F
+
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, *[F.col(c) for c in cols])

@@ -52,6 +52,18 @@ def get_spark(
         # timestamp type, so read as long and convert in the loader
         # (sources/tables.py) — truncation to micros matches DuckDB's.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate synthesizes `size(<generator>) > 0`
+        # under every explode; predicate pushdown then substitutes the
+        # full generator expression into a scan-level Filter, so an
+        # expensive computed array (shingles, signatures) is evaluated
+        # TWICE per row — once interpreted in the filter, once in the
+        # projection.  Measured ~8s of pure re-evaluation per sketch
+        # query on the documents table; exploding an empty array is a
+        # no-op anyway, so the rule buys nothing here.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
