@@ -1,0 +1,96 @@
+"""Physical-plan regression tests (the 100 TB discipline, SURVEY.md §4):
+these assert the plan SHAPE Catalyst produces, not results — a correct
+answer from a plan that stops pushing filters, pruning columns, or
+broadcasting dims would silently stop scaling.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from pulsar_sync_java_spark.queries import all_queries
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, queries):
+    """q_filter_predicate's status/date predicates must appear as
+    PushedFilters on the parquet scan, not post-scan Filter-only."""
+    plan = plan_of(queries["q_filter_predicate"](spark, SF_DIR))
+    assert "PushedFilters:" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters:" in l]
+    assert any("o_orderstatus" in l or "o_orderdate" in l for l in pushed), pushed
+
+
+def test_column_pruning_reaches_scan(spark, queries):
+    """q_scan_project touches 4 lineitem columns; the scan must not
+    read the other 12 (ReadSchema is the pruned struct)."""
+    plan = plan_of(queries["q_scan_project"](spark, SF_DIR))
+    read = [l for l in plan.splitlines() if "ReadSchema:" in l][0]
+    assert "l_extendedprice" in read
+    for unread in ("l_comment", "l_shipmode", "l_receiptdate"):
+        assert unread not in read, read
+
+
+def test_small_dims_broadcast(spark, queries):
+    """customer ⋈ nation ⋈ region must broadcast the dims (hash join),
+    never shuffle the fact side on a dim key."""
+    plan = plan_of(queries["q_join_broadcast"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_products_anywhere(spark, queries):
+    """No declared query may plan a CartesianProduct — the only
+    intentional cross join (q_sim_topk's 1-row query vector) must be
+    a BroadcastNestedLoopJoin."""
+    offenders = []
+    for name, fn in queries.items():
+        plan = plan_of(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_asof_join_is_single_shuffle_window(spark, queries):
+    """The as-of join must be the union+window formulation: no range
+    join (BroadcastNestedLoopJoin) and no more than one shuffle of the
+    unioned stream (operators/asof.py)."""
+    plan = plan_of(queries["q_asof_join"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowExec" in plan or "Window" in plan
+
+
+def test_groupby_agg_is_partial_final(spark, queries):
+    """TPC-H Q1 shape: map-side partial aggregation before the single
+    exchange (a final-only agg shuffles every input row — a 10x
+    regression at scale)."""
+    plan = plan_of(queries["q_groupby_agg"](spark, SF_DIR))
+    assert "HashAggregate" in plan
+    assert "partial_" in plan  # map-side combine present
+    assert plan.count("Exchange") <= 2  # one shuffle (+AQE read)
+
+
+def test_sketch_operators_have_no_generator_filter(spark, queries):
+    """The InferFiltersFromGenerate exclusion must hold: no synthesized
+    size(<computed shingle expr>)>0 filter re-evaluating the generator
+    at the scan (session.py; measured ~8s/query when it regresses)."""
+    plan = plan_of(queries["q_ngram_jaccard"](spark, SF_DIR))
+    scan_filters = [
+        l for l in plan.splitlines() if "Condition" in l and "array_distinct" in l
+    ]
+    assert not scan_filters, scan_filters
