@@ -1,0 +1,230 @@
+"""SyncEngine — the reference's user-facing surface (`PulsarSync`),
+re-expressed over directory-backed clusters.
+
+Reference API (`PulsarSync.java:37-51`): construct with src/dst
+`PulsarConfig` + `SyncConfig`, call `start()`; the object then keeps
+catalogs, messages and cursors converging src -> dst.  The engine
+equivalent replaces broker endpoints with a *cluster directory*
+convention (what a Pulsar connector would bind to at deploy time):
+
+    <cluster>/tenants.parquet        tenant catalog
+    <cluster>/namespaces.parquet     (tenant, namespace, policies)
+    <cluster>/topics.parquet         (tenant, namespace, topic,
+                                      partitions, properties)
+    <cluster>/messages/              data plane, MESSAGE_SCHEMA parquet
+    <cluster>/subscriptions.parquet  cursors: (topic, partition, cursor,
+                                      ts, ledger_id, entry_id)
+
+and the three reference loops become three engine methods:
+
+| reference loop (cadence)                  | engine method            |
+|-------------------------------------------|--------------------------|
+| catalog managers, 3-min rescan (R25)      | `sync_catalog_once()`    |
+| per-partition message workers (R13-R16)   | `start_replication()`    |
+| `syncCursor`, 10-s rescan (R19-R23)       | `sync_cursors_once()`    |
+
+Semantics preserved (SURVEY.md §2 fine print): additive-only
+convergence, idempotent conflict-tolerant applies, produce-then-ack
+at-least-once replication (checkpoint commit), sampled mapping +
+floor/as-of cursor translation (replay-only error), create-once
+cursors.
+
+Scale notes: the catalog apply round-trips through the driver — the
+control plane is small by definition (the reference holds it in maps on
+a 10-thread JVM; `PulsarSync.java:44`) and parquet cannot be
+self-overwritten lazily.  The DATA plane never touches the driver: the
+replication stream and the mapping/cursor plans are pure
+DataFrame/Structured Streaming.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_sync_java_spark.plans.catalog_diff import (
+    NAMESPACE_KEY,
+    TENANT_KEY,
+    TOPIC_KEY,
+    diff_catalogs,
+    missing,
+)
+from pulsar_sync_java_spark.plans.cursor_translate import (
+    pending_creates,
+    sparse_sample,
+    translate,
+)
+from pulsar_sync_java_spark.sources.tables import ensure_session_confs
+from pulsar_sync_java_spark.streaming.replicate import (
+    read_message_stream,
+    replicate,
+)
+
+CURSOR_KEY = ["topic", "partition", "cursor"]
+_CATALOGS: tuple[tuple[str, list[str]], ...] = (
+    ("tenants", TENANT_KEY),
+    ("namespaces", NAMESPACE_KEY),
+    ("topics", TOPIC_KEY),
+)
+
+
+@dataclass(frozen=True)
+class SyncEngineConfig:
+    """`SyncConfig.java:29-41` equivalent (`autoUpdatePartition` is
+    declared there but never read — SURVEY.md §2 dead surface; partition
+    discovery here is inherent to the streaming source)."""
+
+    subscription_name: str = "pulsar-sync"
+    auto_update_tenant: bool = True
+    auto_update_namespace: bool = True
+    auto_update_topic: bool = True
+    sample_interval: str = "60 seconds"
+    extra: dict = field(default_factory=dict)
+
+
+class SyncEngine:
+    """One engine instance per (src cluster, dst cluster) pair."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        src_dir: str,
+        dst_dir: str,
+        config: SyncEngineConfig | None = None,
+    ) -> None:
+        ensure_session_confs(spark)
+        self.spark = spark
+        self.src = src_dir.rstrip("/")
+        self.dst = dst_dir.rstrip("/")
+        self.config = config or SyncEngineConfig()
+
+    # -- catalog plane ------------------------------------------------
+
+    def _read(self, cluster: str, name: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(cluster, f"{name}.parquet"))
+
+    def _overwrite_catalog(self, name: str, df: DataFrame) -> int:
+        """Write-back via the driver: a lazy parquet read cannot
+        overwrite its own path; catalogs are control-plane-small.
+        Returns the written row count (saves a re-read job)."""
+        rows = df.collect()
+        out = self.spark.createDataFrame(rows, df.schema)
+        out.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.dst, f"{name}.parquet")
+        )
+        return len(rows)
+
+    def sync_catalog_once(self) -> dict[str, int]:
+        """One control-plane tick (the reference's 3-min rescan body):
+        leveled anti-join diff, additive idempotent apply.  Returns the
+        number of creates per level — all zero on a converged pair, and
+        on every re-run after (idempotency)."""
+        enabled = {
+            "tenants": self.config.auto_update_tenant,
+            "namespaces": self.config.auto_update_namespace,
+            "topics": self.config.auto_update_topic,
+        }
+        diff = diff_catalogs(
+            self._read(self.src, "tenants"),
+            self._read(self.src, "namespaces"),
+            self._read(self.src, "topics"),
+            self._read(self.dst, "tenants"),
+            self._read(self.dst, "namespaces"),
+            self._read(self.dst, "topics"),
+        )
+        created: dict[str, int] = {}
+        for name, key in _CATALOGS:
+            inserts = getattr(diff, name)
+            if not enabled[name]:
+                created[name] = 0
+                continue
+            dst_df = self._read(self.dst, name)
+            safe = inserts.join(dst_df.select(*key), on=key, how="left_anti")
+            merged = dst_df.unionByName(safe.select(*dst_df.columns))
+            n_before = dst_df.count()
+            created[name] = self._overwrite_catalog(name, merged) - n_before
+        return created
+
+    # -- data plane ---------------------------------------------------
+
+    def start_replication(self, available_now: bool = True):
+        """The per-partition worker pipeline (R13-R16): src message
+        stream -> projection -> dst sink, offsets committed to the
+        checkpoint only after the sink write — produce-then-ack.
+        Continuous deployments pass available_now=False and a
+        processingTime trigger upstream."""
+        stream = read_message_stream(self.spark, os.path.join(self.src, "messages"))
+        writer = replicate(
+            stream,
+            os.path.join(self.dst, "messages"),
+            os.path.join(self.dst, "_checkpoints", "replication"),
+        )
+        if available_now:
+            return writer.trigger(availableNow=True).start()
+        return writer.start()
+
+    def build_mapping(self) -> DataFrame:
+        """R17: the sampled MessageId mapping, from the REPLICATED
+        messages (a mapping entry must point at a position that exists
+        on dst).  One sample per (topic, partition) per interval."""
+        msgs = self.spark.read.parquet(os.path.join(self.dst, "messages"))
+        return sparse_sample(
+            msgs.select(
+                "topic",
+                "partition",
+                F.col("event_time").alias("ts"),
+                F.col("entry_id").alias("event_id"),
+            ),
+            key_cols=["topic", "partition"],
+            interval=self.config.sample_interval,
+        )
+
+    # -- cursor plane -------------------------------------------------
+
+    def sync_cursors_once(self) -> int:
+        """One `syncCursor` tick (R19-R23): src subscription snapshot ->
+        as-of floor translation against the sampled mapping ->
+        create-once anti-join -> append creates to dst.  Returns the
+        number of cursors created (0 when converged)."""
+        src_subs = self._read(self.src, "subscriptions")
+        mapping = self.build_mapping()
+        translated = translate(
+            src_subs.select("topic", "partition", "cursor", "ts", "event_id"),
+            mapping,
+            key_cols=["topic", "partition"],
+            carry_cols=["cursor"],
+        )
+        # no floor sample at-or-before the cursor yet -> skip this tick
+        # (the reference's findMessageId miss; replication will sample
+        # more of the mapping and a later tick resolves it)
+        translated = translated.filter(F.col("translated_id").isNotNull())
+        dst_path = os.path.join(self.dst, "subscriptions.parquet")
+        dst_subs = self.spark.read.parquet(dst_path)
+        creates = pending_creates(translated, dst_subs, key_cols=CURSOR_KEY)
+        out = creates.select(
+            "topic",
+            "partition",
+            "cursor",
+            F.col("translated_ts").alias("ts"),
+            F.col("translated_id").alias("event_id"),
+        )
+        n = out.count()
+        if n:
+            out.write.mode("append").parquet(dst_path)
+        return n
+
+    # -- orchestration --------------------------------------------------
+
+    def run_once(self) -> dict[str, int]:
+        """One full availableNow convergence pass: catalog tick,
+        replication to completion, cursor tick — the test-mode analogue
+        of `PulsarSync.start()` (which schedules the same three bodies
+        at 3 min / continuous / 10 s)."""
+        created = self.sync_catalog_once()
+        q = self.start_replication(available_now=True)
+        q.awaitTermination(600)
+        created["cursors"] = self.sync_cursors_once()
+        return created

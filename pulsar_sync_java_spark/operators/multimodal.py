@@ -76,9 +76,15 @@ def decode_image(payload: bytes, *, fake: bool = False) -> dict[str, Any]:
 
 def extract_media_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, feature rows
-    out.  One task per input partition, zero shuffle; the pandas code
-    is the only Python in the pipeline (this is the sanctioned slow
-    path — a codec cannot be a Catalyst expression)."""
+    out.  The pandas code is the only Python in the pipeline (this is
+    the sanctioned slow path — a codec cannot be a Catalyst expression).
+
+    One task per input partition, zero shuffle.  Deliberately NOT
+    spread to default parallelism here: spawning a Python worker per
+    core costs more than it saves on small batches (measured 2x slower
+    on the test corpus), and at scale the source has enough splits —
+    callers with a single-split source and heavy codecs should
+    `spread()` before calling."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib

@@ -70,19 +70,25 @@ def translate(
     key_cols: list[str],
     ts_col: str = "ts",
     id_col: str = "event_id",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """R21: floor-resolve each cursor against the sampled mapping — the
     greatest sample at-or-before the cursor position
     (`SparseMap.java:55-62`).  Conservative by construction: the
     translated position is <= the true position, so a consumer resumed
-    there replays, never skips (property-tested)."""
+    there replays, never skips (property-tested).
+
+    `carry_cols` ride along unchanged (e.g. the subscription name, which
+    identifies the cursor but plays no part in the floor resolution)."""
     m = mapping.select(
         *key_cols,
         F.col(ts_col),
         F.col(id_col).alias("translated_id"),
         F.col(ts_col).alias("translated_ts"),
     )
-    c = cursors.select(*key_cols, ts_col, F.col(id_col).alias("cursor_id"))
+    c = cursors.select(
+        *key_cols, *(carry_cols or []), ts_col, F.col(id_col).alias("cursor_id")
+    )
     return asof_join(c, m, on=ts_col, by=key_cols, right_tiebreak=["translated_id"])
 
 

@@ -1,0 +1,147 @@
+"""End-to-end SyncEngine convergence tests — the reference's own test
+strategy (SURVEY.md §5: arrange on src -> run the system -> assert
+observable state on dst), with `availableNow` + awaitTermination in
+place of dual embedded brokers + Awaitility.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_sync_java_spark.engine import SyncEngine, SyncEngineConfig
+from tests.test_streaming import build_messages
+
+
+def _write_catalog(spark, cluster: str, tenants, namespaces, topics, subs):
+    spark.createDataFrame(tenants, "tenant string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(cluster, "tenants.parquet"))
+    spark.createDataFrame(
+        namespaces, "tenant string, namespace string, policies string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(cluster, "namespaces.parquet")
+    )
+    spark.createDataFrame(
+        topics,
+        "tenant string, namespace string, topic string, partitions int, "
+        "properties map<string,string>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(cluster, "topics.parquet")
+    )
+    spark.createDataFrame(
+        subs, "topic string, partition int, cursor string, ts timestamp, event_id long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(cluster, "subscriptions.parquet")
+    )
+
+
+@pytest.fixture(scope="module")
+def clusters(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("clusters")
+    src, dst = str(root / "src"), str(root / "dst")
+
+    msgs = build_messages(spark)
+    msgs.repartition(2).write.mode("overwrite").parquet(
+        os.path.join(src, "messages")
+    )
+    # src subscriptions: one cursor per topic at that topic's latest
+    # partition-0 event (renamed: the engine's subscription schema uses
+    # ts/event_id like the mapping)
+    latest = (
+        msgs.filter(F.col("partition") == 0)
+        .groupBy("topic")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("event_time").alias("ts"),
+                    F.col("entry_id").alias("event_id"),
+                ),
+                F.struct("event_time", "entry_id"),
+            ).alias("s")
+        )
+        .select(
+            "topic", F.lit(0).alias("partition"), F.lit("sub-a").alias("cursor"),
+            F.col("s.ts").alias("ts"), F.col("s.event_id").alias("event_id"),
+        )
+    )
+    topics = [
+        (r.topic,) for r in msgs.select("topic").distinct().collect()
+    ]
+    _write_catalog(
+        spark,
+        src,
+        [("public",), ("analytics",)],
+        [("public", "default", '{"retention": "1h"}'), ("analytics", "raw", "{}")],
+        [("public", "default", t, 4, {"owner": "sync"}) for (t,) in topics],
+        [
+            (r.topic, r.partition, r.cursor, r.ts, r.event_id)
+            for r in latest.collect()
+        ],
+    )
+    # dst: partially-populated catalogs (one tenant already there),
+    # empty messages/subscriptions
+    _write_catalog(spark, dst, [("public",)], [], [], [])
+    os.makedirs(os.path.join(dst, "messages"), exist_ok=True)
+    return src, dst
+
+
+def test_engine_converges_and_is_idempotent(spark, clusters):
+    src, dst = clusters
+    engine = SyncEngine(spark, src, dst, SyncEngineConfig())
+
+    created = engine.run_once()
+    # catalog convergence: dst ⊇ src at every level, additive only
+    for name in ("tenants", "namespaces", "topics"):
+        s = spark.read.parquet(os.path.join(src, f"{name}.parquet"))
+        d = spark.read.parquet(os.path.join(dst, f"{name}.parquet"))
+        assert s.join(d, s.columns[:2], "left_anti").count() == 0, name
+    assert created["tenants"] == 1  # 'analytics' was missing
+    assert created["namespaces"] == 2 and created["topics"] > 0
+
+    # message convergence: every src message replicated, none duplicated
+    src_msgs = spark.read.parquet(os.path.join(src, "messages"))
+    dst_msgs = spark.read.parquet(os.path.join(dst, "messages"))
+    assert dst_msgs.count() == src_msgs.count()
+
+    # cursors created at translated (floor) positions: ts <= src ts
+    subs = spark.read.parquet(os.path.join(dst, "subscriptions.parquet"))
+    src_subs = spark.read.parquet(os.path.join(src, "subscriptions.parquet"))
+    assert created["cursors"] == subs.count() > 0
+    j = subs.alias("d").join(
+        src_subs.alias("s"), ["topic", "partition", "cursor"], "inner"
+    )
+    assert j.count() == subs.count()
+    assert j.filter(F.col("d.ts") > F.col("s.ts")).count() == 0  # replay-only
+
+    # second pass: fully idempotent — zero creates everywhere, no
+    # message duplication (checkpoint: committed offsets not replayed)
+    created2 = engine.run_once()
+    assert created2 == {"tenants": 0, "namespaces": 0, "topics": 0, "cursors": 0}
+    assert (
+        spark.read.parquet(os.path.join(dst, "messages")).count()
+        == src_msgs.count()
+    )
+
+
+def test_engine_picks_up_new_src_entities(spark, clusters):
+    """The reference's rescan loop: entities created on src AFTER the
+    first sync appear on dst on the next tick (additive, exactly-once)."""
+    src, dst = clusters
+    engine = SyncEngine(spark, src, dst, SyncEngineConfig())
+    engine.sync_catalog_once()
+
+    tenants_path = os.path.join(src, "tenants.parquet")
+    existing = spark.read.parquet(tenants_path).collect()
+    spark.createDataFrame(
+        existing + [("late-tenant",)], "tenant string"
+    ).coalesce(1).write.mode("overwrite").parquet(tenants_path)
+
+    created = engine.sync_catalog_once()
+    assert created["tenants"] == 1
+    d = spark.read.parquet(os.path.join(dst, "tenants.parquet"))
+    assert d.filter(F.col("tenant") == "late-tenant").count() == 1
+    # and once more: converged again
+    assert engine.sync_catalog_once()["tenants"] == 0
