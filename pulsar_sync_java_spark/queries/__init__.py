@@ -49,6 +49,7 @@ def load_all() -> None:
         reference,
         scalar,
         scans,
+        subqueries,
         windows,
     )
 
