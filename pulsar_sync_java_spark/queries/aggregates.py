@@ -182,6 +182,31 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90,
+       quantile_cont(l_extendedprice, 0.99) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q_percentiles", oracle=_PERCENTILES_SQL)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group — Spark's
+    `percentile` and DuckDB's `quantile_cont` share the algorithm, so
+    the oracle match is bit-exact.  (The sketch variant for 100 TB is
+    `percentile_approx`/t-digest; exact needs a per-group sort and is
+    the verifiable baseline.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+
+
 _TOPK_SQL = """
 SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
 FROM lineitem

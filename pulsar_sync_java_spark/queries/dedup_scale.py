@@ -25,6 +25,7 @@ from pulsar_sync_java_spark.operators.dedup import (
 from pulsar_sync_java_spark.operators.multimodal import (
     attach_payload,
     extract_media_features,
+    frame_sample,
 )
 from pulsar_sync_java_spark.operators.similarity import (
     embedding_near_pairs,
@@ -135,6 +136,30 @@ SELECT doc_id,
        md5(text) AS checksum
 FROM documents
 """
+
+
+_FRAME_SAMPLE_SQL = """
+WITH feats AS (
+  SELECT doc_id,
+         md5(text) AS checksum,
+         CAST(octet_length(encode(text)) % 16 AS INT) AS n_frames
+  FROM documents
+)
+SELECT doc_id, checksum, CAST(u.i AS INT) AS frame_idx
+FROM feats, LATERAL unnest(generate_series(0, n_frames - 1, 4)) AS u(i)
+WHERE n_frames > 0
+"""
+
+
+@query("q_frame_sample", oracle=_FRAME_SAMPLE_SQL)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: every-4th-frame row explosion
+    over the decoded (stubbed) frame count — the row-amplification
+    shape of a real video pipeline, fully oracle-checked because the
+    fake decode is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_payload(d, media_type="video")
+    return frame_sample(media, every_nth=4)
 
 
 @query("q_multimodal_meta", oracle=_MULTIMODAL_SQL)

@@ -130,6 +130,25 @@ def test_embedding_neardup_finds_planted_dup(spark, embeddings):
     )
 
 
+def test_salted_join_equivalence(spark):
+    """salted_join must return exactly what the plain join returns —
+    including duplicate multiplicity and left-outer nulls — on data
+    with one pathologically hot key."""
+    from pulsar_sync_java_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(k, 0) for k in range(2, 30)],
+        "k long, payload long",
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (3, "b"), (99, "unmatched")], "k long, v string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(map(tuple, salted_join(left, right, "k", 8, how).collect()))
+        want = sorted(map(tuple, left.join(right, "k", how).collect()))
+        assert got == want, how
+
+
 def test_multimodal_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         decode_image(b"bytes")
