@@ -23,13 +23,11 @@ token's bucket adds nothing but noise).
 
 from __future__ import annotations
 
-from functools import reduce
-
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pulsar_sync_java_spark.functions.text import shingles_from_tokens, tokens
-from pulsar_sync_java_spark.operators.util import spread, spread_by
+from pulsar_sync_java_spark.operators.util import pair_structs, spread, spread_by
 
 
 def shingle_rows(
@@ -57,9 +55,10 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
 
-    Inverted index join: explode shingles -> drop shingles shared by
-    more than `max_bucket` docs (stop-shingles: quadratic cost, no
-    discriminative value) -> self-join per shingle -> per-pair
+    Inverted index: explode shingles -> one groupBy(shingle) collecting
+    the doc ids per shingle (buckets over `max_bucket` dropped whole:
+    stop-shingles have quadratic cost and no discriminative value) ->
+    in-bucket pair explosion (util.pair_structs) -> per-pair
     intersection counts -> Jaccard = inter / (|A| + |B| - inter).
 
     Cost is sum over shingles of bucket², bounded by max_bucket — never
@@ -74,11 +73,11 @@ def jaccard_pairs(
       the exchange both consumers read a plain column, and ReuseExchange
       gives the sizes branch and the explode branch the same
       materialization for free;
+    - candidate generation is ONE shuffle (the groupBy) — the census +
+      per-shingle self-join formulation spent four shuffle barriers on
+      the same pair set (see util.pair_structs);
     - set sizes join onto the (small, pruned) pair set at the end, not
-      onto the exploded rows;
-    - the exploded rows are repartitioned by shingle — the partitioning
-      the census groupBy and the self-join need anyway — so that
-      exchange is free and shared across all three consumers.
+      onto the exploded rows — AQE turns both into broadcasts.
     """
     ds = spread(df)
     toks = ds.select(F.col(id_col), tokens(text_col).alias("__toks"))
@@ -89,19 +88,14 @@ def jaccard_pairs(
     sh = arr.select(
         F.col(id_col), F.explode("__sh").alias("shingle")
     )
-    sh = spread_by(sh, "shingle")
-    hot = (
+    buckets = (
         sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df_count"))
-        .filter(F.col("df_count") <= max_bucket)
-        .select("shingle")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
     )
-    pruned = sh.join(hot, "shingle")
-    a = pruned.select("shingle", F.col(id_col).alias("doc_a"))
-    b = pruned.select("shingle", F.col(id_col).alias("doc_b"))
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        buckets.select(F.explode(pair_structs(F.col("__ids"))).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -131,13 +125,16 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash sketch: signature[i] = min over shingles of hash_i(shingle).
 
-    Entirely per-row, ZERO shuffle: each document hashes its shingle
-    array once (xxhash64), then derives the `num_hashes` hash family by
-    re-hashing the 64-bit value with the seed (`xxhash64(seed, h)`), and
-    takes array_min per seed — all inside one whole-stage-codegen
-    projection.  The explode + num_hashes-column groupBy formulation
-    this replaces shuffled every shingle row and ran ~9x slower.
-    E[signature agreement] = Jaccard similarity (Broder).
+    Entirely per-row, ZERO shuffle.  Tokenize -> shingle -> xxhash64
+    runs as one codegen'd JVM projection; the num_hashes x shingles
+    min-hash matrix then runs as an Arrow-vectorized numpy kernel
+    (operators/vectorized.py) — that inner loop is 10^6-10^8 multiply-
+    adds per batch, which Spark's higher-order functions would evaluate
+    interpreted (CodegenFallback) at ~100x the cost; measured 3.2s ->
+    ~0.3s at sf0.1.  The explode + num_hashes-column groupBy
+    formulation both replace would shuffle every shingle row (~9x
+    slower again).  E[signature agreement] = Jaccard similarity
+    (Broder).
 
     Documents with fewer than n tokens (no shingles) are dropped HERE,
     by a cheap pushdown-friendly predicate — emitting nullable
@@ -146,6 +143,8 @@ def minhash_signatures(
     60x: the duplicated expression also kicks the stage out of
     whole-stage codegen).
     """
+    from pulsar_sync_java_spark.operators.vectorized import minhash_signature_udf
+
     base = spread(df.filter(F.size(tokens(text_col)) >= n))
     toks = base.select(F.col(id_col), tokens(text_col).alias("__toks"))
     hs = toks.select(
@@ -154,10 +153,7 @@ def minhash_signatures(
             shingles_from_tokens(F.col("__toks"), n), lambda s: F.xxhash64(s)
         ).alias("__hs"),
     )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(F.col("__hs"), lambda h: F.xxhash64(i, h))),
-    )
+    sig = minhash_signature_udf(num_hashes)(F.col("__hs"))
     return hs.select(F.col(id_col), sig.alias("signature"))
 
 
@@ -180,17 +176,19 @@ def lsh_candidate_pairs(
     data probe: sniffing it with .first() would cost an extra job).
 
     Signatures must be non-null (minhash_signatures guarantees this by
-    dropping shingle-less docs).  The signature projection feeds four
-    subtree copies of the self-join DAG (bucket census + both join
-    sides), so it is re-materialized through a cheap repartition
-    exchange — Spark's ReuseExchange then computes it once instead of
-    four times.
+    dropping shingle-less docs).  The signature projection feeds the
+    banded subtree plus both signature lookups, so it is re-materialized
+    through a cheap repartition exchange — Spark's ReuseExchange then
+    computes it once.
 
     Shuffle discipline: the banded table carries ONLY (band, bucket,
     id) — exploding the full `num_hashes`-wide signature `bands` times
     would amplify the shuffle payload ~bands·num_hashes-fold.
-    Signatures are joined back by id on the deduplicated candidate
-    pairs only (both lookups reuse the same signature exchange).
+    Candidate pairs come from ONE groupBy per (band, bucket) bucket
+    (util.pair_structs; oversized buckets dropped whole — skew guard),
+    then signatures are joined back by id on the deduplicated pairs
+    only — a tiny set, so AQE broadcasts it against the signature
+    exchange.
     """
     sig = spread_by(signatures, id_col)
     rows_per_band = max(num_hashes // bands, 1)
@@ -210,19 +208,14 @@ def lsh_candidate_pairs(
         ).alias("bucket"),
     )
 
-    ok = (
+    buckets = (
         banded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") <= max_bucket)
-        .select("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
     )
-    pruned = banded.join(ok, ["band", "bucket"])
-    a = pruned.select("band", "bucket", F.col(id_col).alias("doc_a"))
-    b = pruned.select("band", "bucket", F.col(id_col).alias("doc_b"))
     cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(pair_structs(F.col("__ids"))).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
     sa = sig.select(F.col(id_col).alias("doc_a"), F.col("signature").alias("sig_a"))
@@ -250,34 +243,21 @@ def simhash64(
     fingerprint takes the majority sign per bit.  Near-duplicates have
     small Hamming distance (Charikar).
 
-    Entirely per-row, ZERO shuffle: hash the token array once, then for
-    each bit count set-bit occurrences with a higher-order filter —
-    bit i of the fingerprint is set iff ones > zeros (2*ones > n),
-    identical to the +1/-1 vote sum being positive.  Replaces the
-    explode + 64-column groupBy formulation (one full shuffle of every
-    token row).  Empty docs -> fingerprint 0.
+    Entirely per-row, ZERO shuffle: hash the token array once (codegen
+    JVM projection), then take the 64 per-bit majority votes in one
+    Arrow-vectorized numpy kernel (operators/vectorized.py).  Replaces
+    both the explode + 64-column groupBy formulation (a full shuffle of
+    every token row) and a 64-term bitwiseOR reduce over higher-order
+    filters (seconds of Janino compile, interpreted evaluation).
+    Empty docs -> fingerprint 0.
     """
+    from pulsar_sync_java_spark.operators.vectorized import simhash64_udf
+
     hs_df = spread(df).select(
         F.col(id_col),
         F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("__hs"),
     )
-    n = F.size("__hs")
-
-    def bit(i: int) -> Column:
-        ones = F.size(
-            F.filter(
-                F.col("__hs"),
-                lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == F.lit(1),
-            )
-        )
-        return F.when(
-            ones * 2 > n, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-
-    fingerprint: Column = reduce(
-        lambda acc, i: acc.bitwiseOR(bit(i)), range(64), F.lit(0).cast("long")
-    )
-    return hs_df.select(F.col(id_col), fingerprint.alias("simhash"))
+    return hs_df.select(F.col(id_col), simhash64_udf()(F.col("__hs")).alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -287,10 +267,13 @@ def simhash_near_pairs(
     64-bit fingerprint into 4 x 16-bit chunks; any pair within Hamming
     distance 3 agrees on at least one chunk, so bucketing by
     (chunk index, chunk value) finds all such pairs with an
-    inverted-index join, then the exact bit_count(xor) filter verifies.
+    inverted-index groupBy, then the exact bit_count(xor) filter
+    verifies.
 
-    The fingerprint projection feeds both join sides plus the bucket
-    census; the repartition barrier makes ReuseExchange compute it once.
+    Unlike the MinHash path, the fingerprint is ONE long — carrying it
+    inside the bucket (collect_list of (id, simhash) structs) costs 8
+    bytes/row over the ids-only shuffle and saves the entire join-back
+    stage: the whole operator is a single shuffle plus the pair dedup.
     """
     sims = spread_by(sims, id_col)
     chunk = lambda i: F.shiftright(F.col("simhash"), i * 16).bitwiseAND(  # noqa: E731
@@ -303,16 +286,20 @@ def simhash_near_pairs(
             F.array(*[F.struct(F.lit(i).alias("ci"), chunk(i).alias("cv")) for i in range(4)])
         ).alias("c"),
     ).select(id_col, "simhash", "c.ci", "c.cv")
-    a = chunked.select("ci", "cv", F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"))
-    b = chunked.select("ci", "cv", F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"))
+    buckets = chunked.groupBy("ci", "cv").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash")))
+        ).alias("__e")
+    ).filter(F.size("__e") >= 2)
     return (
-        a.join(b, ["ci", "cv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        buckets.select(F.explode(pair_structs(F.col("__e"))).alias("p"))
         .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+            F.col("p.a.id").alias("doc_a"),
+            F.col("p.b.id").alias("doc_b"),
+            F.bit_count(
+                F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
+            ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )

