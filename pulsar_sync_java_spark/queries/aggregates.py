@@ -260,3 +260,124 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tag(buyers.intersect(rich), "intersect"))
         .unionAll(tag(buyers.exceptAll(rich.distinct()), "except"))
     )
+
+
+_TIME_ROLLUP_SQL = f"""
+SELECT CASE WHEN GROUPING(hb) = 0 THEN 'hour' ELSE 'day' END AS resolution,
+       strftime(CASE WHEN GROUPING(hb) = 0 THEN hb ELSE db END,
+                '%Y-%m-%d %H:%M:%S.%g') AS bucket_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM (SELECT event_type, value,
+             date_trunc('hour', ts) AS hb, date_trunc('day', ts) AS db
+      FROM events)
+GROUP BY GROUPING SETS ((event_type, db, hb), (event_type, db))
+"""
+
+
+@query("q_time_rollup_multi", oracle=_TIME_ROLLUP_SQL)
+def q_time_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (the hypertable continuous-aggregate
+    shape): hourly AND daily buckets per event_type from ONE scan via
+    grouping sets — Catalyst plans one Expand + one hash aggregate, so
+    an extra resolution costs an expand row per input row, not a table
+    rescan.  The hour set carries the (functionally dependent) day
+    column so both resolutions share one grouping graph; the GROUPING
+    marker, not NULL-ness, distinguishes the levels."""
+    from pulsar_sync_java_spark.queries.reference import fmt_ts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.date_trunc("hour", "ts").alias("hb"),
+        F.date_trunc("day", "ts").alias("db"),
+    )
+    agg = ev.groupingSets(
+        [["event_type", "db", "hb"], ["event_type", "db"]],
+        "event_type", "db", "hb",
+    ).agg(
+        F.grouping("hb").alias("__g"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+    return agg.select(
+        F.when(F.col("__g") == 0, "hour").otherwise("day").alias("resolution"),
+        fmt_ts(F.when(F.col("__g") == 0, F.col("hb")).otherwise(F.col("db"))).alias(
+            "bucket_start"
+        ),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+_COND_AGG_SQL = f"""
+SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       {sql_dsum("CASE WHEN l_discount > 0.05 THEN l_extendedprice END")}
+         AS discounted_revenue,
+       {sql_dsum("CASE WHEN l_tax = 0 THEN l_extendedprice END")}
+         AS taxfree_revenue
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q_conditional_agg", oracle=_COND_AGG_SQL)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/filtered aggregation — several differently-filtered
+    metrics in ONE pass (the pipeline-stats shape: N metrics without N
+    scans).  Spark's count_if / sum(CASE) ≡ SQL FILTER clauses; all in
+    one partial+final hash aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))
+    taxfree = F.when(F.col("l_tax") == 0, F.col("l_extendedprice"))
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_heavy"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        dsum(disc).alias("discounted_revenue"),
+        dsum(taxfree).alias("taxfree_revenue"),
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, metric, val FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+  FROM lineitem WHERE l_orderkey % 50 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+  FROM lineitem WHERE l_orderkey % 50 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount
+  FROM lineitem WHERE l_orderkey % 50 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'tax', l_tax
+  FROM lineitem WHERE l_orderkey % 50 = 0
+)
+"""
+
+
+@query("q_unpivot", oracle=_UNPIVOT_SQL)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot (melt): four measure columns become (metric,
+    val) rows in ONE scan — Spark's `unpivot` plans an Expand, where
+    the equivalent UNION ALL (the oracle formulation, portable SQL)
+    rescans the table once per measure.  The key filter sits below the
+    Expand, so amplification applies to the selected slice only."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .select("l_orderkey", "l_linenumber",
+                F.col("l_quantity").alias("quantity"),
+                F.col("l_extendedprice").alias("extendedprice"),
+                F.col("l_discount").alias("discount"),
+                F.col("l_tax").alias("tax"))
+    )
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["quantity", "extendedprice", "discount", "tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )

@@ -172,3 +172,43 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt_ts(F.max("ts")).alias("session_end"),
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
     )
+
+
+_RANGE_FRAME_SQL = f"""
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '{TS_FMT_DUCK}') AS o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN 30 * 86400 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS revenue_30d,
+       CAST(COUNT(*) OVER (
+         PARTITION BY o_custkey
+         ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN 30 * 86400 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_orders_30d
+FROM orders
+"""
+
+
+@query("q_window_range_frame", oracle=_RANGE_FRAME_SQL)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: per order, that customer's rolling
+    30-day revenue and order count.  Unlike a ROWS frame, RANGE bounds
+    select by ORDER-BY *value* distance (all time-peers included), so
+    the result is deterministic under ties without a tie-break column.
+    Ordering is by epoch seconds — a numeric range frame plans
+    identically in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        fmt_ts(F.col("o_orderdate")).alias("o_orderdate"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("revenue_30d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    )
