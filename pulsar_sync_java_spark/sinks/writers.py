@@ -128,10 +128,15 @@ def idempotent_append(
 
     The existence probe reads ONLY the key columns (column pruning at
     the parquet scan); the anti-join broadcasts whichever side is
-    small.  Not concurrency-safe across simultaneous writers — the
+    small.  Key comparison is NULL-SAFE (a replayed row with a null
+    key column must still match its first delivery — plain equality
+    would re-append it forever), matching dropDuplicates' null
+    semantics.  Not concurrency-safe across simultaneous writers — the
     reference has the same single-applier model (one manager per key,
     `computeIfAbsent`).  Returns the number of rows appended.
     """
+    from functools import reduce
+
     spark = df.sparkSession
     try:
         existing = spark.read.parquet(path).select(*keys)
@@ -139,7 +144,12 @@ def idempotent_append(
         existing = None
     fresh = df.dropDuplicates(keys)
     if existing is not None:
-        fresh = fresh.join(existing, on=keys, how="left_anti")
+        f, e = fresh.alias("__f"), existing.alias("__e")
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"__f.{k}").eqNullSafe(F.col(f"__e.{k}")) for k in keys],
+        )
+        fresh = f.join(e, on=cond, how="left_anti")
     n = fresh.count()
     if n:
         fresh.write.mode("append").parquet(path)

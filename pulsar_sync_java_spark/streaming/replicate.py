@@ -103,6 +103,47 @@ def replicate(
     )
 
 
+# Message identity: what the reference keys its dense/sparse MessageId
+# maps on (`PulsarPartitionSyncWorker.java:71-74` — ledger/entry/batch
+# within a topic partition).
+MESSAGE_KEY = ["topic", "partition", "ledger_id", "entry_id", "batch_idx"]
+
+
+def replicate_exactly_once(
+    stream: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    keys: list[str] | None = None,
+) -> DataStreamWriter:
+    """Replication with a TABLE-level exactly-once guarantee:
+    `foreachBatch` + keyed idempotent append (sinks/writers.py).
+
+    `replicate` (append sink + checkpoint) is at-least-once: a crash
+    between sink write and offset commit — or a lost/rebuilt
+    checkpoint — replays batches into duplicates, and
+    `dedup_stream` only guards within its watermark horizon.  Here
+    every micro-batch anti-joins the sink on message identity before
+    appending, so replays of ANY age are no-ops: an at-least-once
+    transport becomes an exactly-once table.  Cost: one keys-only scan
+    of the sink per micro-batch (column-pruned; at scale, partition the
+    sink by a time/topic column so the probe prunes to recent
+    partitions).
+    """
+    from pulsar_sync_java_spark.sinks.writers import idempotent_append
+
+    keys = keys or MESSAGE_KEY
+    proj = message_projection(stream)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        idempotent_append(batch_df, sink_dir, keys)
+
+    return (
+        proj.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
 def sparse_mapping_stream(
     stream: DataFrame,
     key_cols: list[str],

@@ -264,3 +264,46 @@ def test_dedup_stream_drops_duplicate_deliveries(spark, message_dir, tmp_path):
     out = spark.table(tbl)
     assert out.count() == 50
     assert out.groupBy("ledger_id", "entry_id", "topic").count().filter("count > 1").count() == 0
+
+
+def test_replicate_exactly_once_survives_checkpoint_loss(spark, tmp_path):
+    """The disaster case at-least-once cannot cover: the checkpoint is
+    lost and every batch replays from scratch.  The keyed idempotent
+    sink must make the replay a no-op — same rows, same count, no
+    duplicates (table-level exactly-once over an at-least-once
+    transport)."""
+    import shutil
+
+    from pulsar_sync_java_spark.streaming.replicate import replicate_exactly_once
+
+    src = str(tmp_path / "src")
+    build_messages(spark).limit(500).repartition(2).write.mode("overwrite").parquet(src)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = replicate_exactly_once(
+        read_message_stream(spark, src), sink, ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    first = spark.read.parquet(sink)
+    n_first = first.count()
+    assert n_first == 500
+
+    # checkpoint wiped -> full replay of every source file
+    shutil.rmtree(ckpt)
+    q = replicate_exactly_once(
+        read_message_stream(spark, src), sink, str(tmp_path / "ckpt2")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    after = spark.read.parquet(sink)
+    assert after.count() == n_first
+    # and a genuinely new message still lands
+    extra = build_messages(spark).limit(1).withColumn(
+        "entry_id", F.col("entry_id") + 10_000_000
+    )
+    extra.write.mode("append").parquet(src)
+    q = replicate_exactly_once(
+        read_message_stream(spark, src), sink, str(tmp_path / "ckpt3")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == n_first + 1
