@@ -7,6 +7,7 @@ broadcasting dims would silently stop scaling.
 from __future__ import annotations
 
 import io
+import re
 from contextlib import redirect_stdout
 
 import pytest
@@ -94,3 +95,44 @@ def test_sketch_operators_have_no_generator_filter(spark, queries):
         l for l in plan.splitlines() if "Condition" in l and "array_distinct" in l
     ]
     assert not scan_filters, scan_filters
+
+
+def test_unpivot_is_expand_not_union_rescan(spark, queries):
+    """df.unpivot must plan ONE scan + Expand; the UNION ALL oracle
+    formulation would scan lineitem once per measure column."""
+    plan = plan_of(queries["q_unpivot"](spark, SF_DIR))
+    assert "Expand" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_time_rollup_is_one_scan_one_aggregate(spark, queries):
+    """Grouping sets: both resolutions from one scan + one Expand +
+    one partial/final aggregate pair — adding a resolution must not
+    add a scan."""
+    plan = plan_of(queries["q_time_rollup_multi"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Expand" in plan
+    assert "partial_" in plan
+
+
+def test_conditional_agg_single_pass(spark, queries):
+    """All filtered metrics in one partial+final hash aggregate: one
+    scan, at most one shuffle."""
+    plan = plan_of(queries["q_conditional_agg"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "HashAggregate" in plan and "partial_" in plan
+
+
+def test_minhash_pair_stage_single_aggregation_shuffle(spark, queries):
+    """The rewritten candidate generation: collect_list bucket agg +
+    in-bucket pair explosion — the plan must contain an
+    ObjectHashAggregate (collect_list) and NO join before the pair
+    dedup other than the signature join-backs (i.e. no bucket-census
+    join, no per-bucket self-join)."""
+    plan = plan_of(queries["q_minhash_lsh"](spark, SF_DIR))
+    assert "ObjectHashAggregate" in plan
+    # exactly the two signature join-backs remain as equi-joins
+    n_joins = len(
+        re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan)
+    )
+    assert n_joins <= 2, plan
