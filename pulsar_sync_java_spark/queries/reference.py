@@ -154,3 +154,38 @@ def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+
+
+_PARTITION_EXPAND_SQL = """
+SELECT p_partkey AS topic_key,
+       p_name || '-partition-' || CAST(u.i AS VARCHAR) AS partition_name,
+       CAST(u.i AS INT) AS partition_idx
+FROM part, LATERAL unnest(generate_series(0, (p_partkey % 8) - 1)) AS u(i)
+WHERE p_partkey % 8 > 0
+"""
+
+
+@query("q_partition_expand", oracle=_PARTITION_EXPAND_SQL)
+def q_partition_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12 — the partitioned-topic fan-out generator
+    (`PulsarPartitionedTopicSyncWorker.java:68-78`, suffix constant
+    `Const.java:24`): each topic with n partitions expands to rows
+    `<topic>-partition-<i>` for i < n.  On the test data, `part` stands
+    in for the topic catalog with `p_partkey % 8` as the partition
+    count.  Spark plans explode(sequence(...)) as a Generate — the
+    UDTF/lateral shape — with no shuffle; row amplification happens
+    after the filter, in the scan stage."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 8 > 0)
+    return p.select(
+        F.col("p_partkey").alias("topic_key"),
+        "p_name",
+        F.explode(F.sequence(F.lit(0), (F.col("p_partkey") % 8 - 1).cast("int"))).alias(
+            "partition_idx"
+        ),
+    ).select(
+        "topic_key",
+        F.concat_ws("", F.col("p_name"), F.lit("-partition-"), F.col("partition_idx")).alias(
+            "partition_name"
+        ),
+        F.col("partition_idx").cast("int").alias("partition_idx"),
+    )
