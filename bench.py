@@ -35,8 +35,16 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from pulsar_sync_java_spark.operators.vectorized import minhash_signature_udf
+    from pulsar_sync_java_spark.sources.tables import TABLES, load_table
 
-    spark.range(64).select(
+    # One count per input table: parquet footers + OS page cache, so the
+    # first query touching a table isn't charged its cold read.
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+    # One Arrow-UDF task per core so the whole reusable python-worker
+    # pool exists before any timed sketch query asks for it.
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par * 64, numPartitions=par).select(
         minhash_signature_udf(4)(F.array(F.col("id"))).alias("s")
     ).count()
 
