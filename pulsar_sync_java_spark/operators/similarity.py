@@ -240,19 +240,20 @@ def embedding_near_pairs(
     Exact cosine (on the ORIGINAL vectors) verifies every candidate, so
     false positives are impossible; recall is the only approximation.
     """
-    dim_row = df.select(F.size(vec_col).alias("d")).first()
-    if dim_row is None:
-        return df.select(
-            F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b"),
-            F.lit(0.0).alias("cos_sim"),
-        ).limit(0)
-    dim = dim_row.d
+    # One job computes the mean vector AND the dimensionality (its row
+    # count) — a separate size() probe would be a whole extra Spark job.
     mean_rows = (
         df.select(F.posexplode(vec_col).alias("pos", "x"))
         .groupBy("pos")
         .agg(F.avg("x").alias("m"))
         .collect()
     )
+    if not mean_rows:
+        return df.select(
+            F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("cos_sim"),
+        ).limit(0)
+    dim = len(mean_rows)
     from pulsar_sync_java_spark.operators.vectorized import (
         hyperplane_signature_udf,
     )

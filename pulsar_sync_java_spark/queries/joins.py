@@ -28,20 +28,30 @@ from pulsar_sync_java_spark.sources.tables import load_table
 _ANTI_SQL = """
 SELECT c_custkey, c_name, c_acctbal
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 """
 
 
 @query("q_anti_join", oracle=_ANTI_SQL)
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders — the catalog-diff primitive: the
-    reference creates exactly the entities present on src and absent on
-    dst (R3, `PulsarTenantSyncManager.java:75-84`).  At scale: Spark
-    rewrites left_anti with a broadcast when the right side's distinct
-    keys are small; otherwise a shuffled hash anti-join — no change
-    needed here."""
+    """Customers with no URGENT-priority order — the catalog-diff
+    primitive: the reference creates exactly the entities present on src
+    and absent on dst (R3, `PulsarTenantSyncManager.java:75-84`).  The
+    right side is pre-filtered (every customer has *some* order in the
+    synthetic data, so the unfiltered variant is vacuously empty at
+    every scale — a worthless check); the filter also reaches the
+    orders scan as a pushed predicate.  At scale: Spark rewrites
+    left_anti with a broadcast when the right side's distinct keys are
+    small; otherwise a shuffled hash anti-join — no change needed
+    here."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_acctbal"
     )
