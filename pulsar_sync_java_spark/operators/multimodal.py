@@ -108,6 +108,104 @@ def extract_media_features(media: DataFrame, fake_decode: bool = True) -> DataFr
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id long, orig_width int, orig_height int, "
+    "width int, height int, payload binary"
+)
+
+
+def resize_images(
+    media: DataFrame,
+    target_width: int = 224,
+    target_height: int = 224,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Aspect-preserving fit-to-box resize plumbing (the standard
+    vision-model preprocessing step).  The pixel resample itself is the
+    stubbed codec call; the batch shape, schema contract and the
+    *integer-exact* geometry are the real architecture:
+
+    - never upscale (scale capped at 1);
+    - the binding dimension is chosen by cross-multiplication
+      (`w*th >= h*tw` -> width-bound), and the other side scales by
+      integer floor division — no floating-point anywhere, so the
+      geometry is bit-reproducible in any engine (the DuckDB oracle
+      replays it in SQL).
+
+    The resized payload is the deterministic stub (byte truncation to
+    the new pixel count); a real codec swaps in at the same seam as
+    `decode_image`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list[Any]] = {
+            "doc_id": [], "orig_width": [], "orig_height": [],
+            "width": [], "height": [], "payload": [],
+        }
+        for pdf in it:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = decode_image(payload, fake=fake_decode)
+                w, h = meta["width"], meta["height"]
+                if w <= target_width and h <= target_height:
+                    nw, nh = w, h
+                elif w * target_height >= h * target_width:  # width-bound
+                    nw = target_width
+                    nh = max(1, h * target_width // w)
+                else:
+                    nh = target_height
+                    nw = max(1, w * target_height // h)
+                rows["doc_id"].append(doc_id)
+                rows["orig_width"].append(w)
+                rows["orig_height"].append(h)
+                rows["width"].append(nw)
+                rows["height"].append(nh)
+                rows["payload"].append(bytes(payload)[: nw * nh])
+        out = pd.DataFrame(rows)
+        for c in ("orig_width", "orig_height", "width", "height"):
+            out[c] = pd.array(out[c], dtype="int32")
+        yield out
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = (
+    "doc_id long, duration_ms long, window_idx int, start_ms long"
+)
+
+_FAKE_SAMPLE_RATE = 16_000  # Hz; 2 pseudo-samples per payload byte
+
+
+def audio_windows(
+    media: DataFrame, window_ms: int = 250, fake_decode: bool = True
+) -> DataFrame:
+    """Fixed-length window explosion for audio-typed payloads — the
+    audio twin of `frame_sample` (speech pipelines chunk waveforms into
+    fixed windows before feature extraction).  The PCM decode is the
+    stub: a payload of n bytes pseudo-decodes to 2n samples at 16 kHz,
+    so duration_ms = 2n*1000 // 16000 = n // 8 — integer math end to
+    end, deterministic and oracle-checkable.  One output row per
+    window; rows never shuffle (pure per-row explosion)."""
+    if not fake_decode:
+        raise NotImplementedError(
+            "audio decoding requires an audio library (soundfile/ffmpeg); "
+            "install one and replace this stub — the Spark plumbing "
+            "around it is complete"
+        )
+    # 2n samples at 16 kHz -> n // 8 ms, as pure integer division
+    # (`div`), so no floating point can creep into the geometry.
+    duration_ms = F.expr("octet_length(payload) div 8").cast("long")
+    step = max(int(window_ms), 1)
+    with_dur = media.select(
+        "doc_id", duration_ms.alias("duration_ms")
+    ).filter(F.col("duration_ms") > 0)
+    return with_dur.select(
+        "doc_id",
+        "duration_ms",
+        F.posexplode(
+            F.sequence(F.lit(0).cast("long"), F.col("duration_ms") - 1, F.lit(step).cast("long"))
+        ).alias("window_idx", "start_ms"),
+    ).select("doc_id", "duration_ms", F.col("window_idx").cast("int").alias("window_idx"), "start_ms")
+
+
 def frame_sample(media: DataFrame, every_nth: int = 4, fake_decode: bool = True) -> DataFrame:
     """Frame-sampling plumbing for video-typed payloads: one output row
     per sampled frame index.  The decode is stubbed; the explode shape

@@ -24,8 +24,10 @@ from pulsar_sync_java_spark.operators.dedup import (
 )
 from pulsar_sync_java_spark.operators.multimodal import (
     attach_payload,
+    audio_windows,
     extract_media_features,
     frame_sample,
+    resize_images,
 )
 from pulsar_sync_java_spark.operators.similarity import (
     embedding_near_pairs,
@@ -177,6 +179,65 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = attach_payload(d, media_type="video")
     return frame_sample(media, every_nth=4)
+
+
+_IMAGE_RESIZE_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS w,
+         CAST((octet_length(encode(text)) * 31) % 480 + 1 AS INT) AS h
+  FROM documents
+)
+SELECT doc_id,
+       w AS orig_width, h AS orig_height,
+       CAST(CASE WHEN w <= 224 AND h <= 224 THEN w
+                 WHEN w * 224 >= h * 224 THEN 224
+                 ELSE GREATEST(1, w * 224 // h) END AS INT) AS width,
+       CAST(CASE WHEN w <= 224 AND h <= 224 THEN h
+                 WHEN w * 224 >= h * 224 THEN GREATEST(1, h * 224 // w)
+                 ELSE 224 END AS INT) AS height
+FROM dims
+"""
+
+
+@query("q_image_resize", oracle=_IMAGE_RESIZE_SQL)
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: mapInPandas fit-to-224-box with
+    integer-exact geometry (operators/multimodal.py:resize_images); the
+    pixel resample is the stubbed codec, the geometry and Arrow batch
+    shape are real and fully oracle-checked.  The binary payload is
+    projected away here (the oracle compares metadata; the payload
+    contract is covered in tests/test_dedup_ops.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    resized = resize_images(attach_payload(d), 224, 224)
+    return resized.select(
+        "doc_id", "orig_width", "orig_height", "width", "height"
+    )
+
+
+_AUDIO_WINDOW_SQL = """
+WITH durs AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) // 8 AS BIGINT) AS duration_ms
+  FROM documents
+  WHERE octet_length(encode(text)) // 8 > 0
+)
+SELECT doc_id, duration_ms,
+       CAST(u.i // 10 AS INT) AS window_idx,
+       CAST(u.i AS BIGINT) AS start_ms
+FROM durs, LATERAL unnest(generate_series(0, duration_ms - 1, 10)) AS u(i)
+"""
+
+
+@query("q_audio_window", oracle=_AUDIO_WINDOW_SQL)
+def q_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing plumbing: payloads pseudo-decode to 16 kHz PCM
+    (integer-exact stub), then explode into fixed 10 ms windows — the
+    audio twin of q_frame_sample, one row per window, zero shuffle
+    (operators/multimodal.py:audio_windows)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_payload(d, media_type="audio")
+    return audio_windows(media, window_ms=10)
 
 
 @query("q_multimodal_meta", oracle=_MULTIMODAL_SQL)

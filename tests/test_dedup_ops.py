@@ -173,3 +173,38 @@ def test_frame_sample_shape(spark, documents):
     feats = {r.doc_id: r.n_frames for r in extract_media_features(media).collect()}
     for r in rows:
         assert r.frame_idx < feats[r.doc_id]
+
+
+def test_resize_geometry_and_payload(spark, documents):
+    from pulsar_sync_java_spark.operators.multimodal import resize_images
+
+    media = attach_payload(documents.limit(50))
+    rows = resize_images(media, 224, 224).collect()
+    assert len(rows) == 50
+    texts = {r.doc_id: r.text.encode("utf-8") for r in documents.limit(50).collect()}
+    for r in rows:
+        # never upscaled, fits the box, aspect ratio floor-preserved
+        assert 1 <= r.width <= min(r.orig_width, 224)
+        assert 1 <= r.height <= min(r.orig_height, 224)
+        if r.orig_width <= 224 and r.orig_height <= 224:
+            assert (r.width, r.height) == (r.orig_width, r.orig_height)
+        # stub payload = byte truncation to the new pixel count
+        assert bytes(r.payload) == texts[r.doc_id][: r.width * r.height]
+
+
+def test_audio_windows_shape(spark, documents):
+    from pulsar_sync_java_spark.operators.multimodal import audio_windows
+
+    media = attach_payload(documents.limit(50), media_type="audio")
+    rows = audio_windows(media, window_ms=250).collect()
+    texts = {r.doc_id: len(r.text.encode("utf-8")) for r in documents.limit(50).collect()}
+    by_doc = {}
+    for r in rows:
+        assert r.duration_ms == texts[r.doc_id] // 8
+        assert r.start_ms == r.window_idx * 250
+        assert r.start_ms < r.duration_ms
+        by_doc.setdefault(r.doc_id, []).append(r.window_idx)
+    for doc_id, idxs in by_doc.items():
+        # complete cover: ceil(duration / 250) windows, contiguous from 0
+        want = (texts[doc_id] // 8 + 249) // 250
+        assert sorted(idxs) == list(range(want))
