@@ -82,6 +82,12 @@ class SyncEngineConfig:
     auto_update_namespace: bool = True
     auto_update_topic: bool = True
     sample_interval: str = "60 seconds"
+    # Opt-in improvement over the reference: after creation the
+    # reference never moves a cursor again (SURVEY.md §2 fine print —
+    # the R23 reset path is dead in practice).  With this flag,
+    # `sync_cursors_once` also advances existing dst cursors forward
+    # (never backward) as the src cursor progresses.
+    advance_cursors: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -214,6 +220,53 @@ class SyncEngine:
         n = out.count()
         if n:
             out.write.mode("append").parquet(dst_path)
+        if self.config.advance_cursors:
+            n += self.advance_cursors_once(translated)
+        return n
+
+    def advance_cursors_once(self, translated: DataFrame | None = None) -> int:
+        """Opt-in continuous cursor advancement (SURVEY.md §2 fine
+        print): the reference freezes a cursor at its creation position
+        — its R23 reset path is skipped whenever dst already has the
+        subscription (`PulsarPartitionSyncWorker.java:190-192`), which
+        it always does after create.  Here, an existing dst cursor
+        moves FORWARD to the newest translated floor position when the
+        src cursor has progressed.
+
+        Monotone by construction (`translated_ts > dst.ts` guard): a
+        src cursor that moved backward, or a mapping floor behind the
+        already-created position, never regresses dst — the
+        replay-only safety property is preserved in both directions.
+        Control-plane-small write-back, same as the catalog applies.
+        """
+        if translated is None:
+            src_subs = self._read(self.src, "subscriptions")
+            mapping = self.build_mapping()
+            translated = translate(
+                src_subs.select("topic", "partition", "cursor", "ts", "event_id"),
+                mapping,
+                key_cols=["topic", "partition"],
+                carry_cols=["cursor"],
+            ).filter(F.col("translated_id").isNotNull())
+        dst_path = os.path.join(self.dst, "subscriptions.parquet")
+        dst_subs = self.spark.read.parquet(dst_path)
+        moved = (
+            translated.alias("t")
+            .join(dst_subs.alias("d"), on=CURSOR_KEY, how="inner")
+            .filter(F.col("t.translated_ts") > F.col("d.ts"))
+            .select(
+                *CURSOR_KEY,
+                F.col("t.translated_ts").alias("ts"),
+                F.col("t.translated_id").alias("event_id"),
+            )
+        )
+        n = moved.count()
+        if n:
+            kept = dst_subs.join(moved.select(*CURSOR_KEY), CURSOR_KEY, "left_anti")
+            merged = kept.unionByName(moved.select(*dst_subs.columns))
+            rows = merged.collect()
+            out = self.spark.createDataFrame(rows, merged.schema)
+            out.coalesce(1).write.mode("overwrite").parquet(dst_path)
         return n
 
     # -- orchestration --------------------------------------------------

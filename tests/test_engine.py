@@ -145,3 +145,69 @@ def test_engine_picks_up_new_src_entities(spark, clusters):
     assert d.filter(F.col("tenant") == "late-tenant").count() == 1
     # and once more: converged again
     assert engine.sync_catalog_once()["tenants"] == 0
+
+
+def test_cursor_advancement_opt_in(spark, clusters):
+    """Opt-in improvement over the reference's frozen cursors: when new
+    messages arrive and the src cursor progresses, the dst cursor
+    follows forward — never backward, never past the src position
+    (replay-only in both directions)."""
+    src, dst = clusters
+    engine = SyncEngine(spark, src, dst, SyncEngineConfig(advance_cursors=True))
+    engine.run_once()  # ensure created + converged
+
+    # produce NEW src messages two hours later, replicate them (the
+    # checkpoint picks up only the new files), extending the mapping
+    msgs_path = os.path.join(src, "messages")
+    msgs = spark.read.parquet(msgs_path)
+    newer = msgs.withColumn(
+        "event_time", F.col("event_time") + F.expr("INTERVAL 2 HOURS")
+    ).withColumn("entry_id", F.col("entry_id") + F.lit(1_000_000))
+    newer.write.mode("append").parquet(msgs_path)
+    engine.start_replication(available_now=True).awaitTermination(600)
+
+    # src cursors jump to each partition's new latest message
+    sub_path = os.path.join(src, "subscriptions.parquet")
+    src_subs = spark.read.parquet(sub_path).collect()
+    newest = (
+        spark.read.parquet(msgs_path)
+        .groupBy("topic", "partition")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("event_time").alias("ts"),
+                    F.col("entry_id").alias("event_id"),
+                ),
+                F.struct("event_time", "entry_id"),
+            ).alias("s")
+        )
+        .collect()
+    )
+    latest = {(r.topic, r.partition): r.s for r in newest}
+    moved = [
+        (r.topic, r.partition, r.cursor,
+         latest[(r.topic, r.partition)].ts, latest[(r.topic, r.partition)].event_id)
+        for r in src_subs
+    ]
+    spark.createDataFrame(
+        moved, "topic string, partition int, cursor string, ts timestamp, event_id long"
+    ).coalesce(1).write.mode("overwrite").parquet(sub_path)
+
+    before = {
+        (r.topic, r.partition, r.cursor): r.ts
+        for r in spark.read.parquet(os.path.join(dst, "subscriptions.parquet")).collect()
+    }
+    n = engine.advance_cursors_once()
+    after_rows = spark.read.parquet(os.path.join(dst, "subscriptions.parquet")).collect()
+    after = {(r.topic, r.partition, r.cursor): r.ts for r in after_rows}
+    assert n > 0
+    assert set(after) == set(before)  # advancement never creates/drops
+    src_ts = {(t, p, c): ts for (t, p, c, ts, _) in moved}
+    moved_forward = 0
+    for k, ts in after.items():
+        assert ts >= before[k]          # monotone forward
+        assert ts <= src_ts[k]          # floor: never past the true position
+        moved_forward += ts > before[k]
+    assert moved_forward == n
+    # converged: a second pass moves nothing
+    assert engine.advance_cursors_once() == 0
