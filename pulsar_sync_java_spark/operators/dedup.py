@@ -70,9 +70,10 @@ def jaccard_pairs(
       explode(<computed array>) and size(<computed array>) both make
       the optimizer inline the array expression into their operator and
       re-evaluate it (for explode, once per OUTPUT row — ~10x); after
-      the exchange both consumers read a plain column, and ReuseExchange
-      gives the sizes branch and the explode branch the same
-      materialization for free;
+      the exchange both consumers read a plain column (each branch
+      recomputes the pruned projection — AQE does not share these
+      exchanges, see lsh_candidate_pairs — but neither re-evaluates it
+      per OUTPUT row);
     - candidate generation is ONE shuffle (the groupBy) — the census +
       per-shingle self-join formulation spent four shuffle barriers on
       the same pair set (see util.pair_structs);
@@ -177,9 +178,15 @@ def lsh_candidate_pairs(
 
     Signatures must be non-null (minhash_signatures guarantees this by
     dropping shingle-less docs).  The signature projection feeds the
-    banded subtree plus both signature lookups, so it is re-materialized
-    through a cheap repartition exchange — Spark's ReuseExchange then
-    computes it once.
+    banded subtree plus both signature lookups; measured under AQE the
+    three branches do NOT share one exchange (no ReusedExchange /
+    stage-cache hit materializes), so the kernel runs once per branch.
+    That is the deliberate trade: recomputing a linear per-row kernel
+    in the two (column-pruned) lookup branches is cheaper at scale than
+    amplifying the 64-long signature band-fold through the candidate
+    shuffle.  A caller doing REPEATED lsh queries over one corpus
+    should `signatures.persist()` first — measured 1.7x on warm runs —
+    and owns the unpersist.
 
     Shuffle discipline: the banded table carries ONLY (band, bucket,
     id) — exploding the full `num_hashes`-wide signature `bands` times

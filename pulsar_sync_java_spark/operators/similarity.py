@@ -265,8 +265,9 @@ def embedding_near_pairs(
     rows_per_band = max(num_planes // bands, 1)
     # Signature = one Arrow-vectorized kernel (centering + planes x dim
     # dot products fused in numpy; see operators/vectorized.py).  The
-    # repartition barrier lets the runtime reuse this projection across
-    # the banded subtree and both vector lookups below.
+    # repartition barrier keeps it parallel and un-inlined; the two
+    # vector lookups below prune the sig column away entirely, so the
+    # kernel runs once (verified in the executed plan).
     sig = spread_by(
         spread(df).select(
             F.col(id_col),
@@ -282,7 +283,7 @@ def embedding_near_pairs(
     # through the shuffle.  Candidates come from one groupBy per bucket
     # (util.pair_structs; oversized buckets dropped whole), then the
     # vectors+norms join back on the deduplicated pair set only — tiny,
-    # so AQE broadcasts it against the reused signature exchange.
+    # so AQE broadcasts it against the vector branches.
     banded = sig.select(
         id_col,
         F.explode(

@@ -46,10 +46,14 @@ def spread(df: DataFrame) -> DataFrame:
     test tables.  On a 1000-executor cluster reading 100 TB the scan
     has plenty of splits and this exchange is ~free relative to the
     projection it feeds (raw rows cross the wire once, before any
-    explode amplification).  It also acts as a materialization barrier:
-    ReuseExchange shares the shuffled result across the multiple
-    subtree copies a self-join DAG creates, instead of recomputing the
-    projection per branch.
+    explode amplification).  It also acts as a per-branch
+    materialization barrier: a computed array column crosses the
+    exchange as plain data, so explode/size consumers above it cannot
+    inline (and re-evaluate) the array expression.  NOTE: it does NOT
+    deduplicate work across self-join branches — measured under AQE,
+    no ReusedExchange/stage-cache hit ever materializes for these
+    DAGs, each branch recomputes its (column-pruned) subtree; see
+    lsh_candidate_pairs for why that trade is still right.
     """
     sc = df.sparkSession.sparkContext
     return df.repartition(sc.defaultParallelism)
@@ -63,7 +67,7 @@ def spread_by(df: DataFrame, *cols: str) -> DataFrame:
     to ONE partition and serializes every downstream stage (measured:
     the whole self-join pipeline ran single-task).  An explicit count
     (REPARTITION_BY_NUM) is exempt from coalescing, so the barrier
-    keeps both its ReuseExchange role and its parallelism."""
+    keeps both its anti-inlining role and its parallelism."""
     from pyspark.sql import functions as F
 
     sc = df.sparkSession.sparkContext
