@@ -136,3 +136,17 @@ def test_minhash_pair_stage_single_aggregation_shuffle(spark, queries):
         re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan)
     )
     assert n_joins <= 2, plan
+
+
+def test_multimodal_plumbing_never_shuffles(spark, queries):
+    """q_image_resize (mapInPandas) and q_audio_window (generator) are
+    per-row pipelines: their plans must contain zero shuffle exchanges —
+    at 100 TB these scale with scan parallelism only."""
+    for name, marker in (
+        ("q_image_resize", "MapInPandas"),
+        ("q_audio_window", "Generate"),
+        ("q_frame_sample", "Generate"),
+    ):
+        plan = plan_of(queries[name](spark, SF_DIR))
+        assert marker in plan, name
+        assert not re.findall(r"\(\d+\) Exchange\b", plan), name
