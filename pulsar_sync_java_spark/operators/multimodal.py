@@ -114,6 +114,19 @@ RESIZED_SCHEMA = (
 )
 
 
+def fit_box(w: int, h: int, target_w: int, target_h: int) -> tuple[int, int]:
+    """Integer-exact aspect-preserving fit of (w, h) into the target
+    box: never upscale; the binding side is chosen by
+    cross-multiplication and the other side scales by floor division.
+    Pure function so the geometry is property-testable and replayable
+    in SQL (the DuckDB oracle of q_image_resize is this same CASE)."""
+    if w <= target_w and h <= target_h:
+        return w, h
+    if w * target_h >= h * target_w:  # width-bound
+        return target_w, max(1, h * target_w // w)
+    return max(1, w * target_h // h), target_h
+
+
 def resize_images(
     media: DataFrame,
     target_width: int = 224,
@@ -145,14 +158,7 @@ def resize_images(
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 meta = decode_image(payload, fake=fake_decode)
                 w, h = meta["width"], meta["height"]
-                if w <= target_width and h <= target_height:
-                    nw, nh = w, h
-                elif w * target_height >= h * target_width:  # width-bound
-                    nw = target_width
-                    nh = max(1, h * target_width // w)
-                else:
-                    nh = target_height
-                    nw = max(1, w * target_height // h)
+                nw, nh = fit_box(w, h, target_width, target_height)
                 rows["doc_id"].append(doc_id)
                 rows["orig_width"].append(w)
                 rows["orig_height"].append(h)

@@ -208,3 +208,33 @@ def test_audio_windows_shape(spark, documents):
         # complete cover: ceil(duration / 250) windows, contiguous from 0
         want = (texts[doc_id] // 8 + 249) // 250
         assert sorted(idxs) == list(range(want))
+
+
+def test_fit_box_properties():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pulsar_sync_java_spark.operators.multimodal import fit_box
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        w=st.integers(1, 10_000), h=st.integers(1, 10_000),
+        tw=st.integers(1, 4_096), th=st.integers(1, 4_096),
+    )
+    def check(w, h, tw, th):
+        nw, nh = fit_box(w, h, tw, th)
+        assert 1 <= nw <= max(min(w, tw), 1)
+        assert 1 <= nh <= max(min(h, th), 1)
+        if w <= tw and h <= th:
+            assert (nw, nh) == (w, h)  # never upscale, never touch a fit
+        else:
+            # one side is pinned to the box; the other never exceeds the
+            # exact rational rescale of it (floor semantics)
+            assert nw == tw or nh == th
+            if nw == tw:
+                assert nh == max(1, h * tw // w)
+            else:
+                assert nw == max(1, w * th // h)
+        assert fit_box(nw, nh, tw, th) == (nw, nh)  # idempotent
+
+    check()
