@@ -13,7 +13,7 @@ convention (what a Pulsar connector would bind to at deploy time):
                                       partitions, properties)
     <cluster>/messages/              data plane, MESSAGE_SCHEMA parquet
     <cluster>/subscriptions.parquet  cursors: (topic, partition, cursor,
-                                      ts, ledger_id, entry_id)
+                                      ts, event_id)
 
 and the three reference loops become three engine methods:
 
@@ -106,6 +106,10 @@ class SyncEngine:
         self.src = src_dir.rstrip("/")
         self.dst = dst_dir.rstrip("/")
         self.config = config or SyncEngineConfig()
+        # advancement count of the most recent cursor tick (kept off the
+        # sync_cursors_once return value so creates-only remains the
+        # idempotency signal)
+        self.last_advanced = 0
 
     # -- catalog plane ------------------------------------------------
 
@@ -194,7 +198,10 @@ class SyncEngine:
         """One `syncCursor` tick (R19-R23): src subscription snapshot ->
         as-of floor translation against the sampled mapping ->
         create-once anti-join -> append creates to dst.  Returns the
-        number of cursors created (0 when converged)."""
+        number of cursors CREATED (0 when converged) — advancement of
+        existing cursors (`advance_cursors=True`) runs in the same tick
+        but is reported separately by `run_once` so the idempotency
+        signal stays unambiguous."""
         src_subs = self._read(self.src, "subscriptions")
         mapping = self.build_mapping()
         translated = translate(
@@ -220,8 +227,11 @@ class SyncEngine:
         n = out.count()
         if n:
             out.write.mode("append").parquet(dst_path)
-        if self.config.advance_cursors:
-            n += self.advance_cursors_once(translated)
+        self.last_advanced = (
+            self.advance_cursors_once(translated)
+            if self.config.advance_cursors
+            else 0
+        )
         return n
 
     def advance_cursors_once(self, translated: DataFrame | None = None) -> int:
@@ -275,9 +285,14 @@ class SyncEngine:
         """One full availableNow convergence pass: catalog tick,
         replication to completion, cursor tick — the test-mode analogue
         of `PulsarSync.start()` (which schedules the same three bodies
-        at 3 min / continuous / 10 s)."""
+        at 3 min / continuous / 10 s).  'cursors' counts CREATES only
+        (all-zero dict = converged, idempotent pass); forward moves of
+        existing cursors are reported under 'cursors_advanced' when
+        `advance_cursors` is enabled."""
         created = self.sync_catalog_once()
         q = self.start_replication(available_now=True)
         q.awaitTermination(600)
         created["cursors"] = self.sync_cursors_once()
+        if self.config.advance_cursors:
+            created["cursors_advanced"] = self.last_advanced
         return created

@@ -118,6 +118,19 @@ def compact(
     return n_files
 
 
+def _sink_exists(spark: SparkSession, path: str) -> bool:
+    """True iff `path` exists on its filesystem (Hadoop FileSystem API,
+    so HDFS/S3A behave the same as local disk).  Distinguishes the
+    legitimate first-write case from transient read errors: existence
+    is checked directly instead of inferring "absent" from a failed
+    read, which could mask a real failure on an existing sink.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def idempotent_append(
     df: DataFrame, path: str, keys: list[str]
 ) -> int:
@@ -134,13 +147,19 @@ def idempotent_append(
     semantics.  Not concurrency-safe across simultaneous writers — the
     reference has the same single-applier model (one manager per key,
     `computeIfAbsent`).  Returns the number of rows appended.
+
+    Only a genuinely ABSENT sink is treated as first-write; any other
+    read failure (FS hiccup, corrupt footer, permission error) must
+    propagate — silently treating it as "empty sink" would append the
+    whole batch again and break the exactly-once contract that
+    `replicate_exactly_once` builds on.
     """
     from functools import reduce
 
     spark = df.sparkSession
-    try:
+    if _sink_exists(spark, path):
         existing = spark.read.parquet(path).select(*keys)
-    except Exception:
+    else:
         existing = None
     fresh = df.dropDuplicates(keys)
     if existing is not None:

@@ -228,13 +228,16 @@ def test_fit_box_properties():
         if w <= tw and h <= th:
             assert (nw, nh) == (w, h)  # never upscale, never touch a fit
         else:
-            # one side is pinned to the box; the other never exceeds the
-            # exact rational rescale of it (floor semantics)
+            # the binding side (by cross-multiplication, the same
+            # tie-break the geometry defines) is pinned to the box; the
+            # other side is the floor rescale of it.  Discriminating by
+            # `nw == tw` instead would misfire when BOTH output dims
+            # coincidentally equal the targets (e.g. (1,2) into (1,1)).
             assert nw == tw or nh == th
-            if nw == tw:
-                assert nh == max(1, h * tw // w)
-            else:
-                assert nw == max(1, w * th // h)
+            if w * th >= h * tw:  # width-bound
+                assert nw == tw and nh == max(1, h * tw // w)
+            else:  # height-bound
+                assert nh == th and nw == max(1, w * th // h)
         assert fit_box(nw, nh, tw, th) == (nw, nh)  # idempotent
 
     check()
