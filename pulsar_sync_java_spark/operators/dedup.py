@@ -80,11 +80,18 @@ def jaccard_pairs(
     - set sizes join onto the (small, pruned) pair set at the end, not
       onto the exploded rows — AQE turns both into broadcasts.
     """
-    ds = spread(df)
+    # full parallelism on both exchanges: the stage above the second one
+    # explodes every shingle (ordersof-magnitude row amplification into
+    # the inverted-index groupBy), so the size heuristic would
+    # under-provision it — see spread(full=True).
+    ds = spread(df, full=True)
     toks = ds.select(F.col(id_col), tokens(text_col).alias("__toks"))
-    arr = toks.select(
-        F.col(id_col), shingles_from_tokens(F.col("__toks"), n).alias("__sh")
-    ).repartition(ds.sparkSession.sparkContext.defaultParallelism)
+    arr = spread(
+        toks.select(
+            F.col(id_col), shingles_from_tokens(F.col("__toks"), n).alias("__sh")
+        ),
+        full=True,
+    )
     sizes = arr.select(F.col(id_col), F.size("__sh").alias("set_size"))
     sh = arr.select(
         F.col(id_col), F.explode("__sh").alias("shingle")
