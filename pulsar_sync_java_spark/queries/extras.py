@@ -1,0 +1,399 @@
+"""Round-2 coverage widening: join/window breadth + training-data
+pipeline operators (sampling, PII scrubbing, inverted index, TF-IDF,
+duplicate clustering).
+
+Every query here is fully oracle-checked (no rows-only entries): the
+determinism rules from queries/__init__.py apply — identical aliases,
+exact decimal accumulation for double sums, integer arithmetic for
+anything hash-like (a portable multiplicative hash instead of
+engine-specific hash functions), and total-order tie-breaks on every
+window/top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pulsar_sync_java_spark.functions.numeric import dsum, sql_dsum
+from pulsar_sync_java_spark.operators.dedup import jaccard_pairs
+from pulsar_sync_java_spark.operators.skew import salted_join
+from pulsar_sync_java_spark.queries import query
+from pulsar_sync_java_spark.sources.tables import load_table
+
+_OUTER_SQL = """
+WITH debt AS (
+  SELECT c_nationkey AS nationkey, COUNT(*) AS n_debt_cust
+  FROM customer WHERE c_acctbal < 0 GROUP BY c_nationkey
+), rich AS (
+  SELECT s_nationkey AS nationkey, COUNT(*) AS n_rich_supp
+  FROM supplier WHERE s_acctbal >= 5000 GROUP BY s_nationkey
+)
+SELECT COALESCE(debt.nationkey, rich.nationkey) AS nationkey,
+       n_debt_cust, n_rich_supp
+FROM debt FULL OUTER JOIN rich ON debt.nationkey = rich.nationkey
+"""
+
+
+@query("q_join_outer", oracle=_OUTER_SQL)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join coverage (the join family's last member next to
+    anti/semi/broadcast/sort-merge/range/as-of): nations with customers
+    in debt vs nations with well-funded suppliers — both sides filtered
+    so each genuinely contributes unmatched keys, nulls preserved in the
+    non-matching side's count column."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    debt = (
+        c.filter(F.col("c_acctbal") < 0)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_debt_cust"))
+    )
+    rich = (
+        s.filter(F.col("s_acctbal") >= 5000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_rich_supp"))
+    )
+    return (
+        debt.withColumnRenamed("nationkey", "nk_d")
+        .join(rich.withColumnRenamed("nationkey", "nk_r"),
+              F.col("nk_d") == F.col("nk_r"), "full_outer")
+        .select(
+            F.coalesce("nk_d", "nk_r").alias("nationkey"),
+            "n_debt_cust",
+            "n_rich_supp",
+        )
+    )
+
+
+_SALTED_SQL = f"""
+SELECT o_orderpriority,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@query("q_join_salted", oracle=_SALTED_SQL)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join as a first-class declared query:
+    lineitem joined to orders through operators/skew.py:salted_join
+    (left-side hash salt, right-side replication), aggregated to
+    priority-level revenue.  The oracle is the PLAIN join — salting is
+    result-identical by construction, and this query pins that under
+    the driver's hash gate, not just the property test."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    j = salted_join(li, o, "okey", n_salts=8)
+    return j.groupBy("o_orderpriority").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_NTILE_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM orders
+WHERE year(o_orderdate) = 1995
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
+@query("q_ntile_bucket", oracle=_NTILE_SQL)
+def q_ntile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    over a totally ordered frame (price desc, orderkey asc tie-break —
+    without it both engines would bucket ties arbitrarily).  percent_
+    rank and cume_dist are single exact integer divisions in double, so
+    they hash-match bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1995
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# Portable multiplicative hash (Knuth's 2654435761 on the key, bucketed
+# mod 100): plain 64-bit integer arithmetic, so Spark and DuckDB agree
+# exactly — unlike xxhash64/hash(), which are engine-specific.  At 100 TB
+# the same expression is a deterministic, re-runnable sample (no RNG
+# state, no sampling drift between runs) and pushes down to the scan.
+_BUCKET = "(doc_id * 2654435761) % 4294967296 % 100"
+
+_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, CAST({_BUCKET} AS INT) AS bucket
+FROM documents
+WHERE {_BUCKET} < (CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 50 ELSE 25 END)
+"""
+
+
+@query("q_sample_stratified", oracle=_STRATIFIED_SQL)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language rates (10% en,
+    50% zh, 25% otherwise) via a portable multiplicative hash of the
+    key — the reproducible down-sampling step of a training-data
+    pipeline (same rows on every run/engine, unlike TABLESAMPLE)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
+    rate = (
+        F.when(F.col("lang") == "en", 10)
+        .when(F.col("lang") == "zh", 50)
+        .otherwise(25)
+    )
+    return d.filter(bucket < rate).select(
+        "doc_id", "lang", bucket.cast("int").alias("bucket")
+    )
+
+
+# ASCII-class patterns: identical semantics in Java regex (Spark) and
+# RE2 (DuckDB) — both support \b, {m,}, and character classes.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+_PII_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g')) AS scrubbed_md5
+FROM documents
+"""
+
+
+@query("q_pii_scrub", oracle=_PII_SQL)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact email/phone patterns, count matches, and
+    fingerprint the scrubbed text (the md5 keeps the oracle comparison
+    compact while still pinning every byte of the replacement output).
+    All JVM-side regexp functions; the corpus having zero hits is
+    itself the assertion — a false positive would change the hash."""
+    d = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
+        _PHONE_RE,
+        "[PHONE]",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.md5(F.encode(scrubbed, "UTF-8")).alias("scrubbed_md5"),
+    )
+
+
+# Lowercased purely-alphabetic whitespace tokens — the shared token set
+# of the posting-list and TF-IDF queries.
+_DUCK_ALPHA_TOKS = (
+    "list_filter(list_transform(list_filter(string_split_regex(text, '\\s+'),"
+    " x -> x <> ''), x -> lower(x)), x -> regexp_matches(x, '^[a-z]+$'))"
+)
+
+
+def _spark_alpha_toks():
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    return F.filter(
+        F.transform(ws, lambda x: F.lower(x)), lambda x: x.rlike("^[a-z]+$")
+    )
+
+
+_POSTING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_ALPHA_TOKS}) AS token FROM documents
+)
+SELECT token,
+       COUNT(DISTINCT doc_id) AS df,
+       COUNT(*) AS tf,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM toks GROUP BY token
+HAVING COUNT(DISTINCT doc_id) >= 5
+"""
+
+
+@query("q_posting_list", oracle=_POSTING_SQL)
+def q_posting_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: explode tokens, one hash aggregate
+    per term — document frequency, total term frequency, posting-list
+    bounds; rare terms (df < 5) pruned.  The same explode->groupBy
+    shape as the shingle index in operators/dedup.py, which is exactly
+    how a 100 TB posting list is built (shuffle by term, never by
+    pair)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_spark_alpha_toks()).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("df") >= 5)
+    )
+
+
+_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_ALPHA_TOKS}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS weight
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, weight, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY weight DESC, token ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+@query("q_tfidf_topterms", oracle=_TFIDF_SQL)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by a TF-IDF-style weight
+    tf * N / df — kept rational (integer multiply, one IEEE division)
+    instead of log-scaled so both engines produce bit-identical
+    doubles.  Two hash aggregates + one join on the term dimension
+    (AQE broadcasts it), one window for the per-doc top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_spark_alpha_toks()).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "weight"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("weight").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tf", "weight", "rank")
+    )
+
+
+# Duplicate clustering = connected components over the exact 3-gram
+# Jaccard >= 0.5 pair set (the q_ngram_jaccard edges).  The oracle
+# computes transitive closure with a recursive CTE; the engine runs
+# min-label propagation, which converges to the same per-component
+# minimum doc_id.
+_CLUSTER_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), dims AS (
+  SELECT unnest(generate_series(1, (SELECT MAX(len(t)) FROM toks))) AS i
+), sh AS (
+  SELECT DISTINCT doc_id, t[d.i] || ' ' || t[d.i+1] || ' ' || t[d.i+2] AS shingle
+  FROM toks, dims d WHERE d.i <= len(t) - 2
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+), hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
+), pruned AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN hot USING (shingle)
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.5
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND e.b <> r.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+FROM reach GROUP BY a
+"""
+
+
+@query("q_dedup_cluster", oracle=_CLUSTER_SQL)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over the exact-Jaccard
+    near-dup pairs, labeling every involved doc with its component's
+    minimum doc_id — the step that turns pairwise dedup output into
+    keep/drop decisions.
+
+    Engine algorithm: min-label propagation to fixpoint.  Labels only
+    ever decrease, so an unchanged label-sum is a convergence proof
+    (one tiny scalar action per round).  Rounds are bounded by the
+    component diameter — for dedup graphs a handful, and each round is
+    one join + one aggregate on the label table (edges are persisted
+    once; at 100 TB this is the standard alternating large-star/
+    small-star regime, same shuffle shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = (
+        jaccard_pairs(d, threshold=0.5, max_bucket=1000)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    rev = edges.select(
+        F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    )
+    sym = edges.union(rev).toDF("src", "dst")
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    prev: int | None = None
+    to_free: list[DataFrame] = []
+    for _ in range(15):
+        neigh = sym.join(
+            labels.withColumnRenamed("id", "dst"), "dst"
+        ).select(F.col("src").alias("id"), "label")
+        labels = (
+            labels.union(neigh).groupBy("id").agg(F.min("label").alias("label"))
+        ).persist()
+        to_free.append(labels)
+        s = labels.agg(F.sum("label")).first()[0]
+        if s == prev:
+            break
+        prev = s
+    for inter in to_free[:-1]:
+        inter.unpersist()
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
