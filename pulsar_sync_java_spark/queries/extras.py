@@ -78,18 +78,20 @@ GROUP BY o_orderpriority
 @query("q_join_salted", oracle=_SALTED_SQL)
 def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant salted join as a first-class declared query:
-    lineitem joined to orders through operators/skew.py:salted_join
-    (left-side hash salt, right-side replication), aggregated to
-    priority-level revenue.  The oracle is the PLAIN join — salting is
-    result-identical by construction, and this query pins that under
-    the driver's hash gate, not just the property test."""
+    lineitem joined to orders through operators/skew.py:salted_join in
+    targeted mode (keys with >= 6 lines take the salted path — hash
+    salt left, replicate the matching dim rows — everything else the
+    plain join), aggregated to priority-level revenue.  The oracle is
+    the PLAIN join — salting is result-identical by construction, and
+    this query pins that under the driver's hash gate, not just the
+    property test."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount"
     )
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("okey"), "o_orderpriority"
     )
-    j = salted_join(li, o, "okey", n_salts=8)
+    j = salted_join(li, o, "okey", n_salts=4, hot_threshold=6)
     return j.groupBy("o_orderpriority").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
@@ -357,11 +359,14 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Engine algorithm: min-label propagation to fixpoint.  Labels only
     ever decrease, so an unchanged label-sum is a convergence proof
-    (one tiny scalar action per round).  Rounds are bounded by the
-    component diameter — for dedup graphs a handful, and each round is
-    one join + one aggregate on the label table (edges are persisted
-    once; at 100 TB this is the standard alternating large-star/
-    small-star regime, same shuffle shape)."""
+    (one tiny scalar action per round).  The init aggregate ALREADY
+    performs the first propagation round (label0 = min(id, neighbors))
+    in the same shuffle that builds the node table, so a clique — the
+    typical near-dup component — converges at init and pays exactly one
+    confirming round.  Rounds are otherwise bounded by the component
+    diameter, each one join + one aggregate on the label table (edges
+    are persisted once; at 100 TB this is the standard alternating
+    large-star/small-star regime, same shuffle shape)."""
     d = load_table(spark, sf_dir, "documents")
     edges = (
         jaccard_pairs(d, threshold=0.5, max_bucket=1000)
@@ -373,12 +378,13 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sym = edges.union(rev).toDF("src", "dst")
     labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("__m"))
+        .select("id", F.least("id", "__m").alias("label"))
+        .persist()
     )
-    prev: int | None = None
-    to_free: list[DataFrame] = []
+    prev = labels.agg(F.sum("label")).first()[0]
+    to_free: list[DataFrame] = [labels]
     for _ in range(15):
         neigh = sym.join(
             labels.withColumnRenamed("id", "dst"), "dst"

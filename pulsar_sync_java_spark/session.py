@@ -64,6 +64,14 @@ def get_spark(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
+        # Cached plans keep their build-time partitioning by default,
+        # which exempts every .persist() subtree from AQE coalescing —
+        # a persisted 400-row label table then carries 32 shuffle
+        # partitions through every iterative round (measured ~1.2s per
+        # round of pure task-scheduling overhead in q_dedup_cluster).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

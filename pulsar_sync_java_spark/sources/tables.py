@@ -45,6 +45,11 @@ def ensure_session_confs(spark: SparkSession) -> None:
         "spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     )
+    # Let AQE coalesce shuffles under .persist() subtrees (see
+    # session.py) — iterative operators cache tiny tables per round.
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -144,9 +144,17 @@ def test_salted_join_equivalence(spark):
         [(1, "hot"), (2, "a"), (3, "b"), (99, "unmatched")], "k long, v string"
     )
     for how in ("inner", "left"):
-        got = sorted(map(tuple, salted_join(left, right, "k", 8, how).collect()))
         want = sorted(map(tuple, left.join(right, "k", how).collect()))
-        assert got == want, how
+        for hot in (None, 50):
+            got = sorted(
+                map(
+                    tuple,
+                    salted_join(
+                        left, right, "k", 8, how, hot_threshold=hot
+                    ).collect(),
+                )
+            )
+            assert got == want, (how, hot)
 
 
 def test_multimodal_stub_raises_without_fake():
