@@ -40,6 +40,25 @@ def davg(col: Column | str) -> Column:
     return F.sum(c.cast(DEC)).cast("double") / F.count(c)
 
 
+_DEC12 = "decimal(30,12)"
+
+
+def dec_arr_sum(arr_col: Column) -> Column:
+    """Exact fold-sum of a double array into decimal -> double.
+
+    The merge re-casts to the accumulator type: Spark widens
+    (30,12)+(30,12) to (31,12) and requires the lambda to return the
+    accumulator type; the cast back preserves scale (no rounding), so
+    the fold stays exact and bit-identical to DuckDB's DECIMAL sum.
+    Used by every dot-product/norm that feeds the oracle gate
+    (q_sim_topk, q_knn_join, q_array_funcs)."""
+    return F.aggregate(
+        arr_col,
+        F.lit(0).cast(_DEC12),
+        lambda acc, x: (acc + x.cast(_DEC12)).cast(_DEC12),
+    ).cast("double")
+
+
 def sql_dsum(expr: str) -> str:
     """DuckDB oracle twin of `dsum`."""
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"

@@ -331,3 +331,95 @@ def embedding_near_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+    prereduce: bool = True,
+) -> DataFrame:
+    """Exact k-NN JOIN: for every row of `queries`, the k most cosine-
+    similar rows of `corpus` — the batch generalization of cosine_topk
+    (one query) that a training pipeline runs to attach retrieval
+    neighbors to every example.
+
+    Output: (query_id, neighbor_id, cos_sim, rank), rank 1..k per query
+    in (cos_sim desc, neighbor_id asc) total order.
+
+    Plan shape, built for |corpus| >> |queries|:
+    - `queries` is broadcast (with per-query norms precomputed), so
+      scoring is one shuffle-free pass over the corpus: each corpus row
+      computes its own norm ONCE and a decimal-exact dot product per
+      query (functions/numeric.py:dec_arr_sum — the q_sim_topk
+      formulation, bit-identical to the DuckDB oracle);
+    - `prereduce` inserts a partition-local top-k (mapInPandas: one
+      running pandas top-k per batch iterator) BEFORE the ranking
+      shuffle, so the window stage receives at most
+      partitions * |queries| * k rows instead of |corpus| * |queries|
+      — the two-phase top-k that keeps the final shuffle O(P·Q·k) at
+      any corpus size.  Scores pass through Arrow untouched (float64
+      round-trip is bit-exact), so the reduction cannot change the
+      result (property-tested);
+    - the final window ranks the survivors per query.
+    """
+    from pulsar_sync_java_spark.functions.numeric import dec_arr_sum
+    from pyspark.sql import Window
+
+    sq = lambda c: F.transform(c, lambda x: x.cast("double") * x.cast("double"))  # noqa: E731
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        dec_arr_sum(sq(F.col(vec_col))).alias("__ny"),
+    )
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        dec_arr_sum(sq(F.col(vec_col))).alias("__nx"),
+    )
+    prod = F.zip_with(
+        "__cv", "__qv", lambda x, y: x.cast("double") * y.cast("double")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dec_arr_sum(prod) / (F.sqrt("__nx") * F.sqrt("__ny"))
+            ).alias("cos_sim"),
+        )
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+
+    if prereduce:
+        schema = scored.schema
+
+        def local_topk(batches):
+            import pandas as pd
+
+            best: pd.DataFrame | None = None
+            for pdf in batches:
+                cur = pd.concat([best, pdf]) if best is not None else pdf
+                cur = cur.sort_values(
+                    ["query_id", "cos_sim", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                best = cur.groupby("query_id", sort=False).head(k)
+            if best is not None:
+                yield best
+
+        scored = scored.mapInPandas(local_topk, schema)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

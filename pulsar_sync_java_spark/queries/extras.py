@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from pulsar_sync_java_spark.functions.numeric import dsum, sql_dsum
 from pulsar_sync_java_spark.operators.dedup import jaccard_pairs
+from pulsar_sync_java_spark.operators.similarity import knn_join
 from pulsar_sync_java_spark.operators.skew import salted_join
 from pulsar_sync_java_spark.queries import query
 from pulsar_sync_java_spark.sources.tables import load_table
@@ -403,3 +404,46 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+_KNN_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+), dims AS (
+  SELECT unnest(generate_series(1, (SELECT MAX(len(embedding)) FROM embeddings))) AS i
+), pairs AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(e.embedding[d.i] AS DOUBLE) AS x,
+         CAST(q.qv[d.i] AS DOUBLE) AS y
+  FROM embeddings e, q, dims d
+  WHERE d.i <= len(e.embedding)
+), scored AS (
+  SELECT query_id, vec_id,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS nx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS ny
+  FROM pairs GROUP BY query_id, vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT query_id, vec_id AS neighbor_id,
+         dot / (sqrt(nx) * sqrt(ny)) AS cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, vec_id ASC
+         ) AS INT) AS rank
+  FROM scored WHERE vec_id <> query_id
+) WHERE rank <= 5
+"""
+
+
+@query("q_knn_join", oracle=_KNN_SQL)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN join (operators/similarity.py:knn_join): the top-5
+    cosine neighbors for each of 8 query vectors in one pass over the
+    corpus — broadcast queries, decimal-exact per-pair cosine, a
+    partition-local pandas top-k BEFORE the ranking shuffle (so the
+    window stage sees O(partitions * queries * k) rows, not
+    |corpus| * |queries|), exact window rank on the survivors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 8)
+    return knn_join(e, qs, k=5, exclude_self=True)

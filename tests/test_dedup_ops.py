@@ -249,3 +249,19 @@ def test_fit_box_properties():
         assert fit_box(nw, nh, tw, th) == (nw, nh)  # idempotent
 
     check()
+
+
+def test_knn_join_prereduce_equivalence(spark, embeddings):
+    """The partition-local pandas top-k must not change the result —
+    same rows, same ranks, bit-identical scores as the window-only
+    formulation."""
+    from pulsar_sync_java_spark.operators.similarity import knn_join
+
+    qs = embeddings.filter("vec_id < 4")
+    a = sorted(
+        map(tuple, knn_join(embeddings, qs, k=3, prereduce=True).collect())
+    )
+    b = sorted(
+        map(tuple, knn_join(embeddings, qs, k=3, prereduce=False).collect())
+    )
+    assert a == b and len(a) == 4 * 3

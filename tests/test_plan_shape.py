@@ -150,3 +150,4 @@ def test_multimodal_plumbing_never_shuffles(spark, queries):
         plan = plan_of(queries[name](spark, SF_DIR))
         assert marker in plan, name
         assert not re.findall(r"\(\d+\) Exchange\b", plan), name
+
