@@ -52,6 +52,9 @@ def get_spark(
         # timestamp type, so read as long and convert in the loader
         # (sources/tables.py) — truncation to micros matches DuckDB's.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # naive parquet timestamps -> session-tz TIMESTAMP (UTC), never
+        # NTZ: epoch fns reject NTZ and the oracle compares naive==UTC
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # InferFiltersFromGenerate synthesizes `size(<generator>) > 0`
         # under every explode; predicate pushdown then substitutes the
         # full generator expression into a scan-level Filter, so an

@@ -39,6 +39,11 @@ def ensure_session_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Naive parquet TIMESTAMP(MICROS) must read as session-tz TIMESTAMP
+    # (= UTC above), not TIMESTAMP_NTZ: epoch extraction (unix_micros /
+    # unix_timestamp) rejects NTZ, and the DuckDB oracle's naive
+    # timestamps equal the UTC interpretation value-for-value.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # See session.py: stops explode()'s inferred size()>0 filter from
     # re-evaluating expensive generator expressions at the scan.
     spark.conf.set(
@@ -64,6 +69,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # A scan planned before ensure_session_confs took effect (or a
+    # driver session with its own defaults) can still surface NTZ
+    # columns; normalize to session-tz TIMESTAMP so downstream epoch
+    # math works and values match the oracle's naive timestamps.
+    ntz_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    if ntz_cols:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 
 
