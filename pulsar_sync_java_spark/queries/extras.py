@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from pulsar_sync_java_spark.functions.numeric import dsum, sql_dsum
 from pulsar_sync_java_spark.operators.dedup import jaccard_pairs
+from pulsar_sync_java_spark.operators.graph import connected_components
 from pulsar_sync_java_spark.operators.similarity import knn_join
 from pulsar_sync_java_spark.operators.skew import salted_join
 from pulsar_sync_java_spark.queries import query
@@ -358,49 +359,18 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum doc_id — the step that turns pairwise dedup output into
     keep/drop decisions.
 
-    Engine algorithm: min-label propagation to fixpoint.  Labels only
-    ever decrease, so an unchanged label-sum is a convergence proof
-    (one tiny scalar action per round).  The init aggregate ALREADY
-    performs the first propagation round (label0 = min(id, neighbors))
-    in the same shuffle that builds the node table, so a clique — the
-    typical near-dup component — converges at init and pays exactly one
-    confirming round.  Rounds are otherwise bounded by the component
-    diameter, each one join + one aggregate on the label table (edges
-    are persisted once; at 100 TB this is the standard alternating
-    large-star/small-star regime, same shuffle shape)."""
+    Engine algorithm: spanning-forest contraction
+    (`operators/graph.py:connected_components` — union-find forests per
+    partition, geometric fan-in, single-task finish on the contracted
+    sketch).  Unlike diameter-many label-propagation rounds, the whole
+    closure is ONE lazy pipeline after a single sizing count, and each
+    contraction round's shuffle payload shrinks geometrically — the
+    100 TB regime from Kiveris et al. (SoCC'14)."""
     d = load_table(spark, sf_dir, "documents")
-    edges = (
-        jaccard_pairs(d, threshold=0.5, max_bucket=1000)
-        .select("doc_a", "doc_b")
-        .persist()
+    edges = jaccard_pairs(d, threshold=0.5, max_bucket=1000).select(
+        "doc_a", "doc_b"
     )
-    rev = edges.select(
-        F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-    )
-    sym = edges.union(rev).toDF("src", "dst")
-    labels = (
-        sym.groupBy(F.col("src").alias("id"))
-        .agg(F.min("dst").alias("__m"))
-        .select("id", F.least("id", "__m").alias("label"))
-        .persist()
-    )
-    prev = labels.agg(F.sum("label")).first()[0]
-    to_free: list[DataFrame] = [labels]
-    for _ in range(15):
-        neigh = sym.join(
-            labels.withColumnRenamed("id", "dst"), "dst"
-        ).select(F.col("src").alias("id"), "label")
-        labels = (
-            labels.union(neigh).groupBy("id").agg(F.min("label").alias("label"))
-        ).persist()
-        to_free.append(labels)
-        s = labels.agg(F.sum("label")).first()[0]
-        if s == prev:
-            break
-        prev = s
-    for inter in to_free[:-1]:
-        inter.unpersist()
-    edges.unpersist()
+    labels = connected_components(edges, src="doc_a", dst="doc_b")
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
