@@ -22,9 +22,9 @@ Why not per-round min-label propagation?  Label propagation needs
 diameter-many *blocking* rounds, each a join + aggregate + convergence
 action — at 100 TB that is dozens of shuffles, and even on small graphs
 every round pays full job latency.  Contraction needs O(log P) rounds,
-every one a pure transform, so the WHOLE closure is one lazy pipeline:
-no per-round action, no persisted intermediates, and the (expensive)
-upstream pair generation is evaluated exactly once.
+every one a pure transform, so the whole edge-reduction phase is one
+lazy pipeline and the (expensive) upstream pair generation is evaluated
+exactly once (at the gating count, into a persisted forest).
 
 Scale posture (100 TB corpus):
 - the edge list after similarity thresholding is orders of magnitude
@@ -35,8 +35,13 @@ Scale posture (100 TB corpus):
 - each later round is one shuffle carrying only already-contracted
   forest edges (<= nodes-1 per upstream task), shrinking geometrically
   with the `ladder` fan-in;
-- the single-task finish sees the contracted sketch of the graph,
-  never the raw pair list.
+- the FINISH is count-gated: a forest under `finish_budget` edges is
+  labeled in one bounded task (state = O(budget), a hard constant
+  chosen up front); a larger forest — a billion-node dup graph, where
+  any single-task step would be the scale-killer — is resolved by
+  alternating large-star/small-star rounds (Kiveris et al., SoCC'14),
+  which are plain joins + partial-aggregate mins: no task ever holds a
+  whole component, per-round state is ordinary shuffle-partition sized.
 """
 
 from __future__ import annotations
@@ -131,20 +136,103 @@ def _label(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     )
 
 
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., SoCC'14): for each center u
+    with m = min(neighbors(u) + [u]), re-point every strictly LARGER
+    neighbor v at m.  Connectivity-preserving; flattens tall trees.
+    Only joins + a partially-aggregated min — no per-component task
+    state anywhere."""
+    sym = _symmetrize(e)
+    mins = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", F.col("src")).alias("mn"))
+    )
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: for each center u with smaller neighbors S and
+    m = min(S + [u]) (= min(S) since all of S < u), re-point every node
+    of S + [u] except m itself at m."""
+    smaller = _symmetrize(e).where(F.col("dst") < F.col("src"))
+    mins = smaller.groupBy("src").agg(F.min("dst").alias("mn"))
+    re_pointed = smaller.join(mins, "src").select(
+        F.col("dst").alias("src"), F.col("mn").alias("dst")
+    )
+    centers = mins.select(F.col("src"), F.col("mn").alias("dst"))
+    return (
+        re_pointed.union(centers)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _star_labels(forest: DataFrame, spread: int) -> DataFrame:
+    """Distributed finish: alternate large-star / small-star to a
+    fixpoint, at which the edge set IS the answer — a union of stars
+    (v, component-min).  Every round is joins + min-aggregates over
+    `spread` partitions; convergence is checked with a cheap
+    (count, checksum) signature and confirmed with an exact
+    set-difference probe before stopping."""
+    # each round references the previous frame several times (symmetrize
+    # + join with its own aggregate), so lineage grows EXPONENTIALLY if
+    # left alone — plan analysis alone would OOM within a few rounds.
+    # localCheckpoint truncates the plan to the materialized blocks each
+    # round (executor-local: fine for this derived, recomputable forest).
+    cur = (
+        forest.where(F.col("src") != F.col("dst"))
+        .repartition(spread)
+        .localCheckpoint()
+    )
+    sig_prev: tuple | None = None
+    while True:
+        nxt = _small_star(_large_star(cur)).repartition(spread).localCheckpoint()
+        # order-independent, overflow-proof signature: decimal sum of a
+        # 64-bit row hash (sum of ~1e12 values of |x|<2^63 fits decimal 38)
+        sig = tuple(
+            nxt.agg(
+                F.count("*"),
+                F.sum(F.xxhash64("src", "dst").cast("decimal(28,0)")),
+            ).first()
+        )
+        if sig == sig_prev and nxt.exceptAll(cur).isEmpty():
+            cur = nxt
+            break
+        cur, sig_prev = nxt, sig
+    centers = cur.select(F.col("dst").alias("id")).distinct()
+    return cur.select(F.col("src").alias("id"), F.col("dst").alias("label")).union(
+        centers.select("id", F.col("id").alias("label"))
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     ladder: tuple[int, ...] = (8,),
+    finish_budget: int = 1 << 21,
 ) -> DataFrame:
     """(id, label) for every node that appears in `edges`, where label =
     the minimum node id of its connected component.  Edges are
     undirected (direction is ignored); isolated nodes never appear
     (callers wanting singleton clusters left-join this onto the node
-    table and coalesce label to id).
+    table and coalesce label to id).  Edge endpoints that cast to NULL
+    (unparsable ids) are dropped up front rather than poisoning the
+    forest kernels with NaN.
 
-    Entirely LAZY — no sizing count, no persisted intermediates, so an
-    expensive upstream pair pipeline is evaluated exactly once:
+    Phases:
 
     1. a NARROW local-forest pass on the upstream partitioning (runs
        inside the producer's reduce stage at its full parallelism;
@@ -154,7 +242,16 @@ def connected_components(
        shuffle barrier on PURPOSE: `coalesce` would collapse the
        producer's stage down to p tasks) carrying only already-
        contracted forest edges;
-    3. a single-task finish on the final forest.
+    3. a count-gated finish on the PERSISTED forest (the one sizing
+       action; the expensive upstream pair pipeline is still evaluated
+       exactly once, into the cache):
+       - forest <= `finish_budget` edges: single bounded task labels it
+         exactly (state is O(finish_budget) by construction — never
+         O(input));
+       - larger: extra /8 contraction rounds while they still shrink
+         the forest, then fully distributed large-star/small-star
+         rounds (`_star_labels`) — for graphs whose NODE set alone
+         overflows one task, no single-task step exists at all.
 
     `ladder` trades rounds against per-task state: each rung-p task
     holds ~(previous round's total forest)/p edges of union-find state.
@@ -164,10 +261,36 @@ def connected_components(
     stays bounded.
     """
     e = edges.select(
-        F.col(src).cast("long").alias("src"),
-        F.col(dst).cast("long").alias("dst"),
-    )
+        F.col(src).try_cast("long").alias("src"),
+        F.col(dst).try_cast("long").alias("dst"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
     e = e.mapInPandas(_forest, schema=_EDGE_SCHEMA)
+    last_p = 0
     for p in ladder:
         e = e.repartition(p).mapInPandas(_forest, schema=_EDGE_SCHEMA)
-    return e.repartition(1).mapInPandas(_label, schema=_LABEL_SCHEMA)
+        last_p = p
+    e = e.persist()
+    cnt = e.count()
+    # keep contracting while over budget and still shrinking materially
+    p = max(last_p // 8, 1)
+    while cnt > finish_budget and p > 1:
+        nxt = e.repartition(p).mapInPandas(_forest, schema=_EDGE_SCHEMA).persist()
+        ncnt = nxt.count()
+        if ncnt > 0.7 * cnt:  # at the forest floor (~nodes-1); stop
+            nxt.unpersist()
+            break
+        e.unpersist()
+        e, cnt, p = nxt, ncnt, max(p // 8, 1)
+    if cnt <= finish_budget:
+        return e.repartition(1).mapInPandas(_label, schema=_LABEL_SCHEMA)
+    # node set itself may overflow one task: distributed star finish,
+    # with singleton marker edges (src == dst) re-attached at the end
+    labels = _star_labels(e, spread=max(last_p, 8))
+    singles = (
+        e.where(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("id"))
+        .distinct()
+        .join(labels, "id", "left_anti")
+        .select("id", F.col("id").alias("label"))
+    )
+    return labels.union(singles)

@@ -361,11 +361,12 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Engine algorithm: spanning-forest contraction
     (`operators/graph.py:connected_components` — union-find forests per
-    partition, geometric fan-in, single-task finish on the contracted
-    sketch).  Unlike diameter-many label-propagation rounds, the whole
-    closure is ONE lazy pipeline after a single sizing count, and each
-    contraction round's shuffle payload shrinks geometrically — the
-    100 TB regime from Kiveris et al. (SoCC'14)."""
+    partition, geometric fan-in, count-gated finish: one bounded task
+    for forests under the budget, distributed large-star/small-star
+    rounds beyond it).  Unlike diameter-many label-propagation rounds,
+    each contraction round's shuffle payload shrinks geometrically and
+    the pair pipeline is evaluated exactly once — the 100 TB regime
+    from Kiveris et al. (SoCC'14)."""
     d = load_table(spark, sf_dir, "documents")
     edges = jaccard_pairs(d, threshold=0.5, max_bucket=1000).select(
         "doc_a", "doc_b"

@@ -73,6 +73,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # driver session with its own defaults) can still surface NTZ
     # columns; normalize to session-tz TIMESTAMP so downstream epoch
     # math works and values match the oracle's naive timestamps.
+    # Top-level fields only, deliberately: the synthetic tables are flat,
+    # and an NTZ nested inside a struct/array would need a recursive
+    # rewrite — add it if schemas ever gain nested timestamps.
     ntz_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
     if ntz_cols:
         from pyspark.sql import functions as F

@@ -76,3 +76,55 @@ def test_cc_invariant_to_contraction_depth(spark):
 
 def test_cc_empty(spark):
     assert _run(spark, []) == {}
+
+
+def test_cc_distributed_star_finish_matches_bruteforce(spark):
+    """finish_budget=0 forces the large-star/small-star finish (the
+    100 TB path: no single-task step at all) on graphs that stress it:
+    a long path (max star rounds), cliques, singletons, and randoms."""
+    rng = random.Random(23)
+    cases = [
+        [(i, i + 1) for i in range(80)],  # path: tall trees to flatten
+        [(100 + i, 100 + j) for i in range(6) for j in range(i + 1, 6)]
+        + [(7, 7), (3, 3)],  # clique + pure singleton markers
+        [(rng.randrange(90), rng.randrange(90)) for _ in range(200)],
+    ]
+    for edges in cases:
+        got = _run(spark, edges, finish_budget=0)
+        assert got == _brute_components(edges)
+
+
+def test_cc_star_finish_plan_has_no_single_task_step(spark):
+    """The distributed finish must not contain repartition(1) anywhere
+    in the returned plan (the single-task label step is only reachable
+    under the count gate)."""
+    edges = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df, finish_budget=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "repartition(1)" not in plan.lower().replace(" ", "")
+    got = {r["id"]: r["label"] for r in out.collect()}
+    assert got == _brute_components(edges)
+
+
+def test_cc_count_gated_extra_contraction_rounds(spark):
+    """A finish_budget below the first forest size triggers the gated
+    /8 contraction loop (>=1 extra round) before labeling; result must
+    be identical either way."""
+    rng = random.Random(31)
+    edges = [(rng.randrange(400), rng.randrange(400)) for _ in range(900)]
+    expect = _brute_components(edges)
+    # first pass over default partitioning leaves a forest much larger
+    # than 32 edges -> the gated loop must run (and then either fit the
+    # budget or fall through to the star finish); both must be exact
+    assert _run(spark, edges, ladder=(32,), finish_budget=32) == expect
+    assert _run(spark, edges, ladder=(32, 4), finish_budget=10**6) == expect
+
+
+def test_cc_null_ids_are_dropped_not_poisonous(spark):
+    df = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("x", "5"), ("6", None)],
+        "src string, dst string",
+    )
+    got = {r["id"]: r["label"] for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
