@@ -269,6 +269,11 @@ def connected_components(
     for p in ladder:
         e = e.repartition(p).mapInPandas(_forest, schema=_EDGE_SCHEMA)
         last_p = p
+    # persist + count = the one evaluation of the upstream pair
+    # pipeline.  persist (not localCheckpoint) on purpose: Spark's cache
+    # manager matches logical plans, so repeated invocations of the same
+    # clustering reuse the materialized forest instead of re-running the
+    # pair pipeline, and identical plans share one cache entry.
     e = e.persist()
     cnt = e.count()
     # keep contracting while over budget and still shrinking materially
