@@ -53,3 +53,26 @@ def hash64(col: Column, seed: int) -> Column:
     xxhash64 with the seed mixed into the input (xxhash64's own seed
     argument is not exposed column-wise)."""
     return F.xxhash64(F.concat(F.lit(f"{seed}|"), col))
+
+
+def portable_hash32(col: Column) -> Column:
+    """ENGINE-PORTABLE 32-bit hash of a string: the first 8 hex digits
+    of md5, parsed as an unsigned int in [0, 2^32).  Unlike xxhash64 /
+    DuckDB hash(), md5 is bit-identical everywhere, so sketches built on
+    this base can be replayed exactly by the SQL oracle:
+    DuckDB twin: ('0x' || substr(md5(t), 1, 8))::BIGINT."""
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def portable_hash64(col: Column) -> Column:
+    """ENGINE-PORTABLE signed 64-bit hash of a string: the first 16 hex
+    digits of md5 as two 32-bit halves, combined with bit ops (shiftleft
+    wraps into the sign bit without tripping ANSI overflow checks).
+    DuckDB twin: hi::HUGEINT * 2^32 + lo, wrapped to signed BIGINT —
+    see queries/dedup_scale.py:_SIMHASH_SQL."""
+    d = F.md5(F.encode(col, "UTF-8"))
+    hi = F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)

@@ -130,6 +130,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 64,
     n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash sketch: signature[i] = min over shingles of hash_i(shingle).
 
@@ -150,11 +151,28 @@ def minhash_signatures(
     re-evaluate this whole expression below the projection (measured
     60x: the duplicated expression also kicks the stage out of
     whole-stage codegen).
+
+    `portable=True` swaps the xxhash64 shingle hash + mod-2^64 family
+    for md5-based 32-bit base hashes and the affine mod-(2^31-1) family
+    — bit-replayable by a DuckDB oracle (the driver's hash gate).  The
+    md5 runs inside the Arrow kernel (hashlib's C digest), because as a
+    column expression inside `transform` it evaluates interpreted
+    (CodegenFallback) — measured ~10x slower.  Production-scale callers
+    keep the default fast family (xxhash64 stays fully JVM-side).
     """
-    from pulsar_sync_java_spark.operators.vectorized import minhash_signature_udf
+    from pulsar_sync_java_spark.operators.vectorized import (
+        minhash_signature_udf,
+        portable_minhash_signature_udf,
+    )
 
     base = spread(df.filter(F.size(tokens(text_col)) >= n))
     toks = base.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    if portable:
+        sh = toks.select(
+            F.col(id_col), shingles_from_tokens(F.col("__toks"), n).alias("__sh")
+        )
+        sig = portable_minhash_signature_udf(num_hashes)(F.col("__sh"))
+        return sh.select(F.col(id_col), sig.alias("signature"))
     hs = toks.select(
         F.col(id_col),
         F.transform(
@@ -251,7 +269,10 @@ def lsh_candidate_pairs(
 
 
 def simhash64(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """64-bit SimHash: per token hash, each bit votes +1/-1; the
     fingerprint takes the majority sign per bit.  Near-duplicates have
@@ -264,9 +285,24 @@ def simhash64(
     every token row) and a 64-term bitwiseOR reduce over higher-order
     filters (seconds of Janino compile, interpreted evaluation).
     Empty docs -> fingerprint 0.
-    """
-    from pulsar_sync_java_spark.operators.vectorized import simhash64_udf
 
+    `portable=True` hashes tokens with the md5-based 64-bit base hash
+    (= functions/text.py:portable_hash64, computed inside the Arrow
+    kernel to dodge CodegenFallback) instead of xxhash64, making the
+    whole fingerprint bit-replayable by a DuckDB oracle.
+    """
+    from pulsar_sync_java_spark.operators.vectorized import (
+        portable_simhash64_udf,
+        simhash64_udf,
+    )
+
+    if portable:
+        toks_df = spread(df).select(
+            F.col(id_col), tokens(text_col).alias("__toks")
+        )
+        return toks_df.select(
+            F.col(id_col), portable_simhash64_udf()(F.col("__toks")).alias("simhash")
+        )
     hs_df = spread(df).select(
         F.col(id_col),
         F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("__hs"),

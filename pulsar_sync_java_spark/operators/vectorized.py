@@ -40,6 +40,19 @@ def minhash_family(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_PORTABLE_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def portable_minhash_family(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    """The SQL-replayable affine family over Z_p, p = 2^31-1:
+    a_i = ((i+1) * 2654435761) mod p  (never 0: p is prime, i+1 < p,
+    and 2654435761 is not a multiple of p), b_i = ((i+1) * 97531) mod p.
+    Derived from i by plain integer arithmetic so a DuckDB oracle can
+    regenerate the exact constants — see queries/dedup_scale.py."""
+    i = np.arange(1, num_hashes + 1, dtype=np.int64)
+    return (i * 2654435761) % _PORTABLE_P, (i * 97531) % _PORTABLE_P
+
+
 def minhash_signature_udf(num_hashes: int = 64, seed: int = 42):
     """array<long> shingle-hashes -> array<long> MinHash signature:
     signature[i] = min over shingles of (a_i*h + b_i  mod 2^64)."""
@@ -59,6 +72,78 @@ def minhash_signature_udf(num_hashes: int = 64, seed: int = 42):
         return pd.Series(out)
 
     return sig
+
+
+def portable_minhash_signature_udf(num_hashes: int = 64):
+    """array<string> SHINGLES -> array<long> MinHash signature in the
+    SQL-replayable family: base = first 4 md5 bytes big-endian (= the
+    oracle's ('0x' || substr(md5(s),1,8))::BIGINT), then
+    signature[i] = min of (a_i*base + b_i mod 2^31-1) with the
+    deterministic `portable_minhash_family` constants.  Every product
+    stays below 2^62, so int64/BIGINT arithmetic is exact in both
+    engines.
+
+    md5 runs HERE (hashlib's C digest per shingle) rather than as a
+    column expression: Spark evaluates lambdas inside `transform`
+    interpreted (CodegenFallback), and the md5+conv+substring chain per
+    element measured ~10x slower than this kernel."""
+    from hashlib import md5
+
+    a, b = portable_minhash_family(num_hashes)
+    empty = np.full(num_hashes, np.iinfo(np.int64).max)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig(shingle_arrs: pd.Series) -> pd.Series:
+        out = []
+        for arr in shingle_arrs:
+            if arr is None or len(arr) == 0:
+                out.append(empty)
+                continue
+            h = np.fromiter(
+                (
+                    int.from_bytes(md5(s.encode("utf-8")).digest()[:4], "big")
+                    for s in arr
+                ),
+                dtype=np.int64,
+                count=len(arr),
+            )
+            out.append(((np.multiply.outer(h, a) + b) % _PORTABLE_P).min(axis=0))
+        return pd.Series(out)
+
+    return sig
+
+
+def portable_simhash64_udf():
+    """array<string> TOKENS -> long SimHash fingerprint over md5-based
+    64-bit token hashes (first 8 md5 bytes big-endian — identical to
+    functions/text.py:portable_hash64 and the _SIMHASH_SQL oracle).
+    Same strict-majority vote as simhash64_udf; md5 runs in the kernel
+    for the same CodegenFallback reason as
+    portable_minhash_signature_udf."""
+    from hashlib import md5
+
+    shifts = np.arange(64, dtype=np.uint64)
+    powers = (np.uint64(1) << shifts).view(np.int64)
+
+    @pandas_udf(LongType())
+    def fp(token_arrs: pd.Series) -> pd.Series:
+        out = np.zeros(len(token_arrs), dtype=np.int64)
+        for j, arr in enumerate(token_arrs):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.fromiter(
+                (
+                    int.from_bytes(md5(t.encode("utf-8")).digest()[:8], "big")
+                    for t in arr
+                ),
+                dtype=np.uint64,
+                count=len(arr),
+            )
+            ones = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+            out[j] = powers[ones * 2 > h.size].sum()
+        return pd.Series(out)
+
+    return fp
 
 
 def simhash64_udf():

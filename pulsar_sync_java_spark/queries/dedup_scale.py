@@ -2,12 +2,12 @@
 north star) — the `queries()` surface over operators/dedup.py,
 operators/similarity.py, operators/multimodal.py.
 
-Oracle-checked where cross-engine determinism is achievable
-(n-gram Jaccard via inverted index, multimodal metadata); sketch-based
-operators (MinHash/LSH, SimHash, hyperplane LSH) hash with xxhash64,
-which DuckDB lacks, so they are declared rows-only and their semantics
-are property-tested against exact ground truth in
-tests/test_dedup_ops.py instead.
+Oracle-checked wherever cross-engine determinism is achievable:
+n-gram Jaccard (inverted index), multimodal metadata, and — via the
+portable md5-based hash mode — MinHash/LSH and SimHash, whose
+signatures the DuckDB oracle replays bit-for-bit.  Only the two ANN
+queries remain rows-only (approximate by design); their recall is
+property-tested against exact ground truth in tests/test_dedup_ops.py.
 """
 
 from __future__ import annotations
@@ -76,22 +76,124 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(d, threshold=0.5, max_bucket=1000)
 
 
-@query("q_minhash_lsh")  # rows-only: xxhash64 sketch, engine-specific
+# Portable MinHash oracle: md5-prefix 32-bit base hashes + the affine
+# mod-(2^31-1) family of operators/vectorized.py:portable_minhash_family,
+# replayed in plain BIGINT arithmetic (every product < 2^62, exact in
+# both engines).  Band membership needs no bucket hash at all: two docs
+# share a band iff their 4-long signature slices are EQUAL, which SQL
+# expresses directly (the engine's xxhash64 bucket id is just a grouping
+# key for that same equality).
+_MINHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), dims AS (
+  SELECT unnest(generate_series(1, (SELECT MAX(len(t)) FROM toks))) AS i
+), sh AS (
+  SELECT DISTINCT doc_id, t[d.i] || ' ' || t[d.i+1] || ' ' || t[d.i+2] AS shingle
+  FROM toks, dims d WHERE d.i <= len(t) - 2
+), hs AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh
+), fam AS (
+  SELECT i,
+         ((i + 1) * 2654435761) % 2147483647 AS a,
+         ((i + 1) * 97531) % 2147483647 AS b
+  FROM (SELECT unnest(range(64)) AS i)
+), sig AS (
+  SELECT doc_id, f.i, MIN((f.a * h + f.b) % 2147483647) AS s
+  FROM hs CROSS JOIN fam f
+  GROUP BY doc_id, f.i
+), slices AS (
+  SELECT doc_id, i // 4 AS band, string_agg(s, ',' ORDER BY i) AS slice
+  FROM sig GROUP BY doc_id, i // 4
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM slices x JOIN slices y
+    ON x.band = y.band AND x.slice = y.slice AND x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END)::DOUBLE / 64 AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+GROUP BY c.doc_a, c.doc_b
+HAVING SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END)::DOUBLE / 64 >= 0.5
+"""
+
+
+@query("q_minhash_lsh", oracle=_MINHASH_SQL)
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16-band LSH candidate pairs with estimated Jaccard
-    >= 0.5.  Property-tested against exact Jaccard ground truth
-    (tests/test_dedup_ops.py): planted near-dups are recalled."""
+    >= 0.5, in PORTABLE-hash mode (md5-based base hashes + affine
+    mod-(2^31-1) family) so the DuckDB oracle replays the signatures —
+    and therefore the candidate pairs and estimates — bit-for-bit.
+    Recall against exact Jaccard ground truth is separately
+    property-tested in tests/test_dedup_ops.py."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, num_hashes=64)
+    # persist: the banded subtree + both signature lookups consume the
+    # signature kernel, and AQE does not share that exchange (see
+    # lsh_candidate_pairs docstring) — caching runs the md5 kernel once
+    # instead of three times; Spark's plan-matching cache dedupes
+    # repeated invocations.
+    sigs = minhash_signatures(d, num_hashes=64, portable=True).persist()
     return lsh_candidate_pairs(sigs, bands=16).filter(F.col("est_jaccard") >= 0.5)
 
 
-@query("q_simhash")  # rows-only: xxhash64-based fingerprint
+# Portable SimHash oracle: md5-based signed 64-bit token hashes
+# (functions/text.py:portable_hash64), per-bit strict-majority votes,
+# then ALL-pairs bit_count(xor) <= 3 — exactly the answer the engine's
+# pigeonhole chunk index computes without pair enumeration (Hamming <= 3
+# guarantees >= 1 of the 4 16-bit chunks equal, so the bucketed join
+# finds every qualifying pair).
+_SIMHASH_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                   THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS h
+  FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5(t), 1, 8))::BIGINT::HUGEINT * 4294967296
+             + ('0x' || substr(md5(t), 9, 8))::BIGINT AS u
+    FROM tok
+  )
+), votes AS (
+  SELECT doc_id, b.i,
+         SUM((h >> b.i) & 1) AS ones,
+         COUNT(*) AS n
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS i) b
+  GROUP BY doc_id, b.i
+), fp AS (
+  SELECT d.doc_id,
+         COALESCE(CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                            THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT),
+                  0) AS simhash
+  FROM documents d
+  LEFT JOIN (
+    SELECT doc_id,
+           SUM(CASE WHEN ones * 2 > n THEN 1::HUGEINT << i ELSE 0::HUGEINT END) AS u
+    FROM votes GROUP BY doc_id
+  ) v ON v.doc_id = d.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@query("q_simhash", oracle=_SIMHASH_SQL)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs within Hamming distance 3, found by
-    the 16-bit pigeonhole chunk index (no pair enumeration)."""
+    the 16-bit pigeonhole chunk index (no pair enumeration), in
+    PORTABLE-hash mode: the oracle rebuilds every fingerprint from
+    md5-based token hashes and verifies the pair set against a
+    brute-force all-pairs Hamming join."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(simhash64(d), max_hamming=3)
+    return simhash_near_pairs(simhash64(d, portable=True), max_hamming=3)
 
 
 _EMB_NEARDUP_SQL = """
