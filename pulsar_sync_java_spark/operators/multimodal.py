@@ -52,19 +52,35 @@ def attach_payload(documents: DataFrame, media_type: str = "image") -> DataFrame
 
 
 def decode_image(payload: bytes, *, fake: bool = False) -> dict[str, Any]:
-    """Codec boundary.  Real decoding requires an image library that is
-    not in this container — the production hook point.
+    """Codec boundary.
 
-    With ``fake=True``, returns deterministic pseudo-metadata derived
-    only from the byte content (stable across engines/runs), keeping
-    the full pipeline testable end-to-end.
+    With ``fake=True`` (the oracle path), returns deterministic
+    pseudo-metadata derived only from the byte content (stable across
+    engines/runs), keeping the full pipeline testable end-to-end.
+
+    With ``fake=False``, decodes with Pillow when it is importable
+    (width/height from the real header, n_frames for multi-frame
+    formats like GIF); without an imaging library this raises — the
+    production hook point stays a one-function swap.
     """
     if not fake:
-        raise NotImplementedError(
-            "image decoding requires an imaging library (PIL/opencv); "
-            "install one and replace this stub — the Spark plumbing "
-            "around it is complete"
-        )
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError as exc:  # no imaging library in this env
+            raise NotImplementedError(
+                "image decoding requires an imaging library (Pillow); "
+                "install one — the Spark plumbing around this function "
+                "is complete and tested via the deterministic fake"
+            ) from exc
+        with Image.open(io.BytesIO(payload)) as img:
+            return {
+                "n_bytes": len(payload),
+                "width": int(img.width),
+                "height": int(img.height),
+                "n_frames": int(getattr(img, "n_frames", 1)),
+            }
     n = len(payload)
     return {
         "n_bytes": n,

@@ -131,8 +131,33 @@ def _sink_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def _existing_keys(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    partition_col: str | None = None,
+    partition_values: list | None = None,
+) -> DataFrame:
+    """The sink-side probe of `idempotent_append`: key columns only
+    (column pruning), and — when the sink is Hive-partitioned on
+    `partition_col` — restricted to `partition_values`, which Catalyst
+    turns into PartitionFilters: the scan lists and reads ONLY the
+    matching partition directories instead of the whole sink history.
+    """
+    existing = spark.read.parquet(path)
+    if partition_col is not None and partition_values is not None:
+        non_null = [v for v in partition_values if v is not None]
+        pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+        if any(v is None for v in partition_values):
+            # null partition values land in the Hive default partition;
+            # a replayed null-pc row must still find its first delivery
+            pred = pred | F.col(partition_col).isNull()
+        existing = existing.where(pred)
+    return existing.select(*keys)
+
+
 def idempotent_append(
-    df: DataFrame, path: str, keys: list[str]
+    df: DataFrame, path: str, keys: list[str], partition_col: str | None = None
 ) -> int:
     """Append only the rows whose key is absent from the target — the
     conflict-tolerant create (`PulsarTenantSyncManager.java:79`) for
@@ -148,6 +173,16 @@ def idempotent_append(
     reference has the same single-applier model (one manager per key,
     `computeIfAbsent`).  Returns the number of rows appended.
 
+    `partition_col` is the 100 TB probe discipline: the sink is written
+    Hive-partitioned on that column and the probe prunes to the
+    partition values PRESENT IN THE BATCH (the replay horizon), so each
+    micro-batch scans only the few partitions it could collide with —
+    not the whole sink history.  The column must be a deterministic
+    function of the row identity (e.g. date(event_time) for message
+    keys): a replayed row always lands in the same partition value, so
+    pruned absence == global absence.  The distinct-value collect is
+    bounded by the batch's time horizon (a handful of values).
+
     Only a genuinely ABSENT sink is treated as first-write; any other
     read failure (FS hiccup, corrupt footer, permission error) must
     propagate — silently treating it as "empty sink" would append the
@@ -157,19 +192,29 @@ def idempotent_append(
     from functools import reduce
 
     spark = df.sparkSession
-    if _sink_exists(spark, path):
-        existing = spark.read.parquet(path).select(*keys)
-    else:
-        existing = None
     fresh = df.dropDuplicates(keys)
-    if existing is not None:
+    if _sink_exists(spark, path):
+        if partition_col is not None:
+            vals = [r[0] for r in df.select(partition_col).distinct().collect()]
+            existing = _existing_keys(spark, path, keys, partition_col, vals)
+        else:
+            existing = _existing_keys(spark, path, keys)
         f, e = fresh.alias("__f"), existing.alias("__e")
         cond = reduce(
             lambda a, b: a & b,
             [F.col(f"__f.{k}").eqNullSafe(F.col(f"__e.{k}")) for k in keys],
         )
         fresh = f.join(e, on=cond, how="left_anti")
-    n = fresh.count()
-    if n:
-        fresh.write.mode("append").parquet(path)
+    # persist across count + write: without it the anti-join (and the
+    # sink probe scan feeding it) evaluates twice per micro-batch
+    fresh = fresh.persist()
+    try:
+        n = fresh.count()
+        if n:
+            writer = fresh.write.mode("append")
+            if partition_col is not None:
+                writer = writer.partitionBy(partition_col)
+            writer.parquet(path)
+    finally:
+        fresh.unpersist()
     return n

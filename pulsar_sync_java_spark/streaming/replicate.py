@@ -114,6 +114,7 @@ def replicate_exactly_once(
     sink_dir: str,
     checkpoint_dir: str,
     keys: list[str] | None = None,
+    partition_col: str | None = None,
 ) -> DataStreamWriter:
     """Replication with a TABLE-level exactly-once guarantee:
     `foreachBatch` + keyed idempotent append (sinks/writers.py).
@@ -125,9 +126,14 @@ def replicate_exactly_once(
     every micro-batch anti-joins the sink on message identity before
     appending, so replays of ANY age are no-ops: an at-least-once
     transport becomes an exactly-once table.  Cost: one keys-only scan
-    of the sink per micro-batch (column-pruned; at scale, partition the
-    sink by a time/topic column so the probe prunes to recent
-    partitions).
+    of the sink per micro-batch (column-pruned).
+
+    At 100 TB pass `partition_col` (a deterministic function of message
+    identity — e.g. a publish date column, or `topic`): the sink is
+    written Hive-partitioned on it and each micro-batch's probe prunes
+    to the partition values present in that batch, so the per-batch
+    scan covers the replay horizon, not the whole sink history
+    (sinks/writers.py:idempotent_append).
     """
     from pulsar_sync_java_spark.sinks.writers import idempotent_append
 
@@ -135,7 +141,7 @@ def replicate_exactly_once(
     proj = message_projection(stream)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        idempotent_append(batch_df, sink_dir, keys)
+        idempotent_append(batch_df, sink_dir, keys, partition_col=partition_col)
 
     return (
         proj.writeStream.foreachBatch(apply_batch)

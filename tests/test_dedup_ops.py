@@ -158,8 +158,31 @@ def test_salted_join_equivalence(spark):
 
 
 def test_multimodal_stub_raises_without_fake():
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        pytest.skip("Pillow installed: real decode path active instead")
     with pytest.raises(NotImplementedError):
         decode_image(b"bytes")
+
+
+def test_multimodal_real_decode_with_pillow():
+    """Runs only where Pillow exists: the fake=False path must decode a
+    real image header through the same seam the fake path exercises."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (17, 9)).save(buf, format="PNG")
+    meta = decode_image(buf.getvalue())
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (17, 9, 1)
+    assert meta["n_bytes"] == len(buf.getvalue())
 
 
 def test_multimodal_feature_plumbing(spark, documents):

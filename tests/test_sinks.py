@@ -112,3 +112,67 @@ def test_idempotent_append_replay_is_noop(spark, facts, tmp_path):
     batch2 = facts.filter((F.col("id") >= 50) & (F.col("id") < 150))
     assert idempotent_append(batch2, out, ["id"]) == 50
     assert spark.read.parquet(out).count() == 150
+
+
+def test_idempotent_append_partitioned_replay_is_noop(spark, facts, tmp_path):
+    out = str(tmp_path / "t5")
+    batch = facts.filter(F.col("id") < 700)  # all 7 day values
+    assert idempotent_append(batch, out, ["id"], partition_col="day") == 700
+    assert idempotent_append(batch, out, ["id"], partition_col="day") == 0
+    # a batch touching only day 0 and 1, half replayed
+    batch2 = facts.filter(
+        (F.col("id") >= 630) & (F.col("id") < 770) & (F.col("day") < 2)
+    )
+    n2 = batch2.count()
+    dup2 = batch2.filter(F.col("id") < 700).count()
+    assert idempotent_append(batch2, out, ["id"], partition_col="day") == n2 - dup2
+    got = spark.read.parquet(out)
+    assert got.count() == 700 + n2 - dup2
+    # the layout really is Hive-partitioned by day
+    assert any("day=0" in f for f in _parquet_files(out))
+
+
+def test_idempotent_probe_scans_only_batch_partitions(spark, facts, tmp_path):
+    """The 100 TB contract: the sink-existence probe must read ONLY the
+    partition directories present in the micro-batch (replay horizon),
+    not the whole sink history."""
+    from pulsar_sync_java_spark.sinks.writers import _existing_keys
+
+    out = str(tmp_path / "t6")
+    idempotent_append(facts, out, ["id"], partition_col="day")  # 7 partitions
+    probe = _existing_keys(spark, out, ["id"], "day", [2, 5])
+    # execute the probe's own plan (collect, not count: count derives a
+    # new plan whose metrics would not populate this one's scan)
+    rows = probe.collect()
+    assert len(rows) == facts.filter(F.col("day").isin(2, 5)).count()
+    # the physical plan prunes partitions at the scan (PartitionFilters,
+    # not a post-scan Filter) ...
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, plan
+    assert "day" in pf[1].split("]", 1)[0], plan
+    # ... and the executed scan actually read only the 2 matching
+    # partition directories' files (numFiles metric), not all 7
+    total_files = len(_parquet_files(out))
+    matching_files = len(
+        [f for f in _parquet_files(out) if "day=2" in f or "day=5" in f]
+    )
+    leaves = probe._jdf.queryExecution().executedPlan().collectLeaves()
+    scan = leaves.apply(0)
+    num_files = int(scan.metrics().apply("numFiles").value())
+    assert num_files == matching_files < total_files, (
+        num_files,
+        matching_files,
+        total_files,
+    )
+
+
+def test_idempotent_append_partitioned_null_partition_value(spark, tmp_path):
+    out = str(tmp_path / "t7")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id long, day string"
+    )
+    assert idempotent_append(df, out, ["id"], partition_col="day") == 3
+    # replayed rows — including the null-partition one — are no-ops
+    assert idempotent_append(df, out, ["id"], partition_col="day") == 0
+    assert spark.read.parquet(out).count() == 3

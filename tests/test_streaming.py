@@ -307,3 +307,40 @@ def test_replicate_exactly_once_survives_checkpoint_loss(spark, tmp_path):
     ).trigger(availableNow=True).start()
     q.awaitTermination(120)
     assert spark.read.parquet(sink).count() == n_first + 1
+
+
+def test_replicate_exactly_once_partitioned_probe(spark, tmp_path):
+    """The scale variant: sink Hive-partitioned on `topic`, so each
+    micro-batch's idempotency probe prunes to the topics present in the
+    batch.  Same exactly-once contract through a checkpoint wipe."""
+    import glob
+    import shutil
+
+    from pulsar_sync_java_spark.streaming.replicate import replicate_exactly_once
+
+    src = str(tmp_path / "src")
+    build_messages(spark).limit(300).repartition(2).write.mode("overwrite").parquet(src)
+    sink = str(tmp_path / "sink")
+
+    q = replicate_exactly_once(
+        read_message_stream(spark, src), sink, str(tmp_path / "c1"),
+        partition_col="topic",
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    n_first = spark.read.parquet(sink).count()
+    assert n_first == 300
+    # layout really is partitioned by topic
+    assert glob.glob(f"{sink}/topic=*"), "expected Hive partition dirs"
+
+    shutil.rmtree(str(tmp_path / "c1"))
+    q = replicate_exactly_once(
+        read_message_stream(spark, src), sink, str(tmp_path / "c2"),
+        partition_col="topic",
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    assert out.count() == n_first
+    assert (
+        out.groupBy("topic", "partition", "ledger_id", "entry_id", "batch_idx")
+        .count().filter("count > 1").count() == 0
+    )
