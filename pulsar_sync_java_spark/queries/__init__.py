@@ -51,6 +51,7 @@ def load_all() -> None:
         scalar,
         scans,
         subqueries,
+        training,
         windows,
     )
 

@@ -169,6 +169,26 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CROSS_SQL = """
+SELECT r.r_name, n.n_name, n.n_nationkey
+FROM region r CROSS JOIN nation n
+"""
+
+
+@query("q_cross_join", oracle=_CROSS_SQL)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (nested-loop strategy): region x nation.
+    With a broadcastable side Spark plans BroadcastNestedLoopJoin —
+    never CartesianProduct (plan-asserted in test_plan_shape).  The
+    legitimate cross-join use is exactly this shape: a deliberate
+    small-dim expansion (parameter grids, calendar scaffolds), where
+    the broadcast keeps it one narrow stage; unbounded cross joins stay
+    forbidden by the no-cartesian plan gate."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name", "n_nationkey")
+    return r.crossJoin(n)
+
+
 _ASOF_SQL = f"""
 WITH ranked AS (
   SELECT e.event_id, e.user_id, e.ts,

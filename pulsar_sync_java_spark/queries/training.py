@@ -1,0 +1,326 @@
+"""Training-data pipeline queries beyond the r2 surface: intra-doc
+repetition quality (Gopher-style), benchmark decontamination, sequence
+packing, sliding-window rollups, and the end-to-end dedup keep/drop
+decision.  Every query here is oracle-checked (hash gate).
+
+These are the operations a 100 TB pretraining pipeline runs between raw
+crawl and tokenizer: quality gates (repetition), leakage control
+(decontamination), batch shaping (packing), and the dedup DECISION
+(not just candidate pairs — which doc survives).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pulsar_sync_java_spark.functions.numeric import dsum, sql_dsum
+from pulsar_sync_java_spark.functions.text import shingles_from_tokens, tokens
+from pulsar_sync_java_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_rows,
+)
+from pulsar_sync_java_spark.operators.graph import connected_components
+from pulsar_sync_java_spark.queries import query
+from pulsar_sync_java_spark.queries.reference import TS_FMT_DUCK, fmt_ts
+from pulsar_sync_java_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------- repetition
+
+_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         greatest(len(t) - 2, 0) AS n3_total,
+         len(list_distinct(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS n3_distinct
+  FROM toks
+)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST(n3_total AS INT) AS n3_total,
+       CAST(n3_distinct AS INT) AS n3_distinct,
+       1.0 - CAST(n3_distinct AS DOUBLE) / CAST(n3_total AS DOUBLE)
+         AS dup3_ratio
+FROM g
+WHERE n3_total > 0
+"""
+
+
+@query("q_repetition_ratio", oracle=_REPETITION_SQL)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: fraction of duplicate 3-grams per doc
+    (1 - distinct/total) — the Gopher-family repetition quality gate
+    (Rae et al. 2021, public).  Boilerplate and looped generations show
+    high dup3_ratio; a pipeline drops or downweights them.
+
+    Zero shuffle: tokens, n-gram construction and distinct-counting are
+    all per-row JVM array expressions; the whole query is a projection
+    over the scan, so it runs at full scan parallelism at any corpus
+    size.  The 1 - d/t division is a single IEEE double op on integer
+    inputs — bit-identical in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.col("doc_id"), tokens("text").alias("__toks"))
+    g = toks.select(
+        "doc_id",
+        F.size("__toks").alias("n_tokens"),
+        F.greatest(F.size("__toks") - 2, F.lit(0)).alias("n3_total"),
+        F.size(shingles_from_tokens(F.col("__toks"), 3)).alias("n3_distinct"),
+    )
+    return g.filter(F.col("n3_total") > 0).select(
+        "doc_id",
+        "n_tokens",
+        "n3_total",
+        "n3_distinct",
+        (
+            F.lit(1.0)
+            - F.col("n3_distinct").cast("double") / F.col("n3_total").cast("double")
+        ).alias("dup3_ratio"),
+    )
+
+
+# ------------------------------------------------------------ decontamination
+
+_CONTAMINATION_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), dims AS (
+  SELECT unnest(generate_series(1, (SELECT MAX(len(t)) FROM toks))) AS i
+), sh8 AS (
+  SELECT DISTINCT doc_id,
+         t[d.i] || ' ' || t[d.i+1] || ' ' || t[d.i+2] || ' ' || t[d.i+3]
+           || ' ' || t[d.i+4] || ' ' || t[d.i+5] || ' ' || t[d.i+6]
+           || ' ' || t[d.i+7] AS shingle
+  FROM toks, dims d WHERE d.i <= len(t) - 7
+)
+SELECT t.doc_id,
+       COUNT(DISTINCT t.shingle) AS n_shared_ngrams,
+       COUNT(DISTINCT b.doc_id) AS n_bench_docs
+FROM sh8 t
+JOIN sh8 b ON t.shingle = b.shingle
+WHERE b.doc_id % 19 = 0 AND t.doc_id % 19 <> 0
+GROUP BY t.doc_id
+"""
+
+
+@query("q_contamination", oracle=_CONTAMINATION_SQL)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every training document, count the
+    8-gram overlaps with a held-out benchmark set (here the deterministic
+    doc_id % 19 == 0 slice stands in for an eval suite) — the standard
+    n-gram leakage check run before pretraining (GPT-3 appendix C shape,
+    public).
+
+    Scale shape: the BENCHMARK side is tiny relative to the corpus (eval
+    suites are thousands of docs), so its distinct 8-gram set broadcasts
+    and the probe is a broadcast semi-ish join at full scan parallelism —
+    the training corpus is never shuffled at all; only the matched pairs
+    (a vanishing fraction) reach the per-doc aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 19 == 0)
+    train = d.filter(F.col("doc_id") % 19 != 0)
+    bsh = shingle_rows(bench, n=8).withColumnRenamed("doc_id", "bench_id")
+    tsh = shingle_rows(train, n=8)
+    return (
+        tsh.join(F.broadcast(bsh), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_ngrams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+# ------------------------------------------------------------------- packing
+
+_PACK_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+       CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+       CAST(cum - n_tokens AS BIGINT) AS tok_start
+FROM c
+"""
+
+
+@query("q_pack_sequences", oracle=_PACK_SQL)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign each document a pack id by greedy
+    cumulative token count within a 2048-token budget — the
+    context-window packing step that turns a doc table into fixed-size
+    training sequences.  A doc straddling a boundary packs with its
+    starting offset (standard greedy packing).
+
+    Packing is PER LANGUAGE (stratum) on purpose: a single global
+    running sum is inherently sequential — one totally-ordered window
+    over the whole corpus — while per-stratum windows give one
+    independent sort per partition key, which is how packing actually
+    runs at 100 TB (per shard/stratum, never globally).  Deterministic:
+    ordering is by unique doc_id, arithmetic all-integer."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", F.size(tokens("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("__cum"),
+    )
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr("(__cum - n_tokens) div 2048").alias("pack_id"),
+        (F.col("__cum") - F.col("n_tokens")).alias("tok_start"),
+    )
+
+
+# ------------------------------------------------------------- sliding window
+
+_SLIDING_SQL = f"""
+WITH expanded AS (
+  SELECT event_type, value,
+         time_bucket(INTERVAL '15 minutes', ts)
+           - to_minutes(CAST(15 * i.i AS BIGINT)) AS ws
+  FROM events, (SELECT unnest(range(4)) AS i) i
+)
+SELECT event_type,
+       strftime(ws, '{TS_FMT_DUCK}') AS window_start,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM expanded
+GROUP BY event_type, ws
+"""
+
+
+@query("q_window_sliding", oracle=_SLIDING_SQL)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes per event_type — the
+    HOPPING window (each event lands in ceil(60/15) = 4 overlapping
+    windows), the streaming-analytics shape q_window_tumbling does not
+    cover.  Batch analogue of `groupBy(window(ts, '1 hour',
+    '15 minutes'))`; the streaming twin is
+    streaming/replicate.py:tumbling_counts_stream with slide set.
+
+    The oracle expands each event into its 4 epoch-aligned window
+    starts explicitly — same grouping, engine-independently."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "15 minutes")
+    return (
+        ev.groupBy("event_type", win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            fmt_ts(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ------------------------------------------------------------- dedup decision
+
+# End-to-end dedup decision over the PORTABLE MinHash pair set
+# (queries/dedup_scale.py:_MINHASH_SQL semantics): candidate pairs with
+# est_jaccard >= 0.5, transitively closed (recursive CTE), each
+# non-minimum doc dropped in favor of its component minimum.
+_KEEPERS_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), dims AS (
+  SELECT unnest(generate_series(1, (SELECT MAX(len(t)) FROM toks))) AS i
+), sh AS (
+  SELECT DISTINCT doc_id, t[d.i] || ' ' || t[d.i+1] || ' ' || t[d.i+2] AS shingle
+  FROM toks, dims d WHERE d.i <= len(t) - 2
+), hs AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh
+), fam AS (
+  SELECT i,
+         ((i + 1) * 2654435761) % 2147483647 AS a,
+         ((i + 1) * 97531) % 2147483647 AS b
+  FROM (SELECT unnest(range(64)) AS i)
+), sig AS (
+  SELECT doc_id, f.i, MIN((f.a * h + f.b) % 2147483647) AS s
+  FROM hs CROSS JOIN fam f
+  GROUP BY doc_id, f.i
+), slices AS (
+  SELECT doc_id, i // 4 AS band, string_agg(s, ',' ORDER BY i) AS slice
+  FROM sig GROUP BY doc_id, i // 4
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM slices x JOIN slices y
+    ON x.band = y.band AND x.slice = y.slice AND x.doc_id < y.doc_id
+), pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+  GROUP BY c.doc_a, c.doc_b
+  HAVING SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) >= 32
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND e.b <> r.a
+), labels AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS keeper FROM reach GROUP BY a
+)
+SELECT doc_id, keeper AS kept_doc_id
+FROM labels WHERE keeper < doc_id
+"""
+
+
+@query("q_dedup_keepers", oracle=_KEEPERS_SQL)
+def q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION: MinHash-LSH candidates (portable mode,
+    est_jaccard >= 0.5) -> connected components -> every non-minimum
+    member of a duplicate cluster is dropped in favor of the component
+    minimum.  One row per DROPPED doc with its keeper — exactly the
+    table a pipeline anti-joins against the corpus to materialize the
+    deduplicated training set.
+
+    Composes the tested pieces end-to-end (signatures ->
+    banded candidates -> contraction clustering); at 100 TB the pair
+    set is the duplicate survivors (orders of magnitude below corpus
+    rows) and the closure runs on the contracted forest
+    (operators/graph.py scale posture)."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=64, portable=True).persist()
+    pairs = lsh_candidate_pairs(sigs, bands=16).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    return labels.filter(F.col("label") < F.col("id")).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("kept_doc_id")
+    )

@@ -191,14 +191,21 @@ def tumbling_counts_stream(
     ts_col: str = "event_time",
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Streaming twin of q_window_tumbling: watermarked tumbling-window
-    counts/sums; late rows beyond the watermark are dropped (the
-    reference has no late-data story at all — its TTL maps silently
-    forget; the watermark makes the bound explicit)."""
+    """Streaming twin of q_window_tumbling / q_window_sliding:
+    watermarked tumbling (or, with `slide`, hopping) window counts;
+    late rows beyond the watermark are dropped (the reference has no
+    late-data story at all — its TTL maps silently forget; the
+    watermark makes the bound explicit)."""
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
     return (
         stream.withWatermark(ts_col, watermark)
-        .groupBy(*key_cols, F.window(F.col(ts_col), window).alias("w"))
+        .groupBy(*key_cols, win.alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(*key_cols, F.col("w.start").alias("window_start"), "n_events")
     )
