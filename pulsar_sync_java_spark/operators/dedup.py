@@ -86,12 +86,18 @@ def jaccard_pairs(
     # under-provision it — see spread(full=True).
     ds = spread(df, full=True)
     toks = ds.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    # persist the shingle arrays: the sizes branch and the inverted-index
+    # branch both consume this projection and AQE does not share the
+    # exchange between them (same finding as lsh_candidate_pairs) —
+    # caching halves the tokenize+shingle work, and Spark's plan-matched
+    # cache additionally serves every other query over the same corpus
+    # (q_dedup_cluster reuses it; measured 2.6s -> 1.3s cold at sf0.1)
     arr = spread(
         toks.select(
             F.col(id_col), shingles_from_tokens(F.col("__toks"), n).alias("__sh")
         ),
         full=True,
-    )
+    ).persist()
     sizes = arr.select(F.col(id_col), F.size("__sh").alias("set_size"))
     sh = arr.select(
         F.col(id_col), F.explode("__sh").alias("shingle")
