@@ -261,3 +261,55 @@ def q_udf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         format_msg_id(F.col("l_orderkey"), F.col("l_linenumber")).alias("msg_id"),
     )
+
+
+_UDTF_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\.\\s+'), x -> x <> '') AS parts
+  FROM documents
+), dims AS (
+  SELECT unnest(generate_series(1, (SELECT MAX(len(parts)) FROM p))) AS i
+)
+SELECT doc_id,
+       CAST(d.i - 1 AS INT) AS sent_idx,
+       parts[d.i] AS sentence,
+       CAST(length(parts[d.i]) AS INT) AS n_chars
+FROM p, dims d WHERE d.i <= len(parts)
+"""
+
+
+@query("q_udtf_sentences", oracle=_UDTF_SQL)
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (table function): split each document into
+    sentences, one output ROW per non-empty piece with its index and
+    length — the row-generating API q_udf_roundtrip's scalar UDF cannot
+    express, applied via SQL LATERAL.
+
+    Like the scalar UDF query this exists to DECLARE the API surface:
+    UDTFs evaluate row-at-a-time in Python, so the hot-path rule stands
+    (a production sentence splitter would be `posexplode(split(...))`,
+    all JVM-side — that equivalent IS the DuckDB oracle here, which the
+    UDTF must match exactly)."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string, n_chars int")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            i = 0
+            for piece in re.split(r"\.\s+", text):
+                if piece != "":
+                    yield i, piece, len(piece)
+                    i += 1
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars "
+        "FROM __udtf_docs d, LATERAL split_sentences(d.text) s"
+    )
