@@ -197,6 +197,30 @@ def test_tumbling_stream_matches_batch(spark, message_dir):
     assert got.isdisjoint(open_tail) or got == closed | open_tail
 
 
+def test_sliding_stream_matches_batch(spark, message_dir):
+    """Hopping-window twin of q_window_sliding: every closed 1-h window
+    sliding 15 min must match the batch grouping."""
+    import datetime as dt
+
+    stream = tumbling_counts_stream(
+        read_message_stream(spark, message_dir),
+        key_cols=["topic"],
+        slide="15 minutes",
+    )
+    tbl = run_to_memory(stream, "sliding")
+    got = {(r.topic, r.window_start, r.n_events) for r in spark.table(tbl).collect()}
+    msgs = build_messages(spark)
+    batch = msgs.groupBy(
+        "topic", F.window("event_time", "1 hour", "15 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    max_ts = msgs.agg(F.max("event_time")).collect()[0][0]
+    horizon = max_ts - dt.timedelta(hours=2)
+    closed = {(r.topic, r.w.start, r.n) for r in batch.collect() if r.w.end <= horizon}
+    open_tail = {(r.topic, r.w.start, r.n) for r in batch.collect() if r.w.end > horizon}
+    assert closed <= got
+    assert got.isdisjoint(open_tail) or got == closed | open_tail
+
+
 def test_sessionize_stream_runs(spark, message_dir):
     """session_window merging-state operator produces closed sessions
     under availableNow (watermark advances past all data at end)."""
