@@ -232,6 +232,12 @@ def connected_components(
     (unparsable ids) are dropped up front rather than poisoning the
     forest kernels with NaN.
 
+    NOT lazy: calling this RUNS Spark jobs (the upstream pair pipeline
+    into the persisted forest, the gating count, and — over budget —
+    the contraction/star rounds) before returning the DataFrame handle.
+    Build it when you are ready to pay for the closure, not in an
+    explain-only path.
+
     Phases:
 
     1. a NARROW local-forest pass on the upstream partitioning (runs

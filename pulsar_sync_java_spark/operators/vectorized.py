@@ -48,9 +48,16 @@ def portable_minhash_family(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
     a_i = ((i+1) * 2654435761) mod p  (never 0: p is prime, i+1 < p,
     and 2654435761 is not a multiple of p), b_i = ((i+1) * 97531) mod p.
     Derived from i by plain integer arithmetic so a DuckDB oracle can
-    regenerate the exact constants — see queries/dedup_scale.py."""
+    regenerate the exact constants — see queries/dedup_scale.py.
+
+    Overflow bound (exact, not a margin): max(a*h + b) =
+    (p-1)*(2^32-1) + (p-1) ~= 2^63 - 2^33 < 2^63 - 1, so the arithmetic
+    fits int64/BIGINT but would NOT survive widening the 32-bit base
+    hash or the modulus — the static assert below guards that edit."""
     i = np.arange(1, num_hashes + 1, dtype=np.int64)
-    return (i * 2654435761) % _PORTABLE_P, (i * 97531) % _PORTABLE_P
+    a, b = (i * 2654435761) % _PORTABLE_P, (i * 97531) % _PORTABLE_P
+    assert (_PORTABLE_P - 1) * (2**32 - 1) + (_PORTABLE_P - 1) < 2**63 - 1
+    return a, b
 
 
 def minhash_signature_udf(num_hashes: int = 64, seed: int = 42):
@@ -79,9 +86,9 @@ def portable_minhash_signature_udf(num_hashes: int = 64):
     SQL-replayable family: base = first 4 md5 bytes big-endian (= the
     oracle's ('0x' || substr(md5(s),1,8))::BIGINT), then
     signature[i] = min of (a_i*base + b_i mod 2^31-1) with the
-    deterministic `portable_minhash_family` constants.  Every product
-    stays below 2^62, so int64/BIGINT arithmetic is exact in both
-    engines.
+    deterministic `portable_minhash_family` constants.  a*h+b tops out
+    at ~2^63 - 2^33 (see portable_minhash_family's bound), so
+    int64/BIGINT arithmetic is exact in both engines.
 
     md5 runs HERE (hashlib's C digest per shingle) rather than as a
     column expression: Spark evaluates lambdas inside `transform`

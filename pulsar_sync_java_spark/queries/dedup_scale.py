@@ -78,7 +78,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Portable MinHash oracle: md5-prefix 32-bit base hashes + the affine
 # mod-(2^31-1) family of operators/vectorized.py:portable_minhash_family,
-# replayed in plain BIGINT arithmetic (every product < 2^62, exact in
+# replayed in plain BIGINT arithmetic (a*h+b < 2^63 - 1, exact in
 # both engines).  Band membership needs no bucket hash at all: two docs
 # share a band iff their 4-long signature slices are EQUAL, which SQL
 # expresses directly (the engine's xxhash64 bucket id is just a grouping
@@ -107,9 +107,14 @@ WITH toks AS (
 ), slices AS (
   SELECT doc_id, i // 4 AS band, string_agg(s, ',' ORDER BY i) AS slice
   FROM sig GROUP BY doc_id, i // 4
+), ok_buckets AS (
+  -- the engine's max_bucket=1000 skew guard: oversized buckets dropped whole
+  SELECT band, slice FROM slices GROUP BY band, slice HAVING COUNT(*) <= 1000
 ), cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM slices x JOIN slices y
+  FROM slices x
+  JOIN ok_buckets ob ON x.band = ob.band AND x.slice = ob.slice
+  JOIN slices y
     ON x.band = y.band AND x.slice = y.slice AND x.doc_id < y.doc_id
 )
 SELECT c.doc_a, c.doc_b,

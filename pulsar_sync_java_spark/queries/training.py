@@ -275,9 +275,14 @@ WITH RECURSIVE toks AS (
 ), slices AS (
   SELECT doc_id, i // 4 AS band, string_agg(s, ',' ORDER BY i) AS slice
   FROM sig GROUP BY doc_id, i // 4
+), ok_buckets AS (
+  -- the engine's max_bucket=1000 skew guard: oversized buckets dropped whole
+  SELECT band, slice FROM slices GROUP BY band, slice HAVING COUNT(*) <= 1000
 ), cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM slices x JOIN slices y
+  FROM slices x
+  JOIN ok_buckets ob ON x.band = ob.band AND x.slice = ob.slice
+  JOIN slices y
     ON x.band = y.band AND x.slice = y.slice AND x.doc_id < y.doc_id
 ), pairs AS (
   SELECT c.doc_a, c.doc_b

@@ -192,23 +192,28 @@ def idempotent_append(
     from functools import reduce
 
     spark = df.sparkSession
-    fresh = df.dropDuplicates(keys)
-    if _sink_exists(spark, path):
-        if partition_col is not None:
-            vals = [r[0] for r in df.select(partition_col).distinct().collect()]
-            existing = _existing_keys(spark, path, keys, partition_col, vals)
-        else:
-            existing = _existing_keys(spark, path, keys)
-        f, e = fresh.alias("__f"), existing.alias("__e")
-        cond = reduce(
-            lambda a, b: a & b,
-            [F.col(f"__f.{k}").eqNullSafe(F.col(f"__e.{k}")) for k in keys],
-        )
-        fresh = f.join(e, on=cond, how="left_anti")
-    # persist across count + write: without it the anti-join (and the
-    # sink probe scan feeding it) evaluates twice per micro-batch
-    fresh = fresh.persist()
+    # persist the deduplicated batch up front: the partition-value
+    # collect, the anti-join, the count and the write all read it from
+    # cache — the raw batch source is evaluated exactly once
+    base = df.dropDuplicates(keys).persist()
+    fresh = base
     try:
+        if _sink_exists(spark, path):
+            if partition_col is not None:
+                vals = [
+                    r[0] for r in base.select(partition_col).distinct().collect()
+                ]
+                existing = _existing_keys(spark, path, keys, partition_col, vals)
+            else:
+                existing = _existing_keys(spark, path, keys)
+            f, e = base.alias("__f"), existing.alias("__e")
+            cond = reduce(
+                lambda a, b: a & b,
+                [F.col(f"__f.{k}").eqNullSafe(F.col(f"__e.{k}")) for k in keys],
+            )
+            # persist across count + write: without it the anti-join
+            # (and the sink probe scan feeding it) evaluates twice
+            fresh = f.join(e, on=cond, how="left_anti").persist()
         n = fresh.count()
         if n:
             writer = fresh.write.mode("append")
@@ -216,5 +221,7 @@ def idempotent_append(
                 writer = writer.partitionBy(partition_col)
             writer.parquet(path)
     finally:
-        fresh.unpersist()
+        if fresh is not base:
+            fresh.unpersist()
+        base.unpersist()
     return n

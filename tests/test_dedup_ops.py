@@ -157,6 +157,39 @@ def test_salted_join_equivalence(spark):
             assert got == want, (how, hot)
 
 
+def test_portable_hash_columns_match_kernel_definition(spark):
+    """The Column forms of the portable hashes (functions/text.py) must
+    agree with the in-kernel hashlib definition the sketch UDFs and the
+    SQL oracles use — one definition, three implementations, one test
+    tying them together."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from pulsar_sync_java_spark.functions.text import (
+        portable_hash32,
+        portable_hash64,
+    )
+
+    words = ["hello", "wörld", "foo bar", "", "日本語", "a.b\tc"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    rows = {
+        r["w"]: (r["h32"], r["h64"])
+        for r in df.select(
+            "w",
+            portable_hash32(F.col("w")).alias("h32"),
+            portable_hash64(F.col("w")).alias("h64"),
+        ).collect()
+    }
+    for w in words:
+        d = hashlib.md5(w.encode("utf-8")).digest()
+        want32 = int.from_bytes(d[:4], "big")
+        want64 = int.from_bytes(d[:8], "big", signed=False)
+        if want64 >= 1 << 63:  # signed 64-bit wrap, as the kernels view it
+            want64 -= 1 << 64
+        assert rows[w] == (want32, want64), w
+
+
 def test_multimodal_stub_raises_without_fake():
     try:
         import PIL  # noqa: F401

@@ -102,7 +102,13 @@ def test_cc_star_finish_plan_has_no_single_task_step(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     out = connected_components(df, finish_budget=0)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "repartition(1)" not in plan.lower().replace(" ", "")
+    # repartition(1) renders as 'Exchange SinglePartition' in physical
+    # plans — assert on that (and prove the assertion CAN fail: the
+    # gated path must contain it)
+    assert "SinglePartition" not in plan, plan
+    gated = connected_components(df, finish_budget=10**6)
+    gated_plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in gated_plan
     got = {r["id"]: r["label"] for r in out.collect()}
     assert got == _brute_components(edges)
 
