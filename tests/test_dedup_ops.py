@@ -57,6 +57,27 @@ def test_testdata_contains_planted_near_dups(exact_pairs):
     assert len(exact_pairs) > 0
 
 
+def test_lsh_max_bucket_drops_oversized_buckets_whole(spark):
+    """The skew guard the oracles must mirror: a band bucket with more
+    members than max_bucket contributes NO pairs (dropped whole, like a
+    stop shingle), while small buckets still pair."""
+    rows = [(i, "the same exact duplicated text again and again") for i in range(30)]
+    rows += [(100, "completely different words here entirely"),
+             (101, "completely different words here entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, num_hashes=64, portable=True)
+    capped = lsh_candidate_pairs(sigs, bands=16, max_bucket=10).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    # the 30-clone bucket (> 10) is dropped whole; the pair bucket stays
+    assert got == {(100, 101)}
+    uncapped = lsh_candidate_pairs(sigs, bands=16, max_bucket=1000).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    assert uncapped.count() == 30 * 29 // 2 + 1
+
+
 def test_minhash_lsh_recalls_near_dups(spark, documents, exact_pairs):
     """LSH with 16 bands / 4 rows has collision prob 1-(1-s^4)^16 —
     > 0.999 at s=0.7; planted near-dups (s >= 0.7) must all surface,
