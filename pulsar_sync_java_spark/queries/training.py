@@ -199,6 +199,138 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- data mixing
+
+_MIX_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n_tokens,
+         (doc_id * 2654435761) % 4294967296 AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY h, doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(cum AS BIGINT) AS cum_tokens
+FROM c
+WHERE cum - n_tokens <
+      (CASE lang WHEN 'en' THEN 1000 WHEN 'zh' THEN 500 ELSE 250 END)
+"""
+
+
+@query("q_mix_budget", oracle=_MIX_SQL)
+def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling by TOKEN BUDGET: fill each language's quota
+    (1000 en / 500 zh / 250 other tokens) by walking that stratum in
+    portable-hash order and keeping docs until the budget is reached
+    (the doc crossing the boundary is kept — greedy fill, like
+    q_pack_sequences).  This is the data-mixing step of a pretraining
+    run: domain weights are TOKEN targets, not row rates (which is what
+    q_sample_stratified does), and hash order makes the same mixture
+    reproducible on any engine or run.
+
+    One shuffle (partitionBy lang) into a running-sum window; budgets
+    cap the output per stratum, so downstream stages see bounded data
+    regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(tokens("text")).alias("n_tokens"),
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).alias("__h"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("__h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = (
+        F.when(F.col("lang") == "en", 1000)
+        .when(F.col("lang") == "zh", 500)
+        .otherwise(250)
+    )
+    c = t.select(
+        "doc_id", "lang", "n_tokens", F.sum("n_tokens").over(w).alias("cum_tokens")
+    )
+    return c.filter(F.col("cum_tokens") - F.col("n_tokens") < budget).select(
+        "doc_id", "lang", "n_tokens", "cum_tokens"
+    )
+
+
+# ------------------------------------------------------------- boilerplate
+
+_BOILER_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), dims AS (
+  SELECT unnest(generate_series(1, (SELECT MAX(len(t)) FROM toks))) AS i
+), sh5 AS (
+  SELECT DISTINCT doc_id,
+         t[d.i] || ' ' || t[d.i+1] || ' ' || t[d.i+2] || ' ' || t[d.i+3]
+           || ' ' || t[d.i+4] AS shingle
+  FROM toks, dims d WHERE d.i <= len(t) - 4
+), boiler AS (
+  SELECT shingle FROM sh5 GROUP BY shingle HAVING COUNT(*) >= 3
+), per_doc AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n5_total,
+         COUNT(b.shingle) AS n5_boiler
+  FROM sh5 s LEFT JOIN boiler b ON s.shingle = b.shingle
+  GROUP BY s.doc_id
+)
+SELECT doc_id, CAST(n5_total AS BIGINT) AS n5_total,
+       CAST(n5_boiler AS BIGINT) AS n5_boiler,
+       CAST(n5_boiler AS DOUBLE) / CAST(n5_total AS DOUBLE) AS boiler_ratio
+FROM per_doc
+"""
+
+
+@query("q_boilerplate", oracle=_BOILER_SQL)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global boilerplate scoring: a 5-gram occurring in >= 3
+    distinct documents is boilerplate (headers, licenses, templates —
+    the cross-document repetition q_repetition_ratio's WITHIN-doc gate
+    cannot see); each doc is scored by its boilerplate-5-gram fraction.
+
+    Scale shape: one inverted-index shuffle builds the document
+    frequencies (distinct (doc, shingle) explode -> per-shingle count);
+    the boilerplate set — tiny, high-df tail — broadcasts back onto the
+    per-doc aggregate.  Same discipline as q_contamination: the corpus
+    is shuffled once by shingle, never joined all-pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(d, n=5)
+    boiler = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= 3)
+        .select("shingle")
+    )
+    joined = sh.join(
+        F.broadcast(boiler.withColumn("__is_boiler", F.lit(1))),
+        "shingle",
+        "left",
+    )
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n5_total"),
+        F.count("__is_boiler").alias("n5_boiler"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n5_total",
+        "n5_boiler",
+        (
+            F.col("n5_boiler").cast("double") / F.col("n5_total").cast("double")
+        ).alias("boiler_ratio"),
+    )
+
+
 # ------------------------------------------------------------- sliding window
 
 _SLIDING_SQL = f"""
