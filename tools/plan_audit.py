@@ -45,6 +45,8 @@ EXPECT = {
     "q_pack_sequences": "one shuffle (partitionBy lang) feeding the running-sum Window; no global sort",
     "q_window_sliding": "hopping window = Expand (4 rows/event) into ONE partial+final aggregate, single exchange",
     "q_cross_join": "BroadcastNestedLoopJoin over broadcast dims; no CartesianProduct",
+    "q_mix_budget": "one shuffle (partitionBy lang) into the running-sum Window + budget filter",
+    "q_boilerplate": "one inverted-index shuffle for doc frequencies; boilerplate set joins back via broadcast",
 }
 
 _SECTION = """\
