@@ -209,6 +209,63 @@ def ivf_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def ivf_index_write(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Materialize the IVF layout `ivf_topk`'s docstring promises at
+    100 TB: assign every vector to its coarse cell and write the corpus
+    Hive-partitioned BY CELL, so a probe becomes partition PRUNING at
+    the parquet scan — the nprobe/n_centroids cost model enforced by
+    the storage layout instead of a runtime filter.  Returns the
+    centroids (the tiny model artifact a deployment stores next to the
+    index; re-derivable deterministically from the data + seed).
+
+    Routed through one repartition on the cell id before the write
+    (write_partitioned's file-count discipline: files per cell ~= 1,
+    not tasks x cells)."""
+    cents = kmeans_centroids(df, id_col, vec_col, n_centroids, iters, seed)
+    assigned = assign_clusters(spread(df), vec_col, cents).withColumnRenamed(
+        "__cluster", "ivf_cell"
+    )
+    assigned.repartition("ivf_cell").write.mode("overwrite").partitionBy(
+        "ivf_cell"
+    ).parquet(path)
+    return cents
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k over a materialized IVF index (`ivf_index_write`):
+    rank the stored centroids against the query driver-side (k x d
+    floats — no Spark job), then scan ONLY the nprobe matching
+    partition directories (`ivf_cell IN (...)` becomes
+    PartitionFilters; plan-asserted in tests) and exact-re-rank inside
+    them.  This is the scale path where `ivf_topk`'s per-query
+    assignment projection is replaced by the layout: probing 4 of 1024
+    cells reads ~0.4% of a 100 TB corpus."""
+    order = sorted(
+        range(len(centroids)),
+        key=lambda i: sum((a - b) ** 2 for a, b in zip(query_vec, centroids[i])),
+    )
+    probe = [int(i) for i in order[:nprobe]]
+    cand = spark.read.parquet(path).where(F.col("ivf_cell").isin(probe))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def embedding_near_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -138,6 +138,59 @@ def test_ivf_topk_recall_vs_exact(spark, embeddings):
     assert recall >= 0.5, f"recall {recall}: exact={exact} approx={approx}"
 
 
+def test_ivf_indexed_prunes_partitions_and_matches_runtime_path(
+    spark, embeddings, tmp_path
+):
+    """The materialized IVF layout: the indexed probe must (a) return
+    exactly what the runtime-assignment path returns for the same
+    centroids/nprobe, and (b) physically scan ONLY the probed cells'
+    partition directories (plan PartitionFilters + numFiles metric)."""
+    import glob
+    import os
+
+    from pulsar_sync_java_spark.operators.similarity import (
+        ivf_index_write,
+        ivf_topk_indexed,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    cents = ivf_index_write(embeddings, path, n_centroids=8, iters=1)
+    row = embeddings.filter(F.col("vec_id") == 0).first()
+    qv = [float(x) for x in row.embedding]
+
+    out = ivf_topk_indexed(spark, path, cents, qv, k=10, nprobe=2)
+    got = [(r.vec_id, r.cos_sim) for r in out.collect()]
+    want = [
+        (r.vec_id, r.cos_sim)
+        for r in ivf_topk(
+            embeddings, qv, k=10, n_centroids=8, nprobe=2, iters=1
+        ).collect()
+    ]
+    assert got == want
+
+    # pruning evidence: probe scan reads only the 2 matching cells
+    order = sorted(
+        range(len(cents)),
+        key=lambda i: sum((a - b) ** 2 for a, b in zip(qv, cents[i])),
+    )
+    probed = {order[0], order[1]}
+    cand = spark.read.parquet(path).where(F.col("ivf_cell").isin([int(c) for c in probed]))
+    rows = cand.collect()
+    assert len(rows) > 0
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "ivf_cell" in plan
+    all_files = [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    ]
+    match_files = [
+        f for f in all_files if any(f"ivf_cell={c}" in f for c in probed)
+    ]
+    leaves = cand._jdf.queryExecution().executedPlan().collectLeaves()
+    num_files = int(leaves.apply(0).metrics().apply("numFiles").value())
+    assert num_files == len(match_files) < len(all_files)
+
+
 def test_embedding_neardup_finds_planted_dup(spark, embeddings):
     """An exact copy of vec_id=0 shares every band bucket with it, so
     banded hyperplane LSH must surface the pair with cos_sim == 1."""
