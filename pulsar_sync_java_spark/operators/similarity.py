@@ -120,6 +120,84 @@ def lsh_topk(
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def lsh_index_write(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    prefix_bits: int = 4,
+    seed: int = 42,
+) -> None:
+    """Materialize the layout `lsh_topk`'s docstring promises at scale:
+    precompute the H-bit hyperplane signature once and write the corpus
+    Hive-partitioned by its top `prefix_bits` bits (2^prefix_bits
+    directories).  A Hamming-ball probe then PRUNES partitions: a
+    prefix whose distance to the query's prefix already exceeds the
+    ball radius cannot contain candidates, so those directories are
+    never read (`lsh_topk_indexed`)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    planes = _planes(int(row["d"]), num_planes, seed)
+    from pulsar_sync_java_spark.operators.vectorized import (
+        hyperplane_signature_udf,
+    )
+
+    sig = hyperplane_signature_udf(planes)(F.col(vec_col))
+    signed = spread(df).withColumn("__sig", sig).withColumn(
+        "sig_prefix",
+        F.shiftrightunsigned(F.col("__sig"), num_planes - prefix_bits)
+        .bitwiseAND(F.lit((1 << prefix_bits) - 1)),
+    )
+    signed.repartition("sig_prefix").write.mode("overwrite").partitionBy(
+        "sig_prefix"
+    ).parquet(path)
+
+
+def lsh_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    prefix_bits: int = 4,
+    max_hamming: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k over a materialized LSH index (`lsh_index_write`):
+    compute the query signature driver-side, keep only the prefixes
+    whose Hamming distance to the query's prefix is <= max_hamming
+    (bits that already disagree in the prefix count against the whole-
+    signature budget), scan just those partition directories, apply the
+    exact bit_count filter on the stored signature, and re-rank.  The
+    pruned fraction concentrates near
+    sum_{i<=r} C(prefix_bits,i)/2^prefix_bits of the corpus."""
+    import numpy as np
+
+    from pulsar_sync_java_spark.operators.vectorized import hyperplane_sign_bits
+
+    row = spark.read.parquet(path).select(F.size(F.col(vec_col)).alias("d")).first()
+    planes = _planes(int(row["d"]), num_planes, seed)
+    q_sig = int(
+        hyperplane_sign_bits(
+            np.asarray([query_vec], dtype=np.float64), np.asarray(planes)
+        )[0]
+    )
+    q_prefix = (q_sig >> (num_planes - prefix_bits)) & ((1 << prefix_bits) - 1)
+    probe = [
+        p
+        for p in range(1 << prefix_bits)
+        if bin(p ^ q_prefix).count("1") <= max_hamming
+    ]
+    cand = (
+        spark.read.parquet(path)
+        .where(F.col("sig_prefix").isin(probe))
+        .filter(F.bit_count(F.col("__sig").bitwiseXOR(F.lit(q_sig))) <= max_hamming)
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def assign_clusters(
     df: DataFrame, vec_col: str, centroids: list[list[float]]
 ) -> DataFrame:

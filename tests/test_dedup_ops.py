@@ -191,6 +191,64 @@ def test_ivf_indexed_prunes_partitions_and_matches_runtime_path(
     assert num_files == len(match_files) < len(all_files)
 
 
+def test_lsh_indexed_prunes_partitions_and_matches_runtime_path(
+    spark, embeddings, tmp_path
+):
+    """The materialized signature-prefix layout: a Hamming-ball probe
+    with radius < prefix_bits must skip the out-of-ball prefix
+    directories (numFiles metric) and return exactly the runtime
+    lsh_topk answer for the same planes/radius."""
+    import glob
+    import os
+
+    from pulsar_sync_java_spark.operators.similarity import (
+        lsh_index_write,
+        lsh_topk_indexed,
+    )
+
+    path = str(tmp_path / "lsh_index")
+    lsh_index_write(embeddings, path, num_planes=16, prefix_bits=4)
+    row = embeddings.filter(F.col("vec_id") == 0).first()
+    qv = [float(x) for x in row.embedding]
+
+    out = lsh_topk_indexed(
+        spark, path, qv, k=10, num_planes=16, prefix_bits=4, max_hamming=2
+    )
+    got = [(r.vec_id, r.cos_sim) for r in out.collect()]
+    want = [
+        (r.vec_id, r.cos_sim)
+        for r in lsh_topk(
+            embeddings, qv, k=10, num_planes=16, max_hamming=2
+        ).collect()
+    ]
+    assert got == want and 0 in {v for v, _ in got}
+
+    # radius 2 over 4 prefix bits -> 11 of 16 prefixes qualify; the
+    # probe scan must read no files from the other 5 directories
+    import numpy as np
+
+    from pulsar_sync_java_spark.operators.similarity import _planes
+    from pulsar_sync_java_spark.operators.vectorized import hyperplane_sign_bits
+
+    planes = _planes(len(qv), 16, 42)
+    q_sig = int(
+        hyperplane_sign_bits(np.asarray([qv]), np.asarray(planes))[0]
+    )
+    q_prefix = (q_sig >> 12) & 0xF
+    probe = [p for p in range(16) if bin(p ^ q_prefix).count("1") <= 2]
+    cand = spark.read.parquet(path).where(F.col("sig_prefix").isin(probe))
+    cand.collect()
+    all_files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    match_files = [
+        f
+        for f in all_files
+        if any(f"sig_prefix={p}" + os.sep in f or f.endswith(f"sig_prefix={p}") or f"sig_prefix={p}/" in f for p in probe)
+    ]
+    leaves = cand._jdf.queryExecution().executedPlan().collectLeaves()
+    num_files = int(leaves.apply(0).metrics().apply("numFiles").value())
+    assert num_files == len(match_files) < len(all_files)
+
+
 def test_embedding_neardup_finds_planted_dup(spark, embeddings):
     """An exact copy of vec_id=0 shares every band bucket with it, so
     banded hyperplane LSH must surface the pair with cos_sim == 1."""
