@@ -84,6 +84,31 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table)
 
 
+def _partition_cols(spark: SparkSession, path: str) -> list[str]:
+    """Hive partition columns of a parquet directory, outermost first,
+    detected from the `key=value` directory chain (the same layout
+    Spark's own partition discovery reads)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    cols: list[str] = []
+    cur = root
+    while True:
+        nxt = None
+        for status in fs.listStatus(cur):
+            name = status.getPath().getName()
+            if status.isDirectory() and "=" in name and not name.startswith("."):
+                key = name.split("=", 1)[0]
+                if key not in cols:
+                    cols.append(key)
+                nxt = status.getPath()
+                break
+        if nxt is None:
+            return cols
+        cur = nxt
+
+
 def compact(
     spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
 ) -> int:
@@ -94,6 +119,14 @@ def compact(
 
     Sizing uses the CURRENT on-disk bytes, so compression ratio is
     accounted for without guessing row widths.
+
+    Hive-partitioned tables KEEP their layout: the partition directory
+    chain is re-applied on the staged write (flattening it would turn
+    the partition columns into data columns and break every
+    partition-pruned consumer — the idempotent-append probe, the IVF
+    cell index, the LSH prefix index).  The file-count target then
+    applies per partition value via the same repartition-on-partition-
+    columns routing as write_partitioned.
     """
     jvm = spark._jvm
     jsc = spark._jsc
@@ -105,8 +138,25 @@ def compact(
 
     staged = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_tmp")
     df = spark.read.parquet(path)
-    # coalesce, not repartition: pure file merge, no shuffle
-    df.coalesce(n_files).write.mode("overwrite").parquet(staged.toString())
+    pcols = _partition_cols(spark, path)
+    if pcols:
+        (
+            df.repartition(*[F.col(c) for c in pcols])
+            .write.mode("overwrite")
+            .partitionBy(*pcols)
+            .parquet(staged.toString())
+        )
+    else:
+        # coalesce, not repartition: pure file merge, no shuffle
+        df.coalesce(n_files).write.mode("overwrite").parquet(staged.toString())
+
+    if pcols:
+        # actual staged file count (one-ish per partition value)
+        n_files = 0
+        it = fs.listFiles(staged, True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n_files += 1
 
     backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_old")
     if not fs.rename(src, backup):

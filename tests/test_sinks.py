@@ -102,6 +102,33 @@ def test_compact_merges_files_and_preserves_rows(spark, facts, tmp_path):
     assert not os.path.exists(out + "__compact_old")
 
 
+def test_compact_preserves_hive_partition_layout(spark, facts, tmp_path):
+    """Compacting a partitioned sink must keep the key=value directory
+    chain (flattening would break every partition-pruned consumer) and
+    still merge the per-partition file litter."""
+    out = str(tmp_path / "t3p")
+    # litter: 6 appends, each partitioned by day -> ~42 files
+    for i in range(6):
+        facts.filter(
+            (F.col("id") >= i * 500) & (F.col("id") < (i + 1) * 500)
+        ).write.mode("append").partitionBy("day").parquet(out)
+    assert len(_parquet_files(out)) >= 42
+    before = sorted(r.id for r in spark.read.parquet(out).collect())
+
+    n = compact(spark, out, target_file_bytes=10 * 1024 * 1024)
+    files = _parquet_files(out)
+    assert len(files) == n <= 7 * 2
+    # layout intact: every file still lives under a day=<v> directory
+    assert all("day=" in f for f in files), files[:3]
+    after = spark.read.parquet(out)
+    assert sorted(r.id for r in after.collect()) == before
+    # and pruning still works on the compacted table
+    pruned = after.where(F.col("day") == 3)
+    pruned.collect()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "day" in plan
+
+
 def test_idempotent_append_replay_is_noop(spark, facts, tmp_path):
     out = str(tmp_path / "t4")
     batch = facts.filter(F.col("id") < 100)
