@@ -29,8 +29,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return all_queries()
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered oldest-driver-coverage-first (tools/coverage_rotation.py):
+    the driver verifies the first 50 entries, so rotation keeps every
+    query's latest CORRECTNESS row fresh across rounds.  The core
+    registry itself is deterministic; the rotation is applied only here,
+    at the driver boundary.
+    """
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent
+    sys.path.insert(0, str(root))
+    try:
+        from tools.coverage_rotation import rotate_by_coverage_age
+    finally:
+        sys.path.pop(0)
+
+    reg = all_queries()
+    order = rotate_by_coverage_age(list(reg), all_oracles(), root)
+    return {n: reg[n] for n in order}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -56,52 +56,15 @@ def load_all() -> None:
     )
 
 
-def _coverage_age() -> dict[str, int]:
-    """Last round in which each query got its best-achievable driver row.
-
-    The driver verifies the FIRST 50 entries of ``queries()`` (observed:
-    CORRECTNESS_r01/r02 are exact registry-order prefixes).  With more
-    than 50 declared queries, a fixed order starves the tail forever, so
-    we rotate by coverage age read from the repo's own CORRECTNESS_r*.json
-    files:
-
-    - hash-green row in round N            -> age N
-    - ``no_oracle`` row in round N, and the query still has no oracle
-      (rows-only by design)                -> age N (best achievable)
-    - ``no_oracle`` row but the query NOW has an oracle, or any failed /
-      errored row                          -> ignored (needs a re-check)
-    - never appeared                       -> age 0
-
-    Sorting ascending by (age, registration order) puts never-checked and
-    newly-oracled queries first and rotates green coverage fairly.
-    """
-    import json
-    from pathlib import Path
-
-    root = Path(__file__).resolve().parents[2]
-    age: dict[str, int] = {}
-    for path in sorted(root.glob("CORRECTNESS_r*.json")):
-        try:
-            rnd = int(path.stem.split("_r")[-1])
-            rows = json.loads(path.read_text())
-        except (ValueError, OSError, json.JSONDecodeError):
-            continue
-        for name, row in rows.items():
-            if not isinstance(row, dict):
-                continue
-            if row.get("hash_match") is True:
-                age[name] = max(age.get(name, 0), rnd)
-            elif row.get("err") == "no_oracle" and name not in ORACLE:
-                age[name] = max(age.get(name, 0), rnd)
-    return age
-
-
 def all_queries() -> dict[str, SparkQuery]:
+    """The declared queries in REGISTRATION order — deterministic for a
+    given checkout, independent of any benchmark/driver artifacts.  The
+    driver-facing coverage-age rotation lives in the tooling layer
+    (``tools/coverage_rotation.py``, applied by ``__spark_entry__``), so
+    importing the library never couples its behavior to repo-root state.
+    """
     load_all()
-    age = _coverage_age()
-    reg = list(QUERIES)
-    order = sorted(reg, key=lambda n: (age.get(n, 0), reg.index(n)))
-    return {n: QUERIES[n] for n in order}
+    return dict(QUERIES)
 
 
 def all_oracles() -> dict[str, str]:

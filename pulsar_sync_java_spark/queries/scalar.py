@@ -301,7 +301,10 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
             if text is None:
                 return
             i = 0
-            for piece in re.split(r"\.\s+", text):
+            # re.ASCII: the DuckDB oracle's RE2 \s+ is ASCII-only, while
+            # Python's \s is Unicode-aware (NBSP, ideographic space...).
+            # Both engines must agree on what counts as whitespace.
+            for piece in re.split(r"\.\s+", text, flags=re.ASCII):
                 if piece != "":
                     yield i, piece, len(piece)
                     i += 1

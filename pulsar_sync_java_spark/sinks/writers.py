@@ -109,6 +109,36 @@ def _partition_cols(spark: SparkSession, path: str) -> list[str]:
         cur = nxt
 
 
+def _partition_value_sizes(
+    fs, src, pcols: list[str]
+) -> dict[tuple, int]:
+    """On-disk bytes per partition-value tuple, from one recursive file
+    listing.  Keys are the DIRECTORY-ENCODED values (Hive URL-escaping
+    undone, `__HIVE_DEFAULT_PARTITION__` -> None) in `pcols` order —
+    exactly what Spark reads the partition columns as when type
+    inference is disabled, so they join back against the DataFrame."""
+    from urllib.parse import unquote
+
+    root = src.toUri().getPath().rstrip("/")
+    sizes: dict[tuple, int] = {}
+    it = fs.listFiles(src, True)
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath()
+        if not p.getName().endswith(".parquet"):
+            continue
+        rel = p.getParent().toUri().getPath()[len(root):].strip("/")
+        vals: dict[str, str | None] = {}
+        for seg in rel.split("/"):
+            if "=" not in seg:
+                continue
+            k, v = seg.split("=", 1)
+            vals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+        key = tuple(vals.get(c) for c in pcols)
+        sizes[key] = sizes.get(key, 0) + status.getLen()
+    return sizes
+
+
 def compact(
     spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
 ) -> int:
@@ -124,9 +154,20 @@ def compact(
     chain is re-applied on the staged write (flattening it would turn
     the partition columns into data columns and break every
     partition-pruned consumer — the idempotent-append probe, the IVF
-    cell index, the LSH prefix index).  The file-count target then
-    applies per partition value via the same repartition-on-partition-
-    columns routing as write_partitioned.
+    cell index, the LSH prefix index).  The file-count target applies
+    PER PARTITION VALUE: per-value on-disk bytes (one file listing)
+    set a per-value file count, and values bigger than the target get
+    a salt modulo that count — write_partitioned's hot-value salting —
+    so a partition value holding 10% of the table is written by
+    ceil(bytes/target) tasks, not one.
+
+    The compaction read disables partition-column TYPE INFERENCE, so
+    directory values round-trip verbatim (`day=007` stays `day=007`,
+    date-like strings stay strings): the staged write re-encodes the
+    same directory names, and downstream readers with inference ON see
+    exactly the types they saw before the compaction.  Partition
+    discovery assumes a homogeneous `key=value` chain (standard Hive
+    layout, what `write_partitioned` produces).
     """
     jvm = spark._jvm
     jsc = spark._jsc
@@ -137,21 +178,78 @@ def compact(
     n_files = max(1, math.ceil(summary.getLength() / target_file_bytes))
 
     staged = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_tmp")
-    df = spark.read.parquet(path)
     pcols = _partition_cols(spark, path)
     if pcols:
-        (
-            df.repartition(*[F.col(c) for c in pcols])
-            .write.mode("overwrite")
-            .partitionBy(*pcols)
-            .parquet(staged.toString())
-        )
+        infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        saved = spark.conf.get(infer_key)
+        spark.conf.set(infer_key, "false")
+        try:
+            df = spark.read.parquet(path)
+            sizes = _partition_value_sizes(fs, src, pcols)
+            per_value = {
+                k: max(1, math.ceil(b / target_file_bytes))
+                for k, b in sizes.items()
+            }
+            coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+            saved_coalesce = spark.conf.get(coalesce_key)
+            if any(n > 1 for n in per_value.values()):
+                from pyspark.sql.types import (
+                    IntegerType,
+                    StringType,
+                    StructField,
+                    StructType,
+                )
+
+                schema = StructType(
+                    [StructField(f"__pv_{c}", StringType()) for c in pcols]
+                    + [StructField("__nf", IntegerType())]
+                )
+                counts = spark.createDataFrame(
+                    [(*k, n) for k, n in per_value.items()], schema=schema
+                )
+                cond = None
+                for c in pcols:
+                    # inference disabled -> df partition cols are the
+                    # verbatim directory strings the listing parsed
+                    eq = F.col(c).eqNullSafe(F.col(f"__pv_{c}"))
+                    cond = eq if cond is None else (cond & eq)
+                # AQE coalescing would merge the salted groups right
+                # back into one writer (its 64 MB shuffle advisory !=
+                # our on-disk parquet target); explicit partition count
+                # + no coalescing keeps one-ish writer per (value,salt)
+                n_total = sum(per_value.values())
+                spark.conf.set(coalesce_key, "false")
+                routed = (
+                    df.join(F.broadcast(counts), cond)
+                    .repartition(
+                        max(2 * n_total, df.sparkSession._sc.defaultParallelism),
+                        *[F.col(c) for c in pcols],
+                        F.pmod(
+                            F.xxhash64(*[F.col(c) for c in df.columns]),
+                            F.col("__nf"),
+                        ),
+                    )
+                    .select(*df.columns)
+                )
+            else:
+                routed = df.repartition(*[F.col(c) for c in pcols])
+            try:
+                (
+                    routed.write.mode("overwrite")
+                    .partitionBy(*pcols)
+                    .parquet(staged.toString())
+                )
+            finally:
+                spark.conf.set(coalesce_key, saved_coalesce)
+        finally:
+            spark.conf.set(infer_key, saved)
     else:
+        df = spark.read.parquet(path)
         # coalesce, not repartition: pure file merge, no shuffle
         df.coalesce(n_files).write.mode("overwrite").parquet(staged.toString())
 
     if pcols:
-        # actual staged file count (one-ish per partition value)
+        # actual staged file count (~= sum of per-value targets)
         n_files = 0
         it = fs.listFiles(staged, True)
         while it.hasNext():

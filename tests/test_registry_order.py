@@ -1,31 +1,43 @@
 """Driver-coverage rotation: the driver verifies only the FIRST 50
-entries of ``queries()`` (CORRECTNESS_r01/r02 are exact prefix samples),
-so ``all_queries()`` must order never-checked / newly-oracled queries
-first and rotate previously-green queries by coverage age."""
+entries of ``__spark_entry__.queries()`` (CORRECTNESS_r01/r02 are exact
+prefix samples), so the DRIVER-FACING ordering must put never-checked /
+newly-oracled queries first and rotate previously-green queries by
+coverage age.  The core registry (``all_queries``) stays deterministic
+— registration order, independent of repo-root artifacts (ADVICE r3)."""
 
 from __future__ import annotations
 
 import json
+import sys
+from pathlib import Path
 
 from pulsar_sync_java_spark import queries as reg
 from pulsar_sync_java_spark.queries import all_oracles, all_queries
 
+ROOT = Path(reg.__file__).resolve().parents[2]
+sys.path.insert(0, str(ROOT))
+import __spark_entry__  # noqa: E402
+
 
 def _rounds():
-    from pathlib import Path
-
-    root = Path(reg.__file__).resolve().parents[2]
     out = {}
-    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+    for path in sorted(ROOT.glob("CORRECTNESS_r*.json")):
         out[int(path.stem.split("_r")[-1])] = json.loads(path.read_text())
     return out
+
+
+def test_core_registry_is_deterministic_registration_order():
+    # all_queries() must not depend on CORRECTNESS artifacts: it is the
+    # library API, and registration order is its contract.
+    reg.load_all()
+    assert list(all_queries()) == list(reg.QUERIES)
 
 
 def test_never_checked_queries_come_first():
     rounds = _rounds()
     if not rounds:
         return  # fresh clone without driver artifacts: any order is fine
-    ordered = list(all_queries())
+    ordered = list(__spark_entry__.queries())
     oracles = all_oracles()
     seen = set()
     for rows in rounds.values():
@@ -50,7 +62,7 @@ def test_rotation_prefers_older_green_rows():
     rounds = _rounds()
     if len(rounds) < 2:
         return
-    ordered = list(all_queries())
+    ordered = list(__spark_entry__.queries())
     latest = max(rounds)
     oldest = min(rounds)
     old_only = {
@@ -68,8 +80,8 @@ def test_rotation_prefers_older_green_rows():
         )
 
 
-def test_all_queries_is_a_permutation_of_registry():
-    ordered = all_queries()
+def test_rotated_queries_is_a_permutation_of_registry():
+    ordered = __spark_entry__.queries()
     assert set(ordered) == set(reg.QUERIES)
     assert len(ordered) == len(reg.QUERIES)
     assert set(all_oracles()) <= set(ordered)

@@ -129,6 +129,58 @@ def test_compact_preserves_hive_partition_layout(spark, facts, tmp_path):
     assert "PartitionFilters: [" in plan and "day" in plan
 
 
+def test_compact_splits_oversized_partition_value(spark, facts, tmp_path):
+    """target_file_bytes applies PER PARTITION VALUE: a value bigger
+    than the target is salted across ceil(bytes/target) files, not
+    funneled through one task into one oversized file."""
+    out = str(tmp_path / "t3h")
+    # hot value: day 0 gets 50x the rows of the others
+    hot = facts.withColumn("day", F.when(F.col("id") < 9000, 0).otherwise(F.col("day")))
+    hot.write.mode("overwrite").partitionBy("day").parquet(out)
+    sizes: dict[str, int] = {}
+    for f in _parquet_files(out):
+        part = os.path.basename(os.path.dirname(f))
+        sizes[part] = sizes.get(part, 0) + os.path.getsize(f)
+    # pick a target between the cold values and the hot one
+    target = max(s for p, s in sizes.items() if p != "day=0") * 2
+    assert sizes["day=0"] > 2 * target
+
+    before = sorted(r.id for r in spark.read.parquet(out).collect())
+    n = compact(spark, out, target_file_bytes=target)
+    by_part: dict[str, int] = {}
+    for f in _parquet_files(out):
+        part = os.path.basename(os.path.dirname(f))
+        by_part[part] = by_part.get(part, 0) + 1
+    # hot value split across multiple writers; cold values stay at 1
+    assert by_part["day=0"] > 1, by_part
+    assert all(v == 1 for p, v in by_part.items() if p != "day=0"), by_part
+    assert n == sum(by_part.values())
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == before
+
+
+def test_compact_preserves_partition_value_strings(spark, tmp_path):
+    """Directory values round-trip verbatim through compaction: type
+    inference is disabled for the rewrite pass, so `day=007` stays
+    `day=007` (inference-enabled rewrite would canonicalize it to
+    `day=7` and change downstream consumers' view of the table)."""
+    out = str(tmp_path / "t3s")
+    df = spark.createDataFrame(
+        [(1, "007"), (2, "007"), (3, "1月"), (4, None)], "id long, day string"
+    )
+    df.write.mode("overwrite").partitionBy("day").parquet(out)
+    dirs_before = {
+        os.path.basename(os.path.dirname(f)) for f in _parquet_files(out)
+    }
+    compact(spark, out, target_file_bytes=10 * 1024 * 1024)
+    dirs_after = {
+        os.path.basename(os.path.dirname(f)) for f in _parquet_files(out)
+    }
+    assert dirs_before == dirs_after, (dirs_before, dirs_after)
+    got = spark.read.parquet(out)
+    assert got.count() == 4
+    assert sorted(r.id for r in got.collect()) == [1, 2, 3, 4]
+
+
 def test_idempotent_append_replay_is_noop(spark, facts, tmp_path):
     out = str(tmp_path / "t4")
     batch = facts.filter(F.col("id") < 100)

