@@ -137,6 +137,11 @@ def lsh_index_write(
     ball radius cannot contain candidates, so those directories are
     never read (`lsh_topk_indexed`)."""
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        raise ValueError(
+            f"lsh_index_write: input has no rows — nothing to index "
+            f"(vec_col={vec_col!r})"
+        )
     planes = _planes(int(row["d"]), num_planes, seed)
     from pulsar_sync_java_spark.operators.vectorized import (
         hyperplane_signature_udf,
@@ -162,7 +167,7 @@ def lsh_topk_indexed(
     vec_col: str = "embedding",
     num_planes: int = 16,
     prefix_bits: int = 4,
-    max_hamming: int = 4,
+    max_hamming: int = 3,
     seed: int = 42,
 ) -> DataFrame:
     """ANN top-k over a materialized LSH index (`lsh_index_write`):
@@ -172,12 +177,24 @@ def lsh_topk_indexed(
     signature budget), scan just those partition directories, apply the
     exact bit_count filter on the stored signature, and re-rank.  The
     pruned fraction concentrates near
-    sum_{i<=r} C(prefix_bits,i)/2^prefix_bits of the corpus."""
+    sum_{i<=r} C(prefix_bits,i)/2^prefix_bits of the corpus.
+
+    Partition pruning only exists while max_hamming < prefix_bits: a
+    radius >= prefix_bits admits every prefix and the probe degrades to
+    a full scan + filter (a warning is emitted).  max_hamming is the
+    recall/cost dial — raise it (accepting weaker pruning) when the
+    corpus is isotropic and neighbors sit at low cosine; on clustered
+    real-world embeddings small radii keep recall high AND prune."""
     import numpy as np
 
     from pulsar_sync_java_spark.operators.vectorized import hyperplane_sign_bits
 
     row = spark.read.parquet(path).select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        raise ValueError(
+            f"lsh_topk_indexed: index at {path!r} is empty — "
+            "was lsh_index_write run on a non-empty corpus?"
+        )
     planes = _planes(int(row["d"]), num_planes, seed)
     q_sig = int(
         hyperplane_sign_bits(
@@ -190,6 +207,16 @@ def lsh_topk_indexed(
         for p in range(1 << prefix_bits)
         if bin(p ^ q_prefix).count("1") <= max_hamming
     ]
+    if len(probe) == (1 << prefix_bits):
+        import warnings
+
+        warnings.warn(
+            f"lsh_topk_indexed: max_hamming={max_hamming} >= "
+            f"prefix_bits={prefix_bits} admits every prefix — the probe "
+            "scans the whole index (no partition pruning). Lower "
+            "max_hamming or index with more prefix_bits.",
+            stacklevel=2,
+        )
     cand = (
         spark.read.parquet(path)
         .where(F.col("sig_prefix").isin(probe))
@@ -244,6 +271,11 @@ def kmeans_centroids(
         .limit(sample_per_centroid * k)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "kmeans_centroids: input has no rows — cannot train a "
+            f"quantizer (vec_col={vec_col!r})"
+        )
     X = np.asarray([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
     C = X[:k].copy()  # hash order == seeded random -> first k are the seeds
     for _ in range(iters):

@@ -249,6 +249,145 @@ def test_lsh_indexed_prunes_partitions_and_matches_runtime_path(
     assert num_files == len(match_files) < len(all_files)
 
 
+def test_ann_empty_input_raises_clear_errors(spark, tmp_path):
+    """Empty corpus / empty index must fail loudly (ValueError naming
+    the call), not with a TypeError from a None .first() subscript."""
+    from pulsar_sync_java_spark.operators.similarity import (
+        kmeans_centroids,
+        lsh_index_write,
+        lsh_topk_indexed,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="lsh_index_write"):
+        lsh_index_write(empty, str(tmp_path / "empty_idx"))
+    with pytest.raises(ValueError, match="kmeans_centroids"):
+        kmeans_centroids(empty)
+    # an index directory written by something else but holding no rows
+    empty.write.parquet(str(tmp_path / "hollow_idx"))
+    with pytest.raises(ValueError, match="lsh_topk_indexed"):
+        lsh_topk_indexed(spark, str(tmp_path / "hollow_idx"), [0.0] * 4)
+
+
+def test_lsh_indexed_warns_when_probe_covers_every_prefix(
+    spark, embeddings, tmp_path
+):
+    """max_hamming >= prefix_bits admits every prefix — the probe
+    degrades to a full scan and must say so."""
+    from pulsar_sync_java_spark.operators.similarity import (
+        lsh_index_write,
+        lsh_topk_indexed,
+    )
+
+    path = str(tmp_path / "lsh_warn_idx")
+    lsh_index_write(embeddings, path, num_planes=16, prefix_bits=4)
+    qv = [float(x) for x in embeddings.first().embedding]
+    with pytest.warns(UserWarning, match="no partition pruning"):
+        lsh_topk_indexed(
+            spark, path, qv, k=5, prefix_bits=4, max_hamming=4
+        ).collect()
+
+
+def test_ann_recall_at_10_meets_gate_sf01(spark, tmp_path):
+    """Quantified quality bar for the two rows-only ANN queries: mean
+    recall@10 vs exact cosine_topk over 8 queries at sf0.1 must be
+    >= 0.9 on all four paths (LSH / IVF, runtime and materialized-index
+    variants).
+
+    Settings note: this corpus is ISOTROPIC (synthetic near-orthogonal
+    vectors; true neighbors sit at cos ~0.6 where a plane disagrees
+    with prob acos(0.6)/pi ~ 0.30, i.e. expected Hamming ~4.7/16), so
+    recall 0.9 needs radius 8/16 and nprobe 10/16 — measured: mh=8 ->
+    avg 0.92, nprobe=10 -> avg 0.90; one step lower misses the gate.
+    On clustered real-world embeddings the same recall comes at much
+    smaller radii; the dials are the contract, this test pins what
+    they buy on the worst-case (structureless) corpus."""
+    import warnings
+
+    from pulsar_sync_java_spark.operators.similarity import (
+        assign_clusters,
+        ivf_index_write,
+        ivf_topk_indexed,
+        kmeans_centroids,
+        knn_join,
+        lsh_index_write,
+        lsh_topk_indexed,
+    )
+    from pulsar_sync_java_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.1", "embeddings").persist()
+    try:
+        qdf = e.filter(F.col("vec_id") < 8)
+        queries = {
+            r.vec_id: [float(x) for x in r.embedding] for r in qdf.collect()
+        }
+        # exact ground truth for all 8 queries in ONE job
+        exact: dict[int, set[int]] = {}
+        for r in knn_join(e, qdf, k=10).collect():
+            exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+        def avg_recall(topk_fn) -> float:
+            recs = []
+            for qid, qv in queries.items():
+                got = {r.vec_id for r in topk_fn(qv).collect()}
+                recs.append(len(exact[qid] & got) / 10)
+            return sum(recs) / len(recs)
+
+        # --- LSH, runtime path
+        r_lsh = avg_recall(
+            lambda qv: lsh_topk(e, qv, k=10, num_planes=16, max_hamming=8)
+        )
+        assert r_lsh >= 0.9, f"lsh_topk recall@10 {r_lsh}"
+
+        # --- LSH, materialized index (same radius -> full probe: the
+        # isotropic-corpus price; the degradation warning is expected)
+        lsh_path = str(tmp_path / "recall_lsh_idx")
+        lsh_index_write(e, lsh_path, num_planes=16, prefix_bits=4)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", UserWarning)
+            r_lsh_idx = avg_recall(
+                lambda qv: lsh_topk_indexed(
+                    spark, lsh_path, qv, k=10, num_planes=16,
+                    prefix_bits=4, max_hamming=8,
+                )
+            )
+        assert r_lsh_idx >= 0.9, f"lsh_topk_indexed recall@10 {r_lsh_idx}"
+
+        # --- IVF, runtime path (quantizer trained once, not per query)
+        cents = kmeans_centroids(e, k=16, iters=1)
+        assigned = assign_clusters(e, "embedding", cents).persist()
+        try:
+
+            def ivf_probe(qv):
+                order = sorted(
+                    range(len(cents)),
+                    key=lambda i: sum(
+                        (a - b) ** 2 for a, b in zip(qv, cents[i])
+                    ),
+                )
+                cand = assigned.filter(
+                    F.col("__cluster").isin(order[:10])
+                ).drop("__cluster")
+                return cosine_topk(cand, qv, k=10)
+
+            r_ivf = avg_recall(ivf_probe)
+        finally:
+            assigned.unpersist()
+        assert r_ivf >= 0.9, f"ivf recall@10 {r_ivf}"
+
+        # --- IVF, materialized index
+        ivf_path = str(tmp_path / "recall_ivf_idx")
+        icents = ivf_index_write(e, ivf_path, n_centroids=16, iters=1)
+        r_ivf_idx = avg_recall(
+            lambda qv: ivf_topk_indexed(
+                spark, ivf_path, icents, qv, k=10, nprobe=10
+            )
+        )
+        assert r_ivf_idx >= 0.9, f"ivf_topk_indexed recall@10 {r_ivf_idx}"
+    finally:
+        e.unpersist()
+
+
 def test_embedding_neardup_finds_planted_dup(spark, embeddings):
     """An exact copy of vec_id=0 shares every band bucket with it, so
     banded hyperplane LSH must surface the pair with cos_sim == 1."""
