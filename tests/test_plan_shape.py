@@ -138,6 +138,87 @@ def test_minhash_pair_stage_single_aggregation_shuffle(spark, queries):
     assert n_joins <= 2, plan
 
 
+def test_embedding_neardup_shares_signature_projection(spark, queries):
+    """The expensive-family audit (VERDICT r3 #2): the persisted
+    signature projection (id, vec, norm, sig) must feed all three
+    consumers — banded bucketing and both pair join-backs — from ONE
+    cache entry, candidates must come from a collect_list bucket agg
+    (no per-bucket self-join), and the join-backs must broadcast the
+    tiny deduplicated pair set, never shuffle the vector table."""
+    plan = plan_of(queries["q_embedding_neardup"](spark, SF_DIR))
+    # three consumers of the one persisted projection
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    # bucket pairing is collect_list + explode, not a join
+    assert "ObjectHashAggregate" in plan
+    joins = re.findall(r"\(\d+\) (\w*Join\w*)", plan)
+    assert joins and all(j == "BroadcastHashJoin" for j in joins), joins
+    assert len(joins) <= 2, joins  # exactly the two pair join-backs
+
+
+def test_ann_ivf_stays_vectorized_topk(spark, queries):
+    """q_ann_ivf_topk: the cluster assignment must run as an Arrow-
+    vectorized pandas UDF (ArrowEvalPython, never row-at-a-time
+    BatchEvalPython), the probe is a plain IN filter, and the final
+    top-k is TakeOrderedAndProject — no global sort, no join."""
+    plan = plan_of(queries["q_ann_ivf_topk"](spark, SF_DIR))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert not re.findall(r"\(\d+\) \w*Join", plan), plan
+    assert "Sort " not in plan  # top-k must not globally sort
+
+
+def test_join_salted_broadcasts_hot_set(spark, queries):
+    """q_join_salted: the detected hot-key set must reach both branch
+    filters as a BROADCAST (LeftSemi picks the hot rows, LeftAnti the
+    cold rest — a shuffled semi-join on the skewed key would reintroduce
+    the very hotspot salting exists to remove), and the salt expansion
+    of the build side is a Generate."""
+    plan = plan_of(queries["q_join_salted"](spark, SF_DIR))
+    assert "BroadcastHashJoin LeftSemi" in plan, plan
+    assert "BroadcastHashJoin LeftAnti" in plan, plan
+    assert "Generate" in plan  # explode(salt range) on the build side
+    assert "SortMergeJoin LeftSemi" not in plan
+    assert "SortMergeJoin LeftAnti" not in plan
+
+
+def test_knn_join_single_ranking_shuffle(spark, queries):
+    """q_knn_join: queries broadcast (BroadcastNestedLoopJoin BuildRight
+    — the corpus side never shuffles for scoring), partition-local
+    pandas top-k (MapInPandas) BEFORE the one hash shuffle on query_id
+    that feeds the final ranking window."""
+    plan = plan_of(queries["q_knn_join"](spark, SF_DIR))
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" in plan and "BuildRight" in plan
+    # exactly one hash shuffle, keyed by query_id (the ranking window);
+    # the only other Exchange is the round-robin input spread
+    hash_ex = re.findall(r"hashpartitioning\(query_id", plan)
+    assert len(hash_ex) == 1, plan
+    plain_ex = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(plain_ex) <= 2, plan
+    # prereduce sits upstream of the shuffle: MapInPandas node id is
+    # smaller than the hash Exchange's in the formatted tree
+    ids = {
+        m.group(2): int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) (MapInPandas|Exchange)\b", plan)
+    }
+    assert ids["MapInPandas"] < ids["Exchange"], ids
+
+
+def test_dedup_cluster_contracts_with_broadcast_joins(spark, queries):
+    """q_dedup_cluster: the connected-components finish must read the
+    persisted contracted forest from cache (InMemoryTableScan), run the
+    contraction kernels as MapInPandas, and resolve labels with
+    BROADCAST joins only — a SortMergeJoin here would mean the
+    count-gated finish regressed to shuffling the (bounded) forest."""
+    plan = plan_of(queries["q_dedup_cluster"](spark, SF_DIR))
+    assert "InMemoryTableScan" in plan
+    assert "MapInPandas" in plan
+    joins = re.findall(r"\(\d+\) \*?\s*(\w*Join\w*)", plan)
+    assert joins and all(j == "BroadcastHashJoin" for j in joins), joins
+    assert "CartesianProduct" not in plan
+
+
 def test_multimodal_plumbing_never_shuffles(spark, queries):
     """q_image_resize (mapInPandas) and q_audio_window (generator) are
     per-row pipelines: their plans must contain zero shuffle exchanges —

@@ -47,6 +47,11 @@ EXPECT = {
     "q_cross_join": "BroadcastNestedLoopJoin over broadcast dims; no CartesianProduct",
     "q_mix_budget": "one shuffle (partitionBy lang) into the running-sum Window + budget filter",
     "q_boilerplate": "one inverted-index shuffle for doc frequencies; boilerplate set joins back via broadcast",
+    "q_embedding_neardup": "one persisted signature projection feeds banded bucketing + both join-backs (3x InMemoryTableScan); candidates from collect_list bucket agg; join-backs broadcast the tiny pair set",
+    "q_ann_ivf_topk": "ArrowEvalPython cluster assignment (never BatchEvalPython), IN-filter probe, TakeOrderedAndProject top-k — no join, no global sort",
+    "q_join_salted": "hot-key set broadcast to both branches (BroadcastHashJoin LeftSemi/LeftAnti); salt expansion is a Generate on the build side",
+    "q_knn_join": "queries broadcast (BroadcastNestedLoopJoin BuildRight); MapInPandas partition-local top-k BEFORE the single hashpartitioning(query_id) ranking shuffle",
+    "q_dedup_cluster": "contracted forest read from cache (InMemoryTableScan); contraction kernels MapInPandas; label resolution via BroadcastHashJoin only",
 }
 
 _SECTION = """\
