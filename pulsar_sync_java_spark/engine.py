@@ -88,6 +88,15 @@ class SyncEngineConfig:
     # `sync_cursors_once` also advances existing dst cursors forward
     # (never backward) as the src cursor progresses.
     advance_cursors: bool = False
+    # Fail-fast ceiling for the driver write-back paths (catalog
+    # overwrite, subscriptions merge): these collect() because parquet
+    # cannot lazily self-overwrite, which is only sane while the
+    # control plane is small — the same assumption the reference bakes
+    # in by holding catalogs/cursors in JVM maps (PulsarSync.java:44).
+    # A population beyond this bound needs the partitioned-merge path
+    # (sinks.writers.write_partitioned + idempotent_append), not a
+    # bigger driver.
+    control_plane_max_rows: int = 1_000_000
     extra: dict = field(default_factory=dict)
 
 
@@ -116,11 +125,30 @@ class SyncEngine:
     def _read(self, cluster: str, name: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(cluster, f"{name}.parquet"))
 
+    def _collect_control_plane(self, df: DataFrame, what: str) -> list:
+        """Bounded driver-side collect for the write-back paths.  The
+        limit(bound+1) means an over-bound table costs one extra row,
+        not an OOM, before the diagnosis."""
+        bound = self.config.control_plane_max_rows
+        rows = df.limit(bound + 1).collect()
+        if len(rows) > bound:
+            raise ValueError(
+                f"{what} exceeds control_plane_max_rows={bound}: the "
+                "driver write-back path assumes a control-plane-small "
+                "table (the reference holds catalogs/cursors in JVM "
+                "maps — PulsarSync.java:44). For populations beyond "
+                "this bound, switch to a partitioned merge "
+                "(sinks.writers.write_partitioned + idempotent_append) "
+                "or raise the bound explicitly in SyncEngineConfig."
+            )
+        return rows
+
     def _overwrite_catalog(self, name: str, df: DataFrame) -> int:
         """Write-back via the driver: a lazy parquet read cannot
-        overwrite its own path; catalogs are control-plane-small.
-        Returns the written row count (saves a re-read job)."""
-        rows = df.collect()
+        overwrite its own path; catalogs are control-plane-small
+        (bounded by `control_plane_max_rows`, fail-fast).  Returns the
+        written row count (saves a re-read job)."""
+        rows = self._collect_control_plane(df, f"catalog {name!r}")
         out = self.spark.createDataFrame(rows, df.schema)
         out.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(self.dst, f"{name}.parquet")
@@ -274,7 +302,7 @@ class SyncEngine:
         if n:
             kept = dst_subs.join(moved.select(*CURSOR_KEY), CURSOR_KEY, "left_anti")
             merged = kept.unionByName(moved.select(*dst_subs.columns))
-            rows = merged.collect()
+            rows = self._collect_control_plane(merged, "subscriptions merge")
             out = self.spark.createDataFrame(rows, merged.schema)
             out.coalesce(1).write.mode("overwrite").parquet(dst_path)
         return n

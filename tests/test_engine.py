@@ -147,6 +147,73 @@ def test_engine_picks_up_new_src_entities(spark, clusters):
     assert engine.sync_catalog_once()["tenants"] == 0
 
 
+def test_deleted_dst_subscription_recreated_at_translated_position(
+    spark, clusters
+):
+    """The one LIVE branch of the reference's R23 reset path
+    (`PulsarPartitionSyncWorker.java:177-208`: reset only runs when the
+    src position changed AND dst LACKS the subscription — i.e. after an
+    external deletion on dst): if a dst subscription disappears between
+    ticks, the next cursor tick must re-create it at the floor
+    translation of the CURRENT src position, replay-only."""
+    src, dst = clusters
+    engine = SyncEngine(spark, src, dst, SyncEngineConfig())
+    engine.run_once()  # converged baseline
+    assert engine.sync_cursors_once() == 0  # create-once: nothing to do
+
+    sub_path = os.path.join(dst, "subscriptions.parquet")
+    before = spark.read.parquet(sub_path).collect()
+    assert len(before) > 1
+    victim = min(
+        (r.topic, r.partition, r.cursor) for r in before
+    )  # deterministic pick
+    survivors = [r for r in before if (r.topic, r.partition, r.cursor) != victim]
+    spark.createDataFrame(
+        survivors, spark.read.parquet(sub_path).schema
+    ).coalesce(1).write.mode("overwrite").parquet(sub_path)
+
+    # external deletion observed -> exactly one re-create
+    assert engine.sync_cursors_once() == 1
+    after = {
+        (r.topic, r.partition, r.cursor): (r.ts, r.event_id)
+        for r in spark.read.parquet(sub_path).collect()
+    }
+    assert set(after) == {(r.topic, r.partition, r.cursor) for r in before}
+    # re-created at the translated position: a floor (<=) of the src
+    # cursor, and an actual sampled mapping entry
+    src_ts = {
+        (r.topic, r.partition, r.cursor): r.ts
+        for r in spark.read.parquet(
+            os.path.join(src, "subscriptions.parquet")
+        ).collect()
+    }
+    assert after[victim][0] <= src_ts[victim]
+    mapping = {
+        (r.topic, r.partition, r.ts, r.event_id)
+        for r in engine.build_mapping().collect()
+    }
+    assert (victim[0], victim[1], after[victim][0], after[victim][1]) in mapping
+    # and the tick after that is a no-op again
+    assert engine.sync_cursors_once() == 0
+
+
+def test_control_plane_write_back_is_bounded(spark, clusters):
+    """The driver write-back paths fail fast past control_plane_max_rows
+    with a pointer at the partitioned-merge alternative, instead of
+    collecting an unbounded table onto the driver."""
+    src, dst = clusters
+    engine = SyncEngine(
+        spark, src, dst, SyncEngineConfig(control_plane_max_rows=2)
+    )
+    with pytest.raises(ValueError, match="control_plane_max_rows"):
+        engine.sync_catalog_once()
+    # the bound names the escape hatch, not just the failure
+    try:
+        engine.sync_catalog_once()
+    except ValueError as e:
+        assert "write_partitioned" in str(e)
+
+
 def test_cursor_advancement_opt_in(spark, clusters):
     """Opt-in improvement over the reference's frozen cursors: when new
     messages arrive and the src cursor progresses, the dst cursor

@@ -221,16 +221,130 @@ def test_sliding_stream_matches_batch(spark, message_dir):
     assert got.isdisjoint(open_tail) or got == closed | open_tail
 
 
-def test_sessionize_stream_runs(spark, message_dir):
-    """session_window merging-state operator produces closed sessions
-    under availableNow (watermark advances past all data at end)."""
+def test_sessionize_stream_matches_batch(spark, message_dir):
+    """Session-window twin of q_window_session: every closed streaming
+    session must match the batch lag/cumsum sessionization on the same
+    rows — same keys, same start (min ts), same event count, and
+    session_end == last event + gap (the native operator's definition;
+    the batch twin reports max ts, so the gap is added here).
+
+    Gap-edge note: session_window starts a new session when the
+    inter-event gap is >= 30 min (windows [t, t+gap) merge only on
+    OVERLAP), so the batch oracle uses >= too; q_window_session's SQL
+    uses > — indistinguishable on microsecond-resolution data."""
+    import datetime as dt
+
     stream = sessionize_stream(
         read_message_stream(spark, message_dir), key_cols=["topic", "partition"]
     )
     tbl = run_to_memory(stream, "sessions")
-    rows = spark.table(tbl).collect()
-    assert len(rows) > 0
-    assert all(r.session_end >= r.session_start and r.n_events >= 1 for r in rows)
+    got = {
+        (r.topic, r.partition, r.session_start, r.session_end, r.n_events)
+        for r in spark.table(tbl).collect()
+    }
+    assert got, "no closed sessions emitted"
+    assert all(end > start for (_, _, start, end, _) in got)
+
+    # batch sessionization (q_window_session formulation) over the same
+    # keys: lag -> new-session flag -> cumulative sum -> per-session agg
+    from pyspark.sql import Window
+
+    gap_us = 30 * 60 * 1_000_000
+    msgs = build_messages(spark).select(
+        "topic", "partition", "event_time", "ledger_id", "entry_id"
+    )
+    w = Window.partitionBy("topic", "partition").orderBy(
+        F.col("event_time").asc(), F.col("ledger_id").asc(), F.col("entry_id").asc()
+    )
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        msgs.withColumn(
+            "is_new",
+            F.when(
+                F.lag("event_time").over(w).isNull()
+                | (
+                    F.unix_micros(F.col("event_time"))
+                    - F.unix_micros(F.lag("event_time").over(w))
+                    >= gap_us
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("is_new").over(frame))
+        .groupBy("topic", "partition", "session_id")
+        .agg(
+            F.min("event_time").alias("t_min"),
+            F.max("event_time").alias("t_max"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    gap_td = dt.timedelta(minutes=30)
+    batch = {
+        (r.topic, r.partition, r.t_min, r.t_max + gap_td, r.n)
+        for r in sess.collect()
+    }
+    max_ts = msgs.agg(F.max("event_time")).collect()[0][0]
+    horizon = max_ts - dt.timedelta(hours=2)  # watermark delay
+    closed = {s for s in batch if s[3] <= horizon}
+    open_tail = batch - closed
+    # append mode: every closed session is emitted exactly as the batch
+    # formulation computes it; the open tail may or may not have been
+    # flushed by the final availableNow watermark advance
+    assert closed <= got, f"missing: {list(closed - got)[:3]}"
+    assert got <= batch, f"phantom sessions: {list(got - batch)[:3]}"
+    assert got.isdisjoint(open_tail) or got == batch
+
+
+def test_pulsar_connector_option_mapping():
+    """The deploy adapter reproduces the reference's client settings
+    (`PulsarSync.java:53-61` URL formats;
+    `PulsarPartitionSyncWorker.java:107-114` consumer build) as
+    connector options — broker-free unit check."""
+    from pulsar_sync_java_spark.streaming.pulsar_connector import (
+        PulsarEndpoint,
+        consumer_options,
+        producer_options,
+    )
+
+    ep = PulsarEndpoint("broker-1", tcp_port=6650, http_port=8080)
+    assert ep.service_url == "pulsar://broker-1:6650"
+    assert ep.admin_url == "http://broker-1:8080"
+
+    opts = consumer_options(
+        ep, subscription_name="pulsar-sync", topics=["t1", "t2"]
+    )
+    assert opts["service.url"] == "pulsar://broker-1:6650"
+    assert opts["admin.url"] == "http://broker-1:8080"
+    assert opts["predefinedSubscription"] == "pulsar-sync"
+    assert opts["startingOffsets"] == "earliest"  # Earliest initial pos
+    assert opts["pulsar.reader.autoUpdatePartitions"] == "false"
+    assert opts["pulsar.consumer.autoUpdatePartitions"] == "false"
+    assert opts["topics"] == "t1,t2"
+
+    pat = consumer_options(ep, topics_pattern="persistent://public/default/.*")
+    assert pat["topicsPattern"] == "persistent://public/default/.*"
+    with pytest.raises(ValueError, match="exactly one"):
+        consumer_options(ep)
+    with pytest.raises(ValueError, match="exactly one"):
+        consumer_options(ep, topics="t", topics_pattern=".*")
+
+    w = producer_options(ep, "persistent://public/default/out")
+    assert w["topic"] == "persistent://public/default/out"
+    assert w["service.url"] == "pulsar://broker-1:6650"
+
+
+def test_pulsar_stream_without_jar_fails_actionably(spark):
+    """Without the connector jar, read_pulsar_stream must raise the
+    actionable --packages message, not a bare ClassNotFoundException."""
+    from pulsar_sync_java_spark.streaming.pulsar_connector import (
+        PulsarEndpoint,
+        read_pulsar_stream,
+    )
+
+    with pytest.raises(RuntimeError, match="--packages"):
+        read_pulsar_stream(
+            spark, PulsarEndpoint("localhost"), topics="t"
+        )
 
 
 def test_stateful_sampler_matches_greedy_oracle(spark, message_dir):
