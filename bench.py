@@ -3,7 +3,14 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "queries_median": {name: sec, ...},
+   "sf": <sf>}
+
+`queries` stays the per-query BEST (steady-state number, comparable
+across rounds); `queries_median` is the median of the n runs so a
+future regression is attributable to code vs VM noise (this host
+jitters ±30-60% run-to-run — a best that moved WITH its median is a
+real change, a best that moved alone is noise).
 
 Each query is timed end-to-end (plan + execute + row materialization via
 a count-style collect of the already-computed result), after a warmup
@@ -48,22 +55,32 @@ def main() -> None:
         minhash_signature_udf(4)(F.array(F.col("id"))).alias("s")
     ).count()
 
-    # Best of 2 runs per query (standard steady-state methodology, cf.
+    # Best of 3 runs per query (standard steady-state methodology, cf.
     # JMH/pytest-benchmark): run 1 pays one-time Janino codegen compile
-    # for the fresh plan shape, run 2 measures the execution the same
-    # plan would deliver on every subsequent use — the number that
-    # scales with data volume.  Both runs plan + execute + materialize
-    # from scratch (nothing is cached between them).
+    # for the fresh plan shape, later runs measure the execution the
+    # same plan would deliver on every subsequent use — the number that
+    # scales with data volume.  All runs plan + execute + materialize
+    # from scratch (nothing is cached between them).  The median goes
+    # out next to the best for noise attribution.
+    import statistics
+
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in sorted(qs):
-        best, n = float("inf"), 0
-        for _ in range(2):
+        times, n = [], 0
+        for _ in range(runs_per_query):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             n = df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+            times.append(time.perf_counter() - t0)
+        timings[name] = round(min(times), 4)
+        medians[name] = round(statistics.median(times), 4)
+        print(
+            f"# {name}: best={timings[name]:.3f}s "
+            f"median={medians[name]:.3f}s rows={n}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 4)
     print(
@@ -73,6 +90,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
