@@ -57,10 +57,24 @@ def write_partitioned(
         salt = F.pmod(
             F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(files_per_partition)
         )
-        routed = df.repartition(*cols, salt)
+        # AQE's partition coalescing would merge the salted groups right
+        # back into one writer when they fall under its 64 MB shuffle
+        # advisory — which is unrelated to the file-count contract this
+        # function exists to honor.  Pin the shuffle for this write.
+        spark = df.sparkSession
+        key = "spark.sql.adaptive.coalescePartitions.enabled"
+        saved = spark.conf.get(key)
+        spark.conf.set(key, "false")
+        try:
+            df.repartition(*cols, salt).write.mode(mode).partitionBy(
+                *partition_cols
+            ).parquet(path)
+        finally:
+            spark.conf.set(key, saved)
     else:
-        routed = df.repartition(*cols)
-    routed.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+        df.repartition(*cols).write.mode(mode).partitionBy(*partition_cols).parquet(
+            path
+        )
 
 
 def write_bucketed(
@@ -87,7 +101,10 @@ def write_bucketed(
 def _partition_cols(spark: SparkSession, path: str) -> list[str]:
     """Hive partition columns of a parquet directory, outermost first,
     detected from the `key=value` directory chain (the same layout
-    Spark's own partition discovery reads)."""
+    Spark's own partition discovery reads).  The chain is read from the
+    first branch but VALIDATED against every sibling at each level — a
+    heterogeneous layout (mixed keys at one depth) raises instead of
+    silently compacting with the wrong chain."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(path)
@@ -95,17 +112,26 @@ def _partition_cols(spark: SparkSession, path: str) -> list[str]:
     cols: list[str] = []
     cur = root
     while True:
+        level_keys: set[str] = set()
         nxt = None
         for status in fs.listStatus(cur):
             name = status.getPath().getName()
             if status.isDirectory() and "=" in name and not name.startswith("."):
-                key = name.split("=", 1)[0]
-                if key not in cols:
-                    cols.append(key)
-                nxt = status.getPath()
-                break
+                level_keys.add(name.split("=", 1)[0])
+                if nxt is None:
+                    nxt = status.getPath()
+        if len(level_keys) > 1:
+            raise ValueError(
+                f"_partition_cols: heterogeneous partition keys "
+                f"{sorted(level_keys)} at one level under {path!r} — "
+                "not a standard Hive layout (write_partitioned produces "
+                "one key per depth)"
+            )
         if nxt is None:
             return cols
+        key = next(iter(level_keys))
+        if key not in cols:
+            cols.append(key)
         cur = nxt
 
 

@@ -54,8 +54,22 @@ def test_write_partitioned_salted_splits_hot_value(spark, facts, tmp_path):
         part = os.path.basename(os.path.dirname(f))
         by_part[part] = by_part.get(part, 0) + 1
     assert set(by_part) == {f"day={d}" for d in range(7)}
-    assert all(1 <= n <= 4 for n in by_part.values())
+    # the salt must actually split (AQE coalescing is pinned off for the
+    # write — it would merge the salted groups back to one file here)
+    assert all(2 <= n <= 4 for n in by_part.values()), by_part
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_partition_cols_rejects_heterogeneous_layout(spark, facts, tmp_path):
+    from pulsar_sync_java_spark.sinks.writers import _partition_cols
+
+    out = str(tmp_path / "thet")
+    facts.limit(10).write.partitionBy("day").parquet(out)
+    facts.limit(10).withColumnRenamed("day", "hour").write.mode(
+        "append"
+    ).partitionBy("hour").parquet(out)
+    with pytest.raises(ValueError, match="heterogeneous"):
+        _partition_cols(spark, out)
 
 
 def test_write_bucketed_join_has_no_exchange(spark, facts):
