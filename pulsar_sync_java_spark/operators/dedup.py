@@ -31,18 +31,28 @@ from pulsar_sync_java_spark.operators.util import pair_structs, spread, spread_b
 
 
 def shingle_rows(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hashed: bool = False,
 ) -> DataFrame:
     """Exploded distinct (id, shingle) rows — the inverted-index input.
 
     Tokens are materialized in their own projection before the n-gram
     transform touches them (see shingles_from_tokens: lambdas get no
-    subexpression sharing, so inlining the split is 20x slower)."""
+    subexpression sharing, so inlining the split is 20x slower).
+
+    `hashed=True` emits xxhash64(shingle) longs instead of strings —
+    for consumers that only count/join/group on shingle identity (df
+    counts, contamination probes), the downstream shuffle or broadcast
+    carries 8-byte keys instead of ~(5·n)-byte strings.  Same collision
+    argument as `jaccard_pairs(hash_shingles=True)`."""
     toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
-    return toks.select(
-        F.col(id_col),
-        F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("shingle"),
-    )
+    sh = shingles_from_tokens(F.col("__toks"), n)
+    if hashed:
+        sh = F.transform(sh, lambda s: F.xxhash64(s))
+    return toks.select(F.col(id_col), F.explode(sh).alias("shingle"))
 
 
 def jaccard_pairs(

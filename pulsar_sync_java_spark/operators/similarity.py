@@ -407,26 +407,39 @@ def embedding_near_pairs(
     Exact cosine (on the ORIGINAL vectors) verifies every candidate, so
     false positives are impossible; recall is the only approximation.
     """
-    # One job computes the mean vector AND the dimensionality (its row
-    # count) — a separate size() probe would be a whole extra Spark job.
-    mean_rows = (
-        df.select(F.posexplode(vec_col).alias("pos", "x"))
-        .groupBy("pos")
-        .agg(F.avg("x").alias("m"))
+    # The centering mean does NOT need to be exact — it only has to put
+    # the corpus cone near the origin so hyperplanes split ~50/50 (the
+    # exact-cosine verify step is what guarantees precision; banding
+    # guarantees recall for >=threshold pairs, whose signatures agree on
+    # ~every plane regardless of a slightly-shifted mean).  So it comes
+    # from a bounded deterministic sample (same seeded-hash TakeOrdered
+    # discipline as kmeans_centroids): ONE narrow bounded job, instead
+    # of the previous full-corpus posexplode + per-dimension aggregate —
+    # at 100 TB that aggregate was a whole extra corpus scan with d-fold
+    # row amplification, paid per invocation.
+    sample_rows = (
+        spread(df)
+        .select(id_col, vec_col)
+        .where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.col(id_col))
+        .limit(4096)
+        .select(vec_col)
         .collect()
     )
-    if not mean_rows:
+    if not sample_rows:
         return df.select(
             F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b"),
             F.lit(0.0).alias("cos_sim"),
         ).limit(0)
-    dim = len(mean_rows)
+    import numpy as np
+
+    sample = np.asarray([r[0] for r in sample_rows], dtype=np.float64)
+    dim = sample.shape[1]
     from pulsar_sync_java_spark.operators.vectorized import (
         hyperplane_signature_udf,
     )
 
-    mean_by_pos = {r.pos: float(r.m) for r in mean_rows}
-    mean = [mean_by_pos[i] for i in range(dim)]
+    mean = [float(x) for x in sample.mean(axis=0)]
 
     planes = _planes(dim, num_planes, seed)
     rows_per_band = max(num_planes // bands, 1)
