@@ -279,12 +279,24 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 characteristic terms by a TF-IDF-style weight
     tf * N / df — kept rational (integer multiply, one IEEE division)
     instead of log-scaled so both engines produce bit-identical
-    doubles.  Two hash aggregates + one join on the term dimension
-    (AQE broadcasts it), one window for the per-doc top-k."""
+    doubles.  One tokenize+explode scan feeds ONE (doc, term) hash
+    aggregate; document frequency derives from that aggregate's output
+    (tf has exactly one row per (doc, term), so df = row-count per
+    term — no second corpus scan, no countDistinct expand), joined
+    back on the term dimension (AQE broadcasts it), one window for the
+    per-doc top-k."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(_spark_alpha_toks()).alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # persist: the join branch and the df aggregate are two consumers of
+    # the same (doc, term) aggregate, and AQE does not share the
+    # exchange between them (same finding as jaccard_pairs) — without
+    # the cache the tokenize+explode+agg subtree runs twice
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df_, "token")

@@ -592,3 +592,22 @@ def test_knn_join_prereduce_equivalence(spark, embeddings):
         map(tuple, knn_join(embeddings, qs, k=3, prereduce=False).collect())
     )
     assert a == b and len(a) == 4 * 3
+
+
+def test_hashed_shingle_index_matches_raw_strings(spark, documents):
+    """The 64-bit shingle hashing (Broder discipline) must be a pure
+    payload optimization: pair set AND exact Jaccard values identical
+    to the raw-string index on real data (collisions would perturb
+    intersection counts — odds ~1e-11, but the equality is cheap to
+    assert outright at test scale)."""
+    hashed = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(documents, threshold=0.3).collect()
+    }
+    raw = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(
+            documents, threshold=0.3, hash_shingles=False
+        ).collect()
+    }
+    assert hashed == raw
