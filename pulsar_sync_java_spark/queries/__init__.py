@@ -43,6 +43,7 @@ def load_all() -> None:
     """Import every query module so registration side-effects run."""
     from pulsar_sync_java_spark.queries import (  # noqa: F401
         aggregates,
+        behavior,
         dedup_scale,
         extras,
         joins,

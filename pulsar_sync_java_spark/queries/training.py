@@ -463,3 +463,78 @@ def q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.filter(F.col("label") < F.col("id")).select(
         F.col("id").alias("doc_id"), F.col("label").alias("kept_doc_id")
     )
+
+
+# -------------------------------------------------------- corpus materialize
+
+_MATERIALIZE_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, source, n_chars, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, lang, source, n_chars, text,
+         len(toks) AS n_tokens,
+         len(list_distinct(list_transform(
+           generate_series(1, len(toks) - 2),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+           AS n3_distinct
+  FROM t
+), gated AS (
+  SELECT doc_id, lang, source, n_tokens, md5(text) AS fp
+  FROM g
+  WHERE n_tokens >= 5 AND n_chars >= 30
+    AND 1.0 - CAST(n3_distinct AS DOUBLE) / (n_tokens - 2) <= 0.5
+), k AS (
+  SELECT doc_id, lang, source, n_tokens,
+         MIN(doc_id) OVER (PARTITION BY fp) AS keeper
+  FROM gated
+)
+SELECT doc_id, lang, source, CAST(n_tokens AS INT) AS n_tokens
+FROM k WHERE doc_id = keeper
+"""
+
+
+@query("q_corpus_materialize", oracle=_MATERIALIZE_SQL)
+def q_corpus_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus materialization a pretraining pipeline runs
+    LAST: quality gates (length, char floor, Gopher-style repetition
+    ratio — the q_text_quality / q_repetition_ratio thresholds), then
+    exact dedup among the survivors (q_dedup_exact semantics: lowest
+    doc_id per content hash wins), emitting the rows a tokenizer would
+    actually consume.
+
+    Scale shape: every gate is a per-row projection over the scan (zero
+    shuffle, filters evaluated before anything wide); the ONLY shuffle
+    is the dedup hash partition over already-gated rows, whose min-
+    per-group needs no sort.  This is the composition test for the
+    pipeline stack — each piece is oracle-checked alone, this checks
+    the seams."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", "source", "n_chars", "text",
+        tokens("text").alias("__toks"),
+    )
+    g = toks.select(
+        "doc_id", "lang", "source", "n_chars", "text",
+        F.size("__toks").alias("n_tokens"),
+        F.size(shingles_from_tokens(F.col("__toks"), 3)).alias("n3_distinct"),
+    )
+    gated = g.filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("n_chars") >= 30)
+        & (
+            F.lit(1.0)
+            - F.col("n3_distinct").cast("double") / (F.col("n_tokens") - 2)
+            <= 0.5
+        )
+    ).select(
+        "doc_id", "lang", "source", "n_tokens",
+        F.md5(F.encode("text", "UTF-8")).alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    return (
+        gated.withColumn("keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "lang", "source", F.col("n_tokens").cast("int").alias("n_tokens"))
+    )
