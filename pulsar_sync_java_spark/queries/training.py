@@ -22,6 +22,7 @@ from pulsar_sync_java_spark.operators.dedup import (
     shingle_rows,
 )
 from pulsar_sync_java_spark.operators.graph import connected_components
+from pulsar_sync_java_spark.operators.util import spread
 from pulsar_sync_java_spark.queries import query
 from pulsar_sync_java_spark.queries.reference import TS_FMT_DUCK, fmt_ts
 from pulsar_sync_java_spark.sources.tables import load_table
@@ -504,23 +505,31 @@ def q_corpus_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id per content hash wins), emitting the rows a tokenizer would
     actually consume.
 
-    Scale shape: every gate is a per-row projection over the scan (zero
-    shuffle, filters evaluated before anything wide); the ONLY shuffle
-    is the dedup hash partition over already-gated rows, whose min-
-    per-group needs no sort.  This is the composition test for the
-    pipeline stack — each piece is oracle-checked alone, this checks
-    the seams."""
+    Scale shape: ONE spread-parallelized projection computes every
+    per-row feature (token count, distinct 3-grams, content hash),
+    drops the raw text, and is PERSISTED — the cache is the pushdown
+    barrier here, not an exchange: Catalyst pushes the gate predicate
+    through repartitions and both projection layers down to the scan,
+    re-evaluating the interpreted higher-order shingle expressions per
+    reference at single-file scan parallelism (measured: split()
+    appeared 9x in the physical plan and the query ran ~13x slower;
+    with the cached feature table the filter reads plain columns).
+    The cached rows are features + a 32-char hash, never document
+    bodies; at 100 TB the same projection is what a pipeline writes
+    once as a features table.  The dedup min-per-fingerprint is then
+    the only shuffle."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
+    toks = spread(d, full=True).select(
         "doc_id", "lang", "source", "n_chars", "text",
         tokens("text").alias("__toks"),
     )
-    g = toks.select(
-        "doc_id", "lang", "source", "n_chars", "text",
+    feats = toks.select(
+        "doc_id", "lang", "source", "n_chars",
         F.size("__toks").alias("n_tokens"),
         F.size(shingles_from_tokens(F.col("__toks"), 3)).alias("n3_distinct"),
-    )
-    gated = g.filter(
+        F.md5(F.encode("text", "UTF-8")).alias("fp"),
+    ).persist()
+    gated = feats.filter(
         (F.col("n_tokens") >= 5)
         & (F.col("n_chars") >= 30)
         & (
@@ -528,9 +537,6 @@ def q_corpus_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("n3_distinct").cast("double") / (F.col("n_tokens") - 2)
             <= 0.5
         )
-    ).select(
-        "doc_id", "lang", "source", "n_tokens",
-        F.md5(F.encode("text", "UTF-8")).alias("fp"),
     )
     w = Window.partitionBy("fp")
     return (

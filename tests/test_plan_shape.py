@@ -232,3 +232,19 @@ def test_multimodal_plumbing_never_shuffles(spark, queries):
         assert marker in plan, name
         assert not re.findall(r"\(\d+\) Exchange\b", plan), name
 
+
+
+def test_corpus_materialize_gate_reads_cached_features(spark, queries):
+    """q_corpus_materialize's quality gate must read the persisted
+    feature table, NOT a predicate pushed down over re-inlined
+    tokenizer expressions: Catalyst pushes the gate through every
+    exchange and projection to the scan, re-evaluating the interpreted
+    higher-order shingle expressions per reference at single-file scan
+    parallelism (measured 13x wall).  The cache is the barrier."""
+    df = queries["q_corpus_materialize"](spark, SF_DIR)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in executed
+    # the gate side must not re-run the tokenizer: outside the cached
+    # relation's build plan there is no split() at all
+    above_cache = executed.split("InMemoryRelation", 1)[0]
+    assert "split(" not in above_cache, above_cache

@@ -52,6 +52,9 @@ EXPECT = {
     "q_join_salted": "hot-key set broadcast to both branches (BroadcastHashJoin LeftSemi/LeftAnti); salt expansion is a Generate on the build side",
     "q_knn_join": "queries broadcast (BroadcastNestedLoopJoin BuildRight); MapInPandas partition-local top-k BEFORE the single hashpartitioning(query_id) ranking shuffle",
     "q_dedup_cluster": "contracted forest read from cache (InMemoryTableScan); contraction kernels MapInPandas; label resolution via BroadcastHashJoin only",
+    "q_funnel_steps": "3 per-user min-aggregates chained by shrinking joins; type filters pushed to parquet; no window over raw events",
+    "q_retention_cohort": "distinct (user, day) + per-user min, plain count after the join — no COUNT(DISTINCT) expand",
+    "q_corpus_materialize": "gate filter reads the cached feature table (InMemoryTableScan), never re-evaluating the tokenizer; one shuffle for the dedup window",
 }
 
 _SECTION = """\
