@@ -55,6 +55,54 @@ EXPECT = {
     "q_funnel_steps": "3 per-user min-aggregates chained by shrinking joins; type filters pushed to parquet; no window over raw events",
     "q_retention_cohort": "distinct (user, day) + per-user min, plain count after the join — no COUNT(DISTINCT) expand",
     "q_corpus_materialize": "gate filter reads the cached feature table (InMemoryTableScan), never re-evaluating the tokenizer; one shuffle for the dedup window",
+    "q_semi_join": "LeftSemi hash join, keys only — existence check never materializes right-side payload",
+    "q_join_outer": "SortMergeJoin FullOuter (only join type AQE cannot broadcast); agg partial+final above it",
+    "q_join_range": "equi-key hash join with the range predicate as a post-join filter — never a range-enumeration or nested-loop plan",
+    "q_exists_subquery": "EXISTS/NOT EXISTS become LeftSemi + LeftAnti hash joins, no correlated re-execution",
+    "q_scalar_subquery": "scalar subquery evaluated once as an init-job, reused as a literal — no per-row re-execution",
+    "q_rollup": "grouping sets via ONE Expand over one scan + single partial+final agg; dims broadcast",
+    "q_cube": "cube = Expand (4 grouping sets) into one partial+final agg, one scan",
+    "q_pivot": "pivot compiles to conditional aggregates in ONE pass — no per-pivot-value scans",
+    "q_unpivot": "unpivot = Expand (one row per measure) over a single scan",
+    "q_time_rollup_multi": "multi-granularity rollup via Expand, one scan, one agg pair — not a UNION of rescans",
+    "q_distinct_count": "two DISTINCT aggs via ONE Expand + two-phase agg — one logical shuffle, no join of separate counts",
+    "q_approx_distinct": "HLL++ sketch: partial+final HashAggregate only, shuffle carries sketches not keys",
+    "q_percentiles": "exact percentiles via ObjectHashAggregate (percentile state), single agg pair",
+    "q_conditional_agg": "FILTER-clause aggregates fused in one HashAggregate pass, one scan",
+    "q_set_ops": "union/intersect/except as tagged aggregate + semi/anti joins — no repeated scans per branch",
+    "q_window_analytic": "running sum + lag share ONE Window over one (partition, order) shuffle",
+    "q_window_range_frame": "RANGE frame window, one shuffle, no self-join formulation",
+    "q_window_session": "sessionize via lag + cumsum: two Windows over the SAME (user, ts) shuffle — partitioning reused, one exchange",
+    "q_window_tumbling": "tumbling window = bucket expression in the group key, plain partial+final agg",
+    "q_ntile_bucket": "ntile over one Window shuffle; bucket stats aggregate above it",
+    "q_dedup": "first-event-per-key via WindowGroupLimit (rank filter pushed below the sort)",
+    "q_dedup_exact": "hash-groupBy on md5: partial+final agg, shuffle carries (hash, min, count) only",
+    "q_doc_fingerprint": "pure projection: normalize + md5 inside the scan stage, zero exchanges",
+    "q_token_count": "pure projection: whitespace + BPE-ish regex counts, zero exchanges",
+    "q_text_stats": "tokenize in projection, per-lang partial+final agg — one shuffle of group rows",
+    "q_text_quality": "all quality features are per-row expressions; zero-shuffle projection",
+    "q_lang_id": "n-gram language scores are per-row expressions; zero-shuffle projection",
+    "q_pii_scrub": "regexp_replace chain in projection, zero exchanges",
+    "q_sample_stratified": "deterministic hash-threshold sampling: per-row filter, no sampling shuffle",
+    "q_posting_list": "inverted index: ONE explode + one groupBy(term) with sorted postings",
+    "q_tfidf_topterms": "tf aggregate cached (InMemoryTableScan), df derived from it; top-3 via WindowGroupLimit",
+    "q_string_funcs": "scalar string surface: pure projection over the scan",
+    "q_date_funcs": "scalar date surface: pure projection + pushed date-range filter",
+    "q_math_funcs": "scalar math surface: pure projection over the scan",
+    "q_json_funcs": "JSON extraction in projection; extracted-value filter evaluated pre-shuffle",
+    "q_map_funcs": "map built by ObjectHashAggregate(map_from_entries), exploded back for the oracle — one agg shuffle",
+    "q_array_funcs": "higher-order array fns (size/first/last/L2) in projection, zero exchanges",
+    "q_udf_roundtrip": "declared UDF surface: BatchEvalPython present BY DESIGN (row-at-a-time); hot-path twin is concat projection",
+    "q_udtf_sentences": "declared UDTF surface: PythonUDTF via LATERAL BY DESIGN; hot-path twin is posexplode(split)",
+    "q_sim_topk": "1-row query vector: BroadcastNestedLoopJoin (never CartesianProduct) + TakeOrderedAndProject",
+    "q_ann_lsh_topk": "signature via ArrowEvalPython kernel, bucket filter, TakeOrderedAndProject — no global sort",
+    "q_simhash": "chunk index Generate + bucket ObjectHashAggregate; verify by bit_count — no all-pairs",
+    "q_ngram_jaccard": "shingle arrays cached (InMemoryTableScan); ONE inverted-index shuffle; sizes join back broadcast",
+    "q_dedup_keepers": "signatures cached; banded candidates via hash join; contraction MapInPandas; labels broadcast back",
+    "q_frame_sample": "frame explosion Generate above the codec MapInPandas, bytes stay with the row — zero shuffles",
+    "q_image_resize": "single MapInPandas codec stage, zero shuffles, binary payload never crosses an exchange",
+    "q_audio_window": "window enumeration is a JVM Generate over metadata; zero shuffles",
+    "q_multimodal_meta": "metadata decode in one MapInPandas, zero shuffles",
 }
 
 _SECTION = """\
