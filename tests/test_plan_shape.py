@@ -248,3 +248,38 @@ def test_corpus_materialize_gate_reads_cached_features(spark, queries):
     # relation's build plan there is no split() at all
     above_cache = executed.split("InMemoryRelation", 1)[0]
     assert "split(" not in above_cache, above_cache
+
+
+ZERO_SHUFFLE_FAMILY = [
+    # pure per-row projections: any Exchange here means an operator
+    # started shuffling a corpus it never needed to move
+    "q_doc_fingerprint", "q_token_count", "q_text_quality", "q_lang_id",
+    "q_pii_scrub", "q_array_funcs", "q_repetition_ratio",
+    "q_multimodal_meta", "q_image_resize", "q_audio_window",
+    "q_frame_sample",
+]
+
+
+@pytest.mark.parametrize("name", ZERO_SHUFFLE_FAMILY)
+def test_projection_family_stays_zero_shuffle(spark, queries, name):
+    plan = plan_of(queries[name](spark, SF_DIR))
+    assert "Exchange" not in plan, f"{name} grew a shuffle:\n{plan}"
+
+
+EXPAND_FAMILY = ["q_rollup", "q_cube", "q_unpivot", "q_time_rollup_multi",
+                 "q_distinct_count"]
+
+
+@pytest.mark.parametrize("name", EXPAND_FAMILY)
+def test_grouping_family_is_expand_based_single_scan(spark, queries, name):
+    """Grouping sets / unpivot / multi-distinct must compile to ONE
+    Expand over ONE scan of the fact table — a UNION-of-rescans plan
+    multiplies 100 TB scans per grouping set."""
+    plan = plan_of(queries[name](spark, SF_DIR))
+    assert "Expand" in plan, f"{name} lost its Expand:\n{plan}"
+    # formatted explain lists every operator twice (tree + detail);
+    # count distinct scan operator ids from the detail section
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    # rollup joins 3 dims + 1 fact; the others read exactly one table
+    limit = 4 if name == "q_rollup" else 1
+    assert scans <= limit, f"{name}: {scans} scans (limit {limit})\n{plan}"
