@@ -507,3 +507,85 @@ def test_replicate_exactly_once_partitioned_probe(spark, tmp_path):
         out.groupBy("topic", "partition", "ledger_id", "entry_id", "batch_idx")
         .count().filter("count > 1").count() == 0
     )
+
+
+def test_stateful_funnel_matches_batch(spark, tmp_path):
+    """Streaming funnel state machine vs the batch q_funnel_steps
+    formulation on the same events: for every user the LAST streaming
+    snapshot must carry identical (t_view, t_click, t_purchase,
+    reached).  The stream is delivered time-ordered across TWO files so
+    the state machine must carry per-user state across micro-batches
+    (a user's view can land in batch 1 and their click in batch 2)."""
+    from pulsar_sync_java_spark.queries import all_queries
+    from pulsar_sync_java_spark.streaming.stateful import stateful_funnel
+
+    msgs = build_messages(spark).select(
+        "tenant", "namespace", "topic", "partition", "ledger_id",
+        "entry_id", "batch_idx", "key", "value", "event_time",
+        "publish_time", "properties",
+    )
+    cut = msgs.agg(F.expr("percentile(unix_micros(event_time), 0.5)")).collect()[0][0]
+    src = str(tmp_path / "src")
+    early = msgs.where(F.unix_micros("event_time") <= cut)
+    late = msgs.where(F.unix_micros("event_time") > cut)
+    halves = [early, late]
+
+    got: dict[int, tuple] = {}
+    import shutil, glob, os
+    for i, half in enumerate(halves):
+        # append this half's file to the SAME source dir (restart
+        # pattern: new files between runs, one checkpoint = one query)
+        staged = str(tmp_path / f"stage{i}")
+        half.coalesce(1).write.parquet(staged)
+        os.makedirs(src, exist_ok=True)
+        for f in glob.glob(staged + "/part-*.parquet"):
+            shutil.copy(f, os.path.join(src, f"batch{i}.parquet"))
+        stream = stateful_funnel(read_message_stream(spark, src))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(tmp_path / "snapshots"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    for r in spark.read.parquet(str(tmp_path / "snapshots")).collect():
+        prev = got.get(r.user_id)
+        if prev is None or r.reached > prev[3]:
+            got[r.user_id] = (r.t_view, r.t_click, r.t_purchase, r.reached)
+
+    # expected: the q_funnel_steps chained-min formulation on raw
+    # microsecond timestamps (the query itself string-formats to
+    # millisecond precision; the state machine keeps full micros)
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = ev.where("event_type = 'view'").groupBy("user_id").agg(
+        F.min("us").alias("t_view")
+    )
+    c = (
+        ev.where("event_type = 'click'")
+        .join(v, "user_id")
+        .where(F.col("us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    pch = (
+        ev.where("event_type = 'purchase'")
+        .join(c, "user_id")
+        .where(F.col("us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    expected = {}
+    for r in v.join(c, "user_id", "left").join(pch, "user_id", "left").collect():
+        reached = 1 + (r.t_click is not None) + (r.t_purchase is not None)
+        expected[r.user_id] = (r.t_view, r.t_click, r.t_purchase, reached)
+    assert got == expected
+    # and the query's own output agrees on reached per user
+    q_reached = {
+        r.user_id: r.reached
+        for r in all_queries()["q_funnel_steps"](spark, SF_DIR).collect()
+    }
+    assert q_reached == {u: t[3] for u, t in expected.items()}
