@@ -589,3 +589,77 @@ def test_stateful_funnel_matches_batch(spark, tmp_path):
         for r in all_queries()["q_funnel_steps"](spark, SF_DIR).collect()
     }
     assert q_reached == {u: t[3] for u, t in expected.items()}
+
+
+def test_funnel_kernel_batch_split_invariance():
+    """Property: the funnel kernel produces the same final state no
+    matter how the (time-ordered) event sequence is split into
+    micro-batches, and that state equals the brute-force chained-min
+    definition.  Runs the pandas kernel directly with a fake GroupState
+    — no Spark session, so hypothesis can afford many examples."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pulsar_sync_java_spark.streaming.stateful import _funnel
+
+    stages = ("view", "click", "purchase")
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def brute(events):
+        # chained mins over the raw sequence (order-independent)
+        t = [None, None, None]
+        views = sorted(ts for ts, s in events if s == "view")
+        t[0] = views[0] if views else None
+        for i, stage in ((1, "click"), (2, "purchase")):
+            if t[i - 1] is None:
+                continue
+            later = sorted(ts for ts, s in events if s == stage and ts > t[i - 1])
+            t[i] = later[0] if later else None
+        return tuple(t)
+
+    @given(
+        events=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=50),
+                st.sampled_from(stages),
+            ),
+            min_size=0,
+            max_size=30,
+            unique_by=lambda e: e[0],  # micros are unique in real data
+        ),
+        cut=st.data(),
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(events, cut):
+        events = sorted(events)  # time-ordered delivery contract
+        k = cut.draw(st.integers(min_value=0, max_value=len(events)))
+        state = FakeState()
+        fn = _funnel(stages)
+        for batch in (events[:k], events[k:]):
+            pdf = pd.DataFrame(
+                {
+                    "event_time": pd.Series(
+                        [ts * 1000 for ts, _ in batch], dtype="int64"
+                    ),
+                    "topic": [s for _, s in batch],
+                    "entry_id": range(len(batch)),
+                }
+            )
+            list(fn((7,), [pdf], state))
+        got = tuple(state.get[0]) if state.exists else (None, None, None)
+        assert got == brute(events)
+
+    check()
