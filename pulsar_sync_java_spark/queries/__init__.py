@@ -51,6 +51,7 @@ def load_all() -> None:
         reference,
         scalar,
         scans,
+        stats,
         subqueries,
         training,
         windows,

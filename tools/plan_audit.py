@@ -103,6 +103,8 @@ EXPECT = {
     "q_image_resize": "single MapInPandas codec stage, zero shuffles, binary payload never crosses an exchange",
     "q_audio_window": "window enumeration is a JVM Generate over metadata; zero shuffles",
     "q_multimodal_meta": "metadata decode in one MapInPandas, zero shuffles",
+    "q_anomaly_zscore": "moments aggregate (one sums-row per group) broadcast back onto the event scan — two passes, no window",
+    "q_corr_pearson": "five exact decimal moment sums in ONE partial+final aggregate; corr is per-group constant arithmetic",
 }
 
 _SECTION = """\
