@@ -246,3 +246,62 @@ def dedup_stream(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def attribution_stream(
+    stream: DataFrame,
+    within: str = "1 hour",
+    view_topic: str = "view",
+    click_topic: str = "click",
+) -> DataFrame:
+    """Stream-stream interval join: every click attributed to every view
+    by the same user within `within` before it — the canonical
+    Structured Streaming two-sided stateful join (both sides buffered in
+    the state store, watermarks bounding how long).
+
+    Scale posture: state per side is bounded by (watermark horizon x
+    arrival rate) — the interval condition lets Spark evict a buffered
+    view as soon as the click-side watermark passes view_time + within,
+    so state never grows with total history.  The join itself shuffles
+    both sides by user_id only (hash partitioning), exactly like the
+    batch formulation; event payloads cross the shuffle once.
+
+    Inner-join semantics make the bounded-source result EXACTLY the
+    batch interval join on the same rows (watermarks only bound state
+    and lateness, never drop on-time matches) — asserted in
+    tests/test_streaming.py."""
+    v = (
+        stream.where(F.col("topic") == view_topic)
+        .select(
+            F.col("ledger_id").alias("user_id"),
+            F.col("event_time").alias("view_time"),
+            F.col("entry_id").alias("view_event"),
+        )
+        .withWatermark("view_time", within)
+    )
+    c = (
+        stream.where(F.col("topic") == click_topic)
+        .select(
+            F.col("ledger_id").alias("c_user_id"),
+            F.col("event_time").alias("click_time"),
+            F.col("entry_id").alias("click_event"),
+        )
+        .withWatermark("click_time", within)
+    )
+    joined = v.join(
+        c,
+        F.expr(
+            f"""
+            user_id = c_user_id
+            AND click_time > view_time
+            AND click_time <= view_time + INTERVAL {within}
+            """
+        ),
+        "inner",
+    )
+    return joined.select(
+        "user_id",
+        "view_event",
+        "click_event",
+        (F.unix_micros("click_time") - F.unix_micros("view_time")).alias("lag_us"),
+    )

@@ -663,3 +663,51 @@ def test_funnel_kernel_batch_split_invariance():
         assert got == brute(events)
 
     check()
+
+
+def test_attribution_stream_matches_batch_interval_join(spark, message_dir):
+    """Stream-stream interval join (view -> click within 1h per user)
+    must emit exactly the batch interval join on the same rows: inner
+    join results are never watermark-dropped for on-time data, so the
+    bounded-source streaming result equals the static formulation."""
+    from pulsar_sync_java_spark.streaming.replicate import attribution_stream
+
+    stream = attribution_stream(read_message_stream(spark, message_dir))
+    tbl = run_to_memory(stream, "attribution")
+    got = {
+        (r.user_id, r.view_event, r.click_event, r.lag_us)
+        for r in spark.table(tbl).collect()
+    }
+
+    msgs = build_messages(spark)
+    v = msgs.where("topic = 'view'").select(
+        F.col("ledger_id").alias("user_id"),
+        F.col("event_time").alias("view_time"),
+        F.col("entry_id").alias("view_event"),
+    )
+    c = msgs.where("topic = 'click'").select(
+        F.col("ledger_id").alias("c_user_id"),
+        F.col("event_time").alias("click_time"),
+        F.col("entry_id").alias("click_event"),
+    )
+    expected = {
+        (r.user_id, r.view_event, r.click_event, r.lag_us)
+        for r in v.join(
+            c,
+            F.expr(
+                "user_id = c_user_id AND click_time > view_time "
+                "AND click_time <= view_time + INTERVAL 1 HOUR"
+            ),
+        )
+        .select(
+            "user_id",
+            "view_event",
+            "click_event",
+            (
+                F.unix_micros("click_time") - F.unix_micros("view_time")
+            ).alias("lag_us"),
+        )
+        .collect()
+    }
+    assert got == expected
+    assert expected, "fixture produced no attributable pairs"
