@@ -37,15 +37,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry itself is deterministic; the rotation is applied only here,
     at the driver boundary.
     """
-    import sys
+    import importlib.util
     from pathlib import Path
 
     root = Path(__file__).resolve().parent
-    sys.path.insert(0, str(root))
-    try:
-        from tools.coverage_rotation import rotate_by_coverage_age
-    finally:
-        sys.path.pop(0)
+    # load by file path, not `import tools...`: "tools" is a generic
+    # top-level name the host process may already have imported, and
+    # sys.modules would shadow the repo's module
+    spec = importlib.util.spec_from_file_location(
+        "_spark_graft_coverage_rotation",
+        root / "tools" / "coverage_rotation.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rotate_by_coverage_age = mod.rotate_by_coverage_age
 
     reg = all_queries()
     order = rotate_by_coverage_age(list(reg), all_oracles(), root)

@@ -433,7 +433,17 @@ def embedding_near_pairs(
         ).limit(0)
     import numpy as np
 
-    sample = np.asarray([r[0] for r in sample_rows], dtype=np.float64)
+    vecs = [r[0] for r in sample_rows]
+    lens = {len(v) for v in vecs}
+    if len(lens) > 1:
+        # fail HERE with the real story: a ragged corpus would otherwise
+        # die later inside the signature kernel with an opaque numpy
+        # shape error (the LSH planes are a fixed d x k matrix)
+        raise ValueError(
+            "embedding_near_pairs requires a fixed embedding dimension; "
+            f"sample contains lengths {sorted(lens)[:5]}"
+        )
+    sample = np.asarray(vecs, dtype=np.float64)
     dim = sample.shape[1]
     from pulsar_sync_java_spark.operators.vectorized import (
         hyperplane_signature_udf,

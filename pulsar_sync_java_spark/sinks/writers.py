@@ -30,9 +30,23 @@ file-sink contract: append only key-absent rows, so replaying a batch
 from __future__ import annotations
 
 import math
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _pinned_conf(spark: SparkSession, key: str, value: str):
+    """Temporarily pin one session conf; restore on exit.  One place
+    for the save/set/restore dance the write paths need (AQE coalescing
+    and partition-type inference both fight specific write contracts)."""
+    saved = spark.conf.get(key)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, saved)
 
 
 def write_partitioned(
@@ -61,16 +75,12 @@ def write_partitioned(
         # back into one writer when they fall under its 64 MB shuffle
         # advisory — which is unrelated to the file-count contract this
         # function exists to honor.  Pin the shuffle for this write.
-        spark = df.sparkSession
-        key = "spark.sql.adaptive.coalescePartitions.enabled"
-        saved = spark.conf.get(key)
-        spark.conf.set(key, "false")
-        try:
+        with _pinned_conf(
+            df.sparkSession, "spark.sql.adaptive.coalescePartitions.enabled", "false"
+        ):
             df.repartition(*cols, salt).write.mode(mode).partitionBy(
                 *partition_cols
             ).parquet(path)
-        finally:
-            spark.conf.set(key, saved)
     else:
         df.repartition(*cols).write.mode(mode).partitionBy(*partition_cols).parquet(
             path
@@ -151,7 +161,13 @@ def _partition_value_sizes(
     while it.hasNext():
         status = it.next()
         p = status.getPath()
-        if not p.getName().endswith(".parquet"):
+        name = p.getName()
+        # same visibility rule Spark's own file index applies: every
+        # non-hidden data file counts, whatever its extension (Hive/
+        # Impala writers emit extension-less parquet like 000000_0) —
+        # a .parquet-only filter would leave such values out of the
+        # sizing map entirely
+        if name.startswith(".") or name.startswith("_"):
             continue
         rel = p.getParent().toUri().getPath()[len(root):].strip("/")
         vals: dict[str, str | None] = {}
@@ -207,17 +223,14 @@ def compact(
     pcols = _partition_cols(spark, path)
     if pcols:
         infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        saved = spark.conf.get(infer_key)
-        spark.conf.set(infer_key, "false")
-        try:
+        coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+        with _pinned_conf(spark, infer_key, "false"):
             df = spark.read.parquet(path)
             sizes = _partition_value_sizes(fs, src, pcols)
             per_value = {
                 k: max(1, math.ceil(b / target_file_bytes))
                 for k, b in sizes.items()
             }
-            coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
-            saved_coalesce = spark.conf.get(coalesce_key)
             if any(n > 1 for n in per_value.values()):
                 from pyspark.sql.types import (
                     IntegerType,
@@ -244,9 +257,13 @@ def compact(
                 # our on-disk parquet target); explicit partition count
                 # + no coalescing keeps one-ish writer per (value,salt)
                 n_total = sum(per_value.values())
-                spark.conf.set(coalesce_key, "false")
+                # LEFT join + coalesce: a partition value missing from
+                # the sizing map (racing writer adding a new value
+                # between listing and read) must default to one file,
+                # never be dropped by an inner join
                 routed = (
-                    df.join(F.broadcast(counts), cond)
+                    df.join(F.broadcast(counts), cond, "left")
+                    .withColumn("__nf", F.coalesce(F.col("__nf"), F.lit(1)))
                     .repartition(
                         max(2 * n_total, df.sparkSession._sc.defaultParallelism),
                         *[F.col(c) for c in pcols],
@@ -259,16 +276,12 @@ def compact(
                 )
             else:
                 routed = df.repartition(*[F.col(c) for c in pcols])
-            try:
+            with _pinned_conf(spark, coalesce_key, "false"):
                 (
                     routed.write.mode("overwrite")
                     .partitionBy(*pcols)
                     .parquet(staged.toString())
                 )
-            finally:
-                spark.conf.set(coalesce_key, saved_coalesce)
-        finally:
-            spark.conf.set(infer_key, saved)
     else:
         df = spark.read.parquet(path)
         # coalesce, not repartition: pure file merge, no shuffle

@@ -136,13 +136,20 @@ def read_pulsar_stream(
     )
     try:
         return spark.readStream.format("pulsar").options(**opts).load()
-    except Exception as e:  # connector jar absent / unresolvable format
-        raise RuntimeError(
-            "read_pulsar_stream needs the Pulsar Spark connector on the "
-            f"classpath: submit with --packages {CONNECTOR_PACKAGE}:"
-            "<version> (option dict itself is fine — see "
-            "consumer_options)."
-        ) from e
+    except Exception as e:
+        # rewrite ONLY the jar-absent failure; any other error (bad
+        # service URL, auth, malformed offsets) must surface verbatim —
+        # masking it behind "--packages" advice sends the operator
+        # debugging the wrong thing
+        msg = str(e)
+        if "Failed to find data source" in msg or "ClassNotFound" in msg:
+            raise RuntimeError(
+                "read_pulsar_stream needs the Pulsar Spark connector on "
+                f"the classpath: submit with --packages {CONNECTOR_PACKAGE}:"
+                "<version> (option dict itself is fine — see "
+                "consumer_options)."
+            ) from e
+        raise
 
 
 def write_pulsar_stream(

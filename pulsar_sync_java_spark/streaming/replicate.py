@@ -266,10 +266,14 @@ def attribution_stream(
     both sides by user_id only (hash partitioning), exactly like the
     batch formulation; event payloads cross the shuffle once.
 
-    Inner-join semantics make the bounded-source result EXACTLY the
-    batch interval join on the same rows (watermarks only bound state
-    and lateness, never drop on-time matches) — asserted in
-    tests/test_streaming.py."""
+    Equivalence contract: for data whose event-time disorder stays
+    within the watermark delay, the streaming result equals the batch
+    interval join on the same rows — asserted in
+    tests/test_streaming.py over a bounded source.  Rows arriving more
+    than `within` behind the stream's max event time are LATE by
+    definition and dropped before the join state (that bound is what
+    makes the state finite); a pipeline needing those pairs too widens
+    the watermark delay, trading state for lateness tolerance."""
     v = (
         stream.where(F.col("topic") == view_topic)
         .select(

@@ -238,10 +238,18 @@ def _funnel(stages: tuple[str, ...]):
             t = [None] * n
         changed = False
         out: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["event_time", "entry_id"])
-            ts_us = pdf["event_time"].astype("int64") // 1000
-            for ts, stage in zip(ts_us, pdf["topic"]):
+        # ONE sort over the whole micro-batch: a group's rows arrive as
+        # multiple Arrow chunks (maxRecordsPerBatch) in shuffle order,
+        # so sorting each chunk independently would process events out
+        # of time order whenever a group spans chunks — and a click
+        # seen before its earlier view is skipped PERMANENTLY (state
+        # corruption, not a transient)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = pd.concat(chunks, ignore_index=True) if chunks else None
+        if batch is not None:
+            batch = batch.sort_values(["event_time", "entry_id"])
+            ts_us = batch["event_time"].astype("int64") // 1000
+            for ts, stage in zip(ts_us, batch["topic"]):
                 s = idx.get(stage)
                 if s is None or t[s] is not None:
                     continue

@@ -269,3 +269,26 @@ def test_idempotent_append_partitioned_null_partition_value(spark, tmp_path):
     # replayed rows — including the null-partition one — are no-ops
     assert idempotent_append(df, out, ["id"], partition_col="day") == 0
     assert spark.read.parquet(out).count() == 3
+
+
+def test_compact_keeps_extensionless_data_files(spark, facts, tmp_path):
+    """A partition value whose data file has no .parquet suffix (Hive/
+    Impala writer style) must keep every row through compact: the
+    sizing map counts all non-hidden files, and the salted-routing join
+    is a LEFT join defaulting to one file — an inner join against a
+    .parquet-only listing silently DELETED such values (review find)."""
+    out = str(tmp_path / "text")
+    facts.withColumn("day", (F.col("id") % 3).cast("int")).write.partitionBy(
+        "day"
+    ).parquet(out)
+    # rewrite day=1's file extension-less, as a non-Spark writer would
+    part = os.path.join(out, "day=1")
+    files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    assert files
+    for i, f in enumerate(files):
+        os.rename(os.path.join(part, f), os.path.join(part, f"000{i:03d}_0"))
+    before = sorted(r.id for r in spark.read.parquet(out).collect())
+
+    compact(spark, out, target_file_bytes=64 * 1024)  # force salting path
+    after = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert before == after

@@ -649,16 +649,29 @@ def test_funnel_kernel_batch_split_invariance():
         state = FakeState()
         fn = _funnel(stages)
         for batch in (events[:k], events[k:]):
-            pdf = pd.DataFrame(
-                {
-                    "event_time": pd.Series(
-                        [ts * 1000 for ts, _ in batch], dtype="int64"
-                    ),
-                    "topic": [s for _, s in batch],
-                    "entry_id": range(len(batch)),
-                }
-            )
-            list(fn((7,), [pdf], state))
+            # deliver the batch as MULTIPLE Arrow-style chunks in an
+            # arbitrary interleaving: the kernel must sort across
+            # chunks, not per chunk (regression: a click chunked ahead
+            # of its earlier view was skipped permanently)
+            assign = [
+                cut.draw(st.integers(min_value=0, max_value=1))
+                for _ in batch
+            ]
+            chunks = []
+            for c in (0, 1):
+                rows = [e for e, a in zip(batch, assign) if a == c]
+                chunks.append(
+                    pd.DataFrame(
+                        {
+                            "event_time": pd.Series(
+                                [ts * 1000 for ts, _ in rows], dtype="int64"
+                            ),
+                            "topic": [s for _, s in rows],
+                            "entry_id": range(len(rows)),
+                        }
+                    )
+                )
+            list(fn((7,), chunks, state))
         got = tuple(state.get[0]) if state.exists else (None, None, None)
         assert got == brute(events)
 
