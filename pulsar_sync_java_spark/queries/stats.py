@@ -143,3 +143,48 @@ def q_corr_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.filter(F.col("n") > 1).select(
         "l_returnflag", "n", corr.alias("corr_qty_price")
     )
+
+
+_HISTOGRAM_SQL = """
+WITH b AS (
+  SELECT event_type,
+         CAST(least(floor(value / 10.0), 9) AS INT) AS bucket
+  FROM events WHERE value IS NOT NULL AND value >= 0
+), c AS (
+  SELECT event_type, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2
+)
+SELECT event_type, bucket, n,
+       CAST(n AS DOUBLE)
+         / SUM(n) OVER (PARTITION BY event_type) AS share
+FROM c
+"""
+
+
+@query("q_histogram", oracle=_HISTOGRAM_SQL)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (10-unit buckets,
+    top bucket open) with within-type shares — the distribution
+    profile a drift monitor compares release-over-release.
+
+    Fixed widths on purpose: data-dependent bucket edges (equi-depth,
+    min/max-scaled) need an extra full pass AND make two corpora's
+    histograms incomparable.  One partial+final count aggregate
+    (shuffle carries (type, bucket, n) rows), one tiny window for the
+    shares; the bucket expression is a single floor/least over the
+    scan.  share = n / Σn is one IEEE division on exact integers —
+    bit-identical in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.where(F.col("value").isNotNull() & (F.col("value") >= 0)).select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 10.0), F.lit(9)).cast("int").alias("bucket"),
+    )
+    c = b.groupBy("event_type", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    return c.select(
+        "event_type",
+        "bucket",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias("share"),
+    )

@@ -105,6 +105,7 @@ EXPECT = {
     "q_multimodal_meta": "metadata decode in one MapInPandas, zero shuffles",
     "q_anomaly_zscore": "moments aggregate (one sums-row per group) broadcast back onto the event scan — two passes, no window",
     "q_corr_pearson": "five exact decimal moment sums in ONE partial+final aggregate; corr is per-group constant arithmetic",
+    "q_histogram": "bucket expression inside the scan stage; one count aggregate + a tiny share window over (type, bucket) rows",
 }
 
 _SECTION = """\
