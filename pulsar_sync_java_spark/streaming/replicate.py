@@ -253,6 +253,7 @@ def attribution_stream(
     within: str = "1 hour",
     view_topic: str = "view",
     click_topic: str = "click",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: every click attributed to every view
     by the same user within `within` before it — the canonical
@@ -273,7 +274,14 @@ def attribution_stream(
     than `within` behind the stream's max event time are LATE by
     definition and dropped before the join state (that bound is what
     makes the state finite); a pipeline needing those pairs too widens
-    the watermark delay, trading state for lateness tolerance."""
+    the watermark delay, trading state for lateness tolerance.
+
+    `how="left_outer"` additionally emits every UNMATCHED view with a
+    null click — but only once the click-side watermark proves no
+    in-horizon click can still arrive, so outer rows trail the inner
+    ones by up to the watermark delay (the Structured Streaming outer-
+    join contract; a bounded source's tail views, which the final
+    watermark never passes, stay unemitted)."""
     v = (
         stream.where(F.col("topic") == view_topic)
         .select(
@@ -301,7 +309,7 @@ def attribution_stream(
             AND click_time <= view_time + INTERVAL {within}
             """
         ),
-        "inner",
+        how,
     )
     return joined.select(
         "user_id",

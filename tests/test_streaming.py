@@ -724,3 +724,70 @@ def test_attribution_stream_matches_batch_interval_join(spark, message_dir):
     }
     assert got == expected
     assert expected, "fixture produced no attributable pairs"
+
+
+def test_attribution_stream_outer_closes_unmatched_views(spark, message_dir):
+    """Left-outer stream-stream join: every inner pair still appears,
+    and views with no in-horizon click are emitted exactly once with a
+    null click ONCE the click watermark passes their horizon; tail
+    views the final watermark never passes stay open (not emitted) —
+    the Structured Streaming outer-join contract."""
+    import datetime as dt
+
+    from pulsar_sync_java_spark.streaming.replicate import attribution_stream
+
+    stream = attribution_stream(
+        read_message_stream(spark, message_dir), how="left_outer"
+    )
+    tbl = run_to_memory(stream, "attribution_outer")
+    rows = spark.table(tbl).collect()
+    matched = {(r.user_id, r.view_event, r.click_event) for r in rows if r.click_event is not None}
+    nulls = {(r.user_id, r.view_event) for r in rows if r.click_event is None}
+    null_rows = [r for r in rows if r.click_event is None]
+    assert len(null_rows) == len(nulls), "an unmatched view emitted twice"
+
+    msgs = build_messages(spark)
+    v = msgs.where("topic = 'view'").select(
+        F.col("ledger_id").alias("user_id"),
+        F.col("event_time").alias("view_time"),
+        F.col("entry_id").alias("view_event"),
+    )
+    c = msgs.where("topic = 'click'").select(
+        F.col("ledger_id").alias("c_user_id"),
+        F.col("event_time").alias("click_time"),
+        F.col("entry_id").alias("click_event"),
+    )
+    inner = {
+        (r.user_id, r.view_event, r.click_event)
+        for r in v.join(
+            c,
+            F.expr(
+                "user_id = c_user_id AND click_time > view_time "
+                "AND click_time <= view_time + INTERVAL 1 HOUR"
+            ),
+        ).collect()
+    }
+    assert matched == inner
+
+    # batch ground truth for unmatched views, restricted to those whose
+    # horizon the final click watermark (max click_time - 1h delay)
+    # provably passed: all of them must have been emitted with nulls
+    max_click = c.agg(F.max("click_time")).collect()[0][0]
+    horizon = max_click - dt.timedelta(hours=2)  # delay + interval
+    expected_closed_nulls = {
+        (r.user_id, r.view_event)
+        for r in v.join(
+            c,
+            F.expr(
+                "user_id = c_user_id AND click_time > view_time "
+                "AND click_time <= view_time + INTERVAL 1 HOUR"
+            ),
+            "left_anti",
+        )
+        .where(F.col("view_time") < F.lit(horizon))
+        .collect()
+    }
+    assert expected_closed_nulls <= nulls
+    # and nothing emitted null that actually HAS an in-horizon click
+    assert nulls.isdisjoint({(u, ve) for (u, ve, _) in inner})
+    assert expected_closed_nulls, "fixture produced no closed unmatched views"
