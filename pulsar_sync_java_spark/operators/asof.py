@@ -38,10 +38,14 @@ def asof_join(
     right_tiebreak: list[str] | None = None,
     suffix: str = "",
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the right row with
-    the greatest ``on`` value <= (< if ``strict``) the left's ``on``
-    value, within the same ``by`` group.
+    """As-of join: for each left row, attach the right row with the
+    greatest ``on`` value <= (< if ``strict``) the left's ``on`` value
+    within the same ``by`` group — or, with ``direction="forward"``,
+    the SMALLEST ``on`` value >= (> if ``strict``): the next sampled
+    mapping at or after the probe (pandas merge_asof parity; same ONE
+    union-window shuffle, just sorted descending).
 
     Left rows with no floor match are kept with nulls (left-outer
     semantics) — `SparseMap.get` "not found" when the probe precedes
@@ -87,7 +91,13 @@ def asof_join(
     )
     combined = l.select(*r_aligned.columns).unionByName(r_aligned)
 
-    order: list[Column] = [F.col(on).asc(), F.col(_TAG).asc()]
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    on_sorted = F.col(on).asc() if direction == "backward" else F.col(on).desc()
+    # tag order is direction-independent: at equal `on`, right rows tagged
+    # 0 sort before left (non-strict: equality matches) and rows tagged 2
+    # after (strict: equality excluded)
+    order: list[Column] = [on_sorted, F.col(_TAG).asc()]
     order += [F.col(_PAYLOAD)[c].asc_nulls_first() for c in right_tiebreak]
     w = (
         Window.partitionBy(*[F.col(c) for c in by])

@@ -110,3 +110,40 @@ def test_pending_creates_skips_existing_subscriptions(spark, events):
     pend = pending_creates(translated, existing, ["user_id"])
     assert pend.count() == translated.count() - 2
     assert {r.user_id for r in pend.select("user_id").collect()}.isdisjoint({0, 1})
+
+
+def test_asof_join_forward_matches_brute_force(spark):
+    """direction='forward' must attach the SMALLEST right `on` >= left's
+    (> when strict), per key — checked against a brute-force range-join
+    formulation on real event data."""
+    ev = load_table(spark, SF_DIR, "events")
+    left = ev.select(
+        (F.col("user_id") % 5).alias("k"),
+        F.col("event_id").alias("lid"),
+        F.unix_micros("ts").alias("t"),
+    ).limit(300)
+    right = ev.select(
+        (F.col("user_id") % 5).alias("k"),
+        F.col("event_id").alias("rid"),
+        (F.unix_micros("ts") + 17).alias("t"),
+    ).limit(200)
+
+    for strict in (False, True):
+        got = {
+            (r.k, r.lid): r.rid
+            for r in asof_join(
+                left, right, on="t", by="k",
+                right_tiebreak=["rid"], strict=strict,
+                direction="forward",
+            ).collect()
+        }
+        cmp = F.col("r.t") > F.col("l.t") if strict else F.col("r.t") >= F.col("l.t")
+        brute = (
+            left.alias("l")
+            .join(right.alias("r"), (F.col("l.k") == F.col("r.k")) & cmp, "left")
+            .groupBy("l.k", "l.lid")
+            .agg(F.min_by(F.col("r.rid"), F.struct(F.col("r.t"), -F.col("r.rid"))).alias("rid"))
+        )
+        expected = {(r.k, r.lid): r.rid for r in brute.collect()}
+        assert got == expected, f"strict={strict}"
+        assert any(v is not None for v in got.values())
