@@ -349,6 +349,38 @@ def ivf_index_write(
     return cents
 
 
+def ivf_index_append(
+    df_new: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally grow a materialized IVF index (`ivf_index_write`)
+    with new vectors — the index LIFECYCLE step a streaming corpus
+    needs: assign against the STORED centroids (a coarse quantizer is
+    deliberately never retrained per batch; its residual error is
+    corrected by the exact re-rank inside every probe) and append via
+    the keyed idempotent sink, partition-pruned by cell.
+
+    Replay-safe: re-delivering a batch appends nothing (vec_id keyed,
+    and a vector always lands in the same cell under fixed centroids,
+    so the pruned existence probe is exact).  Each batch's probe scans
+    only the cells present in the batch, not the index history.
+    Returns rows appended.  Retrain/rebalance (centroid drift after
+    the corpus grows far past the training sample) is a full
+    `ivf_index_write` rebuild — the standard IVF maintenance model.
+    """
+    from pulsar_sync_java_spark.sinks.writers import idempotent_append
+
+    assigned = assign_clusters(spread(df_new), vec_col, centroids).withColumnRenamed(
+        "__cluster", "ivf_cell"
+    )
+    return idempotent_append(
+        assigned, path, keys=[id_col], partition_col="ivf_cell"
+    )
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

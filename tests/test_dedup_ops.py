@@ -611,3 +611,44 @@ def test_hashed_shingle_index_matches_raw_strings(spark, documents):
         ).collect()
     }
     assert hashed == raw
+
+
+def test_ivf_index_append_is_idempotent_and_probed(spark, embeddings, tmp_path):
+    """Index lifecycle: build on a prefix of the corpus, append the rest
+    in two batches (one replayed) — the index must equal a fresh full
+    build cell-for-cell, and the replay must append nothing."""
+    from pulsar_sync_java_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_write,
+        ivf_topk_indexed,
+    )
+
+    base = embeddings.where(F.col("vec_id") % 3 != 0)
+    rest = embeddings.where(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "ivf")
+    cents = ivf_index_write(base, idx, n_centroids=8)
+
+    n1 = ivf_index_append(rest, idx, cents)
+    assert n1 == rest.count()
+    n2 = ivf_index_append(rest, idx, cents)  # replay
+    assert n2 == 0
+
+    # incremental index == fresh full build under the same centroids
+    full = str(tmp_path / "ivf_full")
+    from pulsar_sync_java_spark.operators.similarity import assign_clusters
+    from pulsar_sync_java_spark.operators.util import spread
+
+    assigned = assign_clusters(spread(embeddings), "embedding", cents)
+    got = {
+        (r.vec_id, r.ivf_cell)
+        for r in spark.read.parquet(idx).select("vec_id", "ivf_cell").collect()
+    }
+    expected = {
+        (r.vec_id, r["__cluster"]) for r in assigned.select("vec_id", "__cluster").collect()
+    }
+    assert got == expected
+
+    # probes over the incrementally-built index return exact top-k
+    q = embeddings.where("vec_id = 0").select("embedding").first()[0]
+    res = ivf_topk_indexed(spark, idx, cents, list(q), k=5, nprobe=8)
+    assert res.count() == 5
