@@ -158,6 +158,42 @@ def lsh_index_write(
     ).parquet(path)
 
 
+def lsh_index_append(
+    df_new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    prefix_bits: int = 4,
+    seed: int = 42,
+) -> int:
+    """Incrementally grow a materialized LSH index (`lsh_index_write`)
+    — signatures are a pure function of (planes, seed), so new vectors
+    hash into the same prefix partitions forever; no rebuild is ever
+    REQUIRED (unlike IVF, whose centroids can drift).  Keyed idempotent
+    append, partition-pruned by prefix: replays add nothing, each batch
+    probes only the prefixes it lands in.  Params must match the
+    original build (same planes ⇒ same layout).  Returns rows appended.
+    """
+    from pulsar_sync_java_spark.operators.vectorized import (
+        hyperplane_signature_udf,
+    )
+    from pulsar_sync_java_spark.sinks.writers import idempotent_append
+
+    row = df_new.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        return 0
+    planes = _planes(int(row["d"]), num_planes, seed)
+    sig = hyperplane_signature_udf(planes)(F.col(vec_col))
+    signed = spread(df_new).withColumn("__sig", sig).withColumn(
+        "sig_prefix",
+        F.shiftrightunsigned(F.col("__sig"), num_planes - prefix_bits),
+    )
+    return idempotent_append(
+        signed, path, keys=[id_col], partition_col="sig_prefix"
+    )
+
+
 def lsh_topk_indexed(
     spark,
     path: str,

@@ -652,3 +652,38 @@ def test_ivf_index_append_is_idempotent_and_probed(spark, embeddings, tmp_path):
     q = embeddings.where("vec_id = 0").select("embedding").first()[0]
     res = ivf_topk_indexed(spark, idx, cents, list(q), k=5, nprobe=8)
     assert res.count() == 5
+
+
+def test_lsh_index_append_is_idempotent_and_matches_full_build(
+    spark, embeddings, tmp_path
+):
+    """LSH signatures are pure functions of (planes, seed), so an
+    incrementally-grown index must be row-identical to a full build,
+    and replays must append nothing."""
+    from pulsar_sync_java_spark.operators.similarity import (
+        lsh_index_append,
+        lsh_index_write,
+        lsh_topk_indexed,
+    )
+
+    base = embeddings.where(F.col("vec_id") % 4 != 0)
+    rest = embeddings.where(F.col("vec_id") % 4 == 0)
+    idx = str(tmp_path / "lsh")
+    lsh_index_write(base, idx)
+    assert lsh_index_append(rest, idx) == rest.count()
+    assert lsh_index_append(rest, idx) == 0  # replay
+
+    full = str(tmp_path / "lsh_full")
+    lsh_index_write(embeddings, full)
+    got = {
+        (r.vec_id, r.sig_prefix)
+        for r in spark.read.parquet(idx).select("vec_id", "sig_prefix").collect()
+    }
+    expected = {
+        (r.vec_id, r.sig_prefix)
+        for r in spark.read.parquet(full).select("vec_id", "sig_prefix").collect()
+    }
+    assert got == expected
+
+    q = embeddings.where("vec_id = 0").select("embedding").first()[0]
+    assert lsh_topk_indexed(spark, idx, list(q), k=5).count() == 5
