@@ -791,3 +791,69 @@ def test_attribution_stream_outer_closes_unmatched_views(spark, message_dir):
     # and nothing emitted null that actually HAS an in-horizon click
     assert nulls.isdisjoint({(u, ve) for (u, ve, _) in inner})
     assert expected_closed_nulls, "fixture produced no closed unmatched views"
+
+
+def test_attribution_stream_state_survives_restart(spark, tmp_path):
+    """Stream-stream join state persists across a query restart: views
+    delivered in run 1, their clicks only in run 2 (same checkpoint) —
+    the pairs must still be emitted, proving the buffered view side is
+    restored from the state store, not recomputed from the source."""
+    import glob
+    import os
+    import shutil
+
+    from pulsar_sync_java_spark.streaming.replicate import attribution_stream
+
+    msgs = build_messages(spark)
+    views = msgs.where("topic = 'view'")
+    clicks = msgs.where("topic = 'click'")
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+
+    got = set()
+    for i, half in enumerate((views, clicks)):
+        staged = str(tmp_path / f"stage{i}")
+        half.coalesce(1).write.parquet(staged)
+        for f in glob.glob(staged + "/part-*.parquet"):
+            shutil.copy(f, os.path.join(src, f"batch{i}.parquet"))
+        q = (
+            attribution_stream(read_message_stream(spark, src))
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = {
+        (r.user_id, r.view_event, r.click_event)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+
+    v = views.select(
+        F.col("ledger_id").alias("user_id"),
+        F.col("event_time").alias("view_time"),
+        F.col("entry_id").alias("view_event"),
+    )
+    c = clicks.select(
+        F.col("ledger_id").alias("c_user_id"),
+        F.col("event_time").alias("click_time"),
+        F.col("entry_id").alias("click_event"),
+    )
+    expected = {
+        (r.user_id, r.view_event, r.click_event)
+        for r in v.join(
+            c,
+            F.expr(
+                "user_id = c_user_id AND click_time > view_time "
+                "AND click_time <= view_time + INTERVAL 1 HOUR"
+            ),
+        ).collect()
+    }
+    # the view buffer could only be evicted once the CLICK watermark
+    # passed view_time + interval — and run 1 delivered zero clicks, so
+    # the click watermark never moved and every view survived into run 2:
+    # the restarted query must emit the COMPLETE batch join result
+    assert got == expected
+    assert expected, "fixture produced no attributable pairs"
