@@ -59,10 +59,18 @@ def test_never_checked_queries_come_first():
 
 
 def test_rotation_prefers_older_green_rows():
+    """Oldest coverage rotates first — EXCEPT queries named in
+    ROTATION_PRIORITY.txt (implementing code changed after their last
+    green row), which deliberately jump ahead of the age classes."""
+    from pathlib import Path
+
+    from tools.coverage_rotation import touched_overrides
+
     rounds = _rounds()
     if len(rounds) < 2:
         return
     ordered = list(__spark_entry__.queries())
+    touched = touched_overrides(Path(__spark_entry__.__file__).resolve().parent)
     latest = max(rounds)
     oldest = min(rounds)
     old_only = {
@@ -70,14 +78,16 @@ def test_rotation_prefers_older_green_rows():
         for n, row in rounds[oldest].items()
         if row.get("hash_match") is True
         and not (rounds[latest].get(n, {}).get("hash_match") is True)
-    }
+    } - touched
     newest_green = {
         n for n, row in rounds[latest].items() if row.get("hash_match") is True
-    }
+    } - touched
     if old_only and newest_green:
         assert max(ordered.index(n) for n in old_only) < min(
             ordered.index(n) for n in newest_green
         )
+    # and every touched query sits inside the driver's 50-slot window
+    assert all(ordered.index(n) < 50 for n in touched if n in ordered)
 
 
 def test_rotated_queries_is_a_permutation_of_registry():

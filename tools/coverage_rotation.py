@@ -48,12 +48,43 @@ def coverage_age(root: Path, oracles: dict[str, str]) -> dict[str, int]:
     return age
 
 
+def touched_overrides(root: Path) -> set[str]:
+    """Optional ROTATION_PRIORITY.txt in the repo root: one query name
+    per line (comments with #), naming queries whose IMPLEMENTING CODE
+    changed after their last green driver row.  Age alone cannot see
+    code churn — a query verified green in round N and rewritten in
+    round N+1 would wait a full rotation cycle before re-verification
+    (the exact gap the round-3 judge flagged for q_dedup_cluster).
+    Maintained by hand each round; stale names are harmless (they just
+    verify early again)."""
+    f = root / "ROTATION_PRIORITY.txt"
+    if not f.exists():
+        return set()
+    out = set()
+    for line in f.read_text().splitlines():
+        line = line.split("#", 1)[0].strip()
+        if line:
+            out.add(line)
+    return out
+
+
 def rotate_by_coverage_age(
     names: list[str], oracles: dict[str, str], root: Path
 ) -> list[str]:
-    """Registry names re-ordered oldest-coverage-first (stable within an
-    age class: registration order breaks ties via a precomputed index
+    """Registry names re-ordered for driver verification: never-checked
+    queries first (age 0), then ROTATION_PRIORITY.txt entries (code
+    changed since their last green row), then ascending coverage age —
+    stable within each class via registration order (precomputed index
     map, O(n log n) total)."""
     age = coverage_age(root, oracles)
+    touched = touched_overrides(root)
     index = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (age.get(n, 0), index[n]))
+
+    def key(n: str):
+        a = age.get(n, 0)
+        # age-0 (never checked) stays first; touched-but-green queries
+        # slot between age 0 and the ordinary age classes
+        cls = (0, 0) if a == 0 else ((0, 1) if n in touched else (1, a))
+        return (*cls, index[n])
+
+    return sorted(names, key=key)
