@@ -157,6 +157,67 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: containment = |A∩B| / min(|A|,|B|)
+    — the near-superset detector Jaccard structurally misses (a page
+    embedded whole inside a 10x-longer page has Jaccard ~0.1 but
+    containment ~1.0; the standard companion metric in web dedup, cf.
+    Broder's resemblance/containment pair).
+
+    Same inverted-index shape and cost bound as `jaccard_pairs` (ONE
+    candidate shuffle, buckets over `max_bucket` dropped whole, sizes
+    joined onto the pruned pair set, 8-byte hashed shingle keys); only
+    the final scoring expression differs, so everything said there about
+    the 100 TB plan applies verbatim — and the persisted shingle-array
+    projection is plan-matched SHARED with jaccard_pairs over the same
+    corpus (one cache entry serves both metrics)."""
+    ds = spread(df, full=True)
+    toks = ds.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    sh_arr = shingles_from_tokens(F.col("__toks"), n)
+    if hash_shingles:
+        sh_arr = F.transform(sh_arr, lambda s: F.xxhash64(s))
+    arr = spread(
+        toks.select(F.col(id_col), sh_arr.alias("__sh")),
+        full=True,
+    ).persist()
+    sizes = arr.select(F.col(id_col), F.size("__sh").alias("set_size"))
+    sh = arr.select(F.col(id_col), F.explode("__sh").alias("shingle"))
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
+    )
+    inter = (
+        buckets.select(F.explode(pair_structs(F.col("__ids"))).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / F.least(F.col("size_a"), F.col("size_b"))
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pulsar_sync_java_spark.operators.dedup import (
+    containment_pairs,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -74,6 +75,49 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     by doc-pair count (operators/dedup.py:jaccard_pairs)."""
     d = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(d, threshold=0.5, max_bucket=1000)
+
+
+_CONTAINMENT_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), dims AS (
+  SELECT unnest(generate_series(1, (SELECT MAX(len(t)) FROM toks))) AS i
+), sh AS (
+  SELECT DISTINCT doc_id, t[d.i] || ' ' || t[d.i+1] || ' ' || t[d.i+2] AS shingle
+  FROM toks, dims d WHERE d.i <= len(t) - 2
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+), hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
+), pruned AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN hot USING (shingle)
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / least(sa.set_size, sb.set_size) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / least(sa.set_size, sb.set_size) >= 0.8
+"""
+
+
+@query("q_containment_dedup", oracle=_CONTAINMENT_SQL)
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram CONTAINMENT pairs (>= 0.8): |A∩B| / min(|A|,|B|) —
+    the near-superset detector Jaccard structurally misses (a doc
+    embedded whole in a 10x-longer doc is Jaccard ~0.1, containment
+    ~1.0; Broder's resemblance/containment companion metric).  Same
+    inverted-index plan as q_ngram_jaccard — the persisted shingle
+    projection is plan-matched SHARED between the two metrics
+    (operators/dedup.py:containment_pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return containment_pairs(d, threshold=0.8, max_bucket=1000)
 
 
 # Portable MinHash oracle: md5-prefix 32-bit base hashes + the affine

@@ -106,6 +106,7 @@ EXPECT = {
     "q_anomaly_zscore": "moments aggregate (one sums-row per group) broadcast back onto the event scan — two passes, no window",
     "q_corr_pearson": "five exact decimal moment sums in ONE partial+final aggregate; corr is per-group constant arithmetic",
     "q_histogram": "bucket expression inside the scan stage; one count aggregate + a tiny share window over (type, bucket) rows",
+    "q_containment_dedup": "same inverted-index shape as q_ngram_jaccard (cached shingle arrays, one candidate shuffle, sizes broadcast back); only the scoring expression differs",
 }
 
 _SECTION = """\
