@@ -687,3 +687,46 @@ def test_lsh_index_append_is_idempotent_and_matches_full_build(
 
     q = embeddings.where("vec_id = 0").select("embedding").first()[0]
     assert lsh_topk_indexed(spark, idx, list(q), k=5).count() == 5
+
+
+def test_containment_catches_planted_superset(spark):
+    """The defining case: a short doc embedded whole inside a 10x-longer
+    doc has containment ~1.0 but Jaccard far below any dedup threshold
+    — containment_pairs must flag it, jaccard_pairs must not, and
+    containment >= jaccard holds for every pair both emit."""
+    from pulsar_sync_java_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    short = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(10))
+    filler = " ".join(f"noise{i} word{i} tail{i}" for i in range(100))
+    rows = [
+        (1, short),
+        (2, filler + " " + short),  # superset: short embedded whole
+        (3, " ".join(f"other{i} stuff{i}" for i in range(40))),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(d, threshold=0.8).collect()
+    }
+    jacc = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(d, threshold=0.5).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] > 0.9
+    assert (1, 2) not in jacc  # Jaccard structurally misses it
+
+    # containment >= jaccard on the full unthresholded pair set
+    cont_all = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(d, threshold=0.0).collect()
+    }
+    jacc_all = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(d, threshold=0.0).collect()
+    }
+    assert set(jacc_all) == set(cont_all)
+    assert all(cont_all[p] >= jacc_all[p] - 1e-12 for p in jacc_all)
