@@ -55,6 +55,58 @@ def shingle_rows(
     return toks.select(F.col(id_col), F.explode(sh).alias("shingle"))
 
 
+def _shingle_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_bucket: int,
+    hash_shingles: bool,
+) -> DataFrame:
+    """Shared inverted-index pipeline behind the exact-overlap metrics
+    (jaccard_pairs / containment_pairs): per-pair intersection counts
+    joined with both set sizes — columns (doc_a, doc_b, inter, size_a,
+    size_b).  ONE place owns the bucket-cap semantics, the hashed-key
+    mode, and the persist point, so the metrics cannot diverge; and
+    because both build the IDENTICAL logical plan up to here, Spark's
+    plan-matched cache shares one persisted shingle projection between
+    them."""
+    ds = spread(df, full=True)
+    toks = ds.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    sh_arr = shingles_from_tokens(F.col("__toks"), n)
+    if hash_shingles:
+        # hash INSIDE the persisted projection so the cache already
+        # holds longs: explode, shuffle, and collect_list all downstream
+        # of here never touch a shingle string again
+        sh_arr = F.transform(sh_arr, lambda s: F.xxhash64(s))
+    # persist the shingle arrays: the sizes branch and the inverted-index
+    # branch both consume this projection and AQE does not share the
+    # exchange between them (same finding as lsh_candidate_pairs) —
+    # caching halves the tokenize+shingle work, and Spark's plan-matched
+    # cache additionally serves every other query over the same corpus
+    # (q_dedup_cluster reuses it; measured 2.6s -> 1.3s cold at sf0.1)
+    arr = spread(
+        toks.select(F.col(id_col), sh_arr.alias("__sh")),
+        full=True,
+    ).persist()
+    sizes = arr.select(F.col(id_col), F.size("__sh").alias("set_size"))
+    sh = arr.select(F.col(id_col), F.explode("__sh").alias("shingle"))
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
+    )
+    inter = (
+        buckets.select(F.explode(pair_structs(F.col("__ids"))).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -103,58 +155,16 @@ def jaccard_pairs(
     - set sizes join onto the (small, pruned) pair set at the end, not
       onto the exploded rows — AQE turns both into broadcasts.
     """
-    # full parallelism on both exchanges: the stage above the second one
-    # explodes every shingle (ordersof-magnitude row amplification into
-    # the inverted-index groupBy), so the size heuristic would
-    # under-provision it — see spread(full=True).
-    ds = spread(df, full=True)
-    toks = ds.select(F.col(id_col), tokens(text_col).alias("__toks"))
-    sh_arr = shingles_from_tokens(F.col("__toks"), n)
-    if hash_shingles:
-        # hash INSIDE the persisted projection so the cache already
-        # holds longs: explode, shuffle, and collect_list all downstream
-        # of here never touch a shingle string again
-        sh_arr = F.transform(sh_arr, lambda s: F.xxhash64(s))
-    # persist the shingle arrays: the sizes branch and the inverted-index
-    # branch both consume this projection and AQE does not share the
-    # exchange between them (same finding as lsh_candidate_pairs) —
-    # caching halves the tokenize+shingle work, and Spark's plan-matched
-    # cache additionally serves every other query over the same corpus
-    # (q_dedup_cluster reuses it; measured 2.6s -> 1.3s cold at sf0.1)
-    arr = spread(
-        toks.select(F.col(id_col), sh_arr.alias("__sh")),
-        full=True,
-    ).persist()
-    sizes = arr.select(F.col(id_col), F.size("__sh").alias("set_size"))
-    sh = arr.select(
-        F.col(id_col), F.explode("__sh").alias("shingle")
-    )
-    buckets = (
-        sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
-        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
-    )
-    inter = (
-        buckets.select(F.explode(pair_structs(F.col("__ids"))).alias("p"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("inter").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("inter"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _shingle_overlap(
+        df, id_col, text_col, n, max_bucket, hash_shingles
+    ).select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def containment_pairs(
@@ -179,43 +189,16 @@ def containment_pairs(
     the 100 TB plan applies verbatim — and the persisted shingle-array
     projection is plan-matched SHARED with jaccard_pairs over the same
     corpus (one cache entry serves both metrics)."""
-    ds = spread(df, full=True)
-    toks = ds.select(F.col(id_col), tokens(text_col).alias("__toks"))
-    sh_arr = shingles_from_tokens(F.col("__toks"), n)
-    if hash_shingles:
-        sh_arr = F.transform(sh_arr, lambda s: F.xxhash64(s))
-    arr = spread(
-        toks.select(F.col(id_col), sh_arr.alias("__sh")),
-        full=True,
-    ).persist()
-    sizes = arr.select(F.col(id_col), F.size("__sh").alias("set_size"))
-    sh = arr.select(F.col(id_col), F.explode("__sh").alias("shingle"))
-    buckets = (
-        sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
-        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
-    )
-    inter = (
-        buckets.select(F.explode(pair_structs(F.col("__ids"))).alias("p"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("inter").cast("double")
-                / F.least(F.col("size_a"), F.col("size_b"))
-            ).alias("containment"),
-        )
-        .filter(F.col("containment") >= threshold)
-    )
+    return _shingle_overlap(
+        df, id_col, text_col, n, max_bucket, hash_shingles
+    ).select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("inter").cast("double")
+            / F.least(F.col("size_a"), F.col("size_b"))
+        ).alias("containment"),
+    ).filter(F.col("containment") >= threshold)
 
 
 def minhash_signatures(

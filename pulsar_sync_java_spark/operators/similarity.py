@@ -120,6 +120,33 @@ def lsh_topk(
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def _lsh_signed(
+    df: DataFrame,
+    dim: int,
+    vec_col: str,
+    num_planes: int,
+    prefix_bits: int,
+    seed: int,
+) -> DataFrame:
+    """Signature + partition-prefix projection shared by
+    `lsh_index_write` and `lsh_index_append` — ONE definition of the
+    Hive partition value, because the idempotent append's pruned
+    existence probe is only exact if a vector always lands in the same
+    prefix the write path produced ("pruned absence == global
+    absence")."""
+    from pulsar_sync_java_spark.operators.vectorized import (
+        hyperplane_signature_udf,
+    )
+
+    planes = _planes(dim, num_planes, seed)
+    sig = hyperplane_signature_udf(planes)(F.col(vec_col))
+    return spread(df).withColumn("__sig", sig).withColumn(
+        "sig_prefix",
+        F.shiftrightunsigned(F.col("__sig"), num_planes - prefix_bits)
+        .bitwiseAND(F.lit((1 << prefix_bits) - 1)),
+    )
+
+
 def lsh_index_write(
     df: DataFrame,
     path: str,
@@ -142,16 +169,8 @@ def lsh_index_write(
             f"lsh_index_write: input has no rows — nothing to index "
             f"(vec_col={vec_col!r})"
         )
-    planes = _planes(int(row["d"]), num_planes, seed)
-    from pulsar_sync_java_spark.operators.vectorized import (
-        hyperplane_signature_udf,
-    )
-
-    sig = hyperplane_signature_udf(planes)(F.col(vec_col))
-    signed = spread(df).withColumn("__sig", sig).withColumn(
-        "sig_prefix",
-        F.shiftrightunsigned(F.col("__sig"), num_planes - prefix_bits)
-        .bitwiseAND(F.lit((1 << prefix_bits) - 1)),
+    signed = _lsh_signed(
+        df, int(row["d"]), vec_col, num_planes, prefix_bits, seed
     )
     signed.repartition("sig_prefix").write.mode("overwrite").partitionBy(
         "sig_prefix"
@@ -175,19 +194,13 @@ def lsh_index_append(
     probes only the prefixes it lands in.  Params must match the
     original build (same planes ⇒ same layout).  Returns rows appended.
     """
-    from pulsar_sync_java_spark.operators.vectorized import (
-        hyperplane_signature_udf,
-    )
     from pulsar_sync_java_spark.sinks.writers import idempotent_append
 
     row = df_new.select(F.size(F.col(vec_col)).alias("d")).first()
     if row is None:
         return 0
-    planes = _planes(int(row["d"]), num_planes, seed)
-    sig = hyperplane_signature_udf(planes)(F.col(vec_col))
-    signed = spread(df_new).withColumn("__sig", sig).withColumn(
-        "sig_prefix",
-        F.shiftrightunsigned(F.col("__sig"), num_planes - prefix_bits),
+    signed = _lsh_signed(
+        df_new, int(row["d"]), vec_col, num_planes, prefix_bits, seed
     )
     return idempotent_append(
         signed, path, keys=[id_col], partition_col="sig_prefix"

@@ -38,7 +38,12 @@ from pulsar_sync_java_spark.operators.similarity import (
 from pulsar_sync_java_spark.queries import query
 from pulsar_sync_java_spark.sources.tables import load_table
 
-_JACCARD_SQL = """
+# Shared inverted-index CTE chain for the exact-overlap oracles
+# (mirrors operators/dedup._shingle_overlap): distinct 3-gram shingles,
+# set sizes, the max_bucket=1000 stop-shingle guard, and per-pair
+# intersection counts.  Both metric oracles append only their scoring
+# SELECT, so the pipeline semantics cannot diverge between them.
+_OVERLAP_CTES = """
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
@@ -59,6 +64,9 @@ WITH toks AS (
   FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
+"""
+
+_JACCARD_SQL = _OVERLAP_CTES + """
 SELECT doc_a, doc_b,
        CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) AS jaccard
 FROM inter
@@ -77,27 +85,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(d, threshold=0.5, max_bucket=1000)
 
 
-_CONTAINMENT_SQL = """
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
-  FROM documents
-), dims AS (
-  SELECT unnest(generate_series(1, (SELECT MAX(len(t)) FROM toks))) AS i
-), sh AS (
-  SELECT DISTINCT doc_id, t[d.i] || ' ' || t[d.i+1] || ' ' || t[d.i+2] AS shingle
-  FROM toks, dims d WHERE d.i <= len(t) - 2
-), sizes AS (
-  SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
-), hot AS (
-  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
-), pruned AS (
-  SELECT sh.doc_id, sh.shingle FROM sh JOIN hot USING (shingle)
-), inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
+_CONTAINMENT_SQL = _OVERLAP_CTES + """
 SELECT doc_a, doc_b,
        CAST(inter AS DOUBLE) / least(sa.set_size, sb.set_size) AS containment
 FROM inter
