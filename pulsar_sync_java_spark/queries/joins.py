@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from pulsar_sync_java_spark.functions.numeric import dsum, sql_dsum
 from pulsar_sync_java_spark.operators.asof import asof_join
+from pulsar_sync_java_spark.operators.bloom import bloom_semi_join
 from pulsar_sync_java_spark.queries import query
 from pulsar_sync_java_spark.queries.reference import TS_FMT_DUCK, fmt_ts
 from pulsar_sync_java_spark.sources.tables import load_table
@@ -238,4 +239,45 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         fmt_ts(F.col("o_orderdate")).alias("o_orderdate"),
         "o_totalprice",
+    )
+
+
+_BLOOM_SEMI_SQL = f"""
+SELECT l_returnflag, COUNT(*) AS n_items,
+       {sql_dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
+@query("q_bloom_semi_join", oracle=_BLOOM_SEMI_SQL)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of lineitems belonging to URGENT orders, with the semi
+    join routed through `operators/bloom.py:bloom_semi_join`: a compact
+    bit-set of the urgent order keys is built in one bounded aggregate,
+    inlined as an array literal, and drops non-urgent lineitems IN THE
+    SCAN STAGE — the oracle is the PLAIN semi join, because the bloom
+    admits only a superset that the exact join then trims (no false
+    negatives, property-tested).
+
+    The reference's analogous shape is work discovery: only topics
+    listed in the source catalog get partition workers at all
+    (`PulsarPartitionTopicSyncManager.java:93-104`).  At 100 TB this is
+    the difference between shuffling the full fact table into the semi
+    join and shuffling ~selectivity% of it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    joined = bloom_semi_join(li, o, "l_orderkey", "o_orderkey")
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
     )

@@ -107,6 +107,7 @@ EXPECT = {
     "q_corr_pearson": "five exact decimal moment sums in ONE partial+final aggregate; corr is per-group constant arithmetic",
     "q_histogram": "bucket expression inside the scan stage; one count aggregate + a tiny share window over (type, bucket) rows",
     "q_containment_dedup": "same inverted-index shape as q_ngram_jaccard (cached shingle arrays, one candidate shuffle, sizes broadcast back); only the scoring expression differs",
+    "q_bloom_semi_join": "bloom prefilter is a literal-array Filter INSIDE the big side's scan stage (no extra join/shuffle); exactly one exact semi join above it",
 }
 
 _SECTION = """\
