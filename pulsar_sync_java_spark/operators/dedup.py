@@ -260,6 +260,32 @@ def minhash_signatures(
     return hs.select(F.col(id_col), sig.alias("signature"))
 
 
+def _banded(sig: DataFrame, id_col: str, bands: int, num_hashes: int) -> DataFrame:
+    """(id, band, bucket) rows for banded LSH — shared by the symmetric
+    (corpus self-join) and asymmetric (batch-vs-corpus) pair builders.
+
+    Generator first, hash after: explode the band indexes, then slice-
+    hash in a separate projection within the same stage.  (Building
+    struct(band, hash(slice)) inside a `transform` lambda and exploding
+    that hit an interpreted-evaluation path ~50x slower; the explode
+    output never crosses a shuffle with the signature attached, so
+    there is no payload amplification either way.)"""
+    rows_per_band = max(num_hashes // bands, 1)
+    return sig.select(
+        id_col,
+        "signature",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).select(
+        id_col,
+        "band",
+        F.xxhash64(
+            F.slice(
+                F.col("signature"), F.col("band") * rows_per_band + 1, rows_per_band
+            )
+        ).alias("bucket"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -300,22 +326,7 @@ def lsh_candidate_pairs(
     exchange.
     """
     sig = spread_by(signatures, id_col)
-    rows_per_band = max(num_hashes // bands, 1)
-    # Generator first, hash after: explode the band indexes, then slice-
-    # hash in a separate projection within the same stage.  (Building
-    # struct(band, hash(slice)) inside a `transform` lambda and exploding
-    # that hit an interpreted-evaluation path ~50x slower; the explode
-    # output never crosses a shuffle with the signature attached, so
-    # there is no payload amplification either way.)
-    banded = sig.select(
-        id_col, "signature", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    ).select(
-        id_col,
-        "band",
-        F.xxhash64(
-            F.slice(F.col("signature"), F.col("band") * rows_per_band + 1, rows_per_band)
-        ).alias("bucket"),
-    )
+    banded = _banded(sig, id_col, bands, num_hashes)
 
     buckets = (
         banded.groupBy("band", "bucket")
@@ -340,6 +351,67 @@ def lsh_candidate_pairs(
         .select(
             "doc_a",
             "doc_b",
+            (agree.cast("double") / F.size("sig_a")).alias("est_jaccard"),
+        )
+    )
+
+
+def lsh_pairs_against_corpus(
+    batch_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    num_hashes: int = 64,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """ASYMMETRIC banded LSH: which existing corpus doc does each NEW
+    doc near-duplicate?  Returns (new_id, dup_of, est_jaccard) — the
+    incremental-ingestion path of a training pipeline, where a crawl
+    delta is deduplicated AGAINST the standing corpus without ever
+    re-pairing the corpus with itself.
+
+    Cost shape vs the symmetric `lsh_candidate_pairs`: the corpus side
+    is grouped once per (band, bucket) — same one-aggregation discipline
+    and the same max_bucket skew guard (oversized buckets dropped
+    whole, counted over CORPUS members only) — and the batch side's
+    banded table is typically delta-sized, so AQE broadcasts it against
+    the corpus bucket aggregate: the corpus is never self-joined and
+    never shuffled beyond its bucket aggregation.  Pair count is
+    bounded by Σ |batch∩bucket|·|corpus∩bucket|, never |batch|·|corpus|.
+    For a STANDING corpus re-probed across many deltas, build the
+    bucket table once via `similarity.lsh_index_write`-style
+    materialization instead of re-aggregating per run.
+    """
+    bsig = spread_by(batch_sigs, id_col)
+    csig = spread_by(corpus_sigs, id_col)
+    cbuckets = (
+        _banded(csig, id_col, bands, num_hashes)
+        .groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+        .filter(F.size("__ids") <= max_bucket)
+    )
+    bbanded = _banded(bsig, id_col, bands, num_hashes).select(
+        F.col(id_col).alias("new_id"), "band", "bucket"
+    )
+    cand = (
+        bbanded.join(cbuckets, ["band", "bucket"])
+        .select("new_id", F.explode("__ids").alias("dup_of"))
+        .filter(F.col("new_id") != F.col("dup_of"))
+        .dropDuplicates(["new_id", "dup_of"])
+    )
+    sa = bsig.select(F.col(id_col).alias("new_id"), F.col("signature").alias("sig_a"))
+    sb = csig.select(F.col(id_col).alias("dup_of"), F.col("signature").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    return (
+        cand.join(sa, "new_id")
+        .join(sb, "dup_of")
+        .select(
+            "new_id",
+            "dup_of",
             (agree.cast("double") / F.size("sig_a")).alias("est_jaccard"),
         )
     )

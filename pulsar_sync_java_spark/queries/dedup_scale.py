@@ -19,6 +19,7 @@ from pulsar_sync_java_spark.operators.dedup import (
     containment_pairs,
     jaccard_pairs,
     lsh_candidate_pairs,
+    lsh_pairs_against_corpus,
     minhash_signatures,
     simhash64,
     simhash_near_pairs,
@@ -388,3 +389,71 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/multimodal.py:decode_image."""
     d = load_table(spark, sf_dir, "documents")
     return extract_media_features(attach_payload(d), fake_decode=True)
+
+
+# Incremental (batch-vs-corpus) dedup oracle: the same portable
+# signature chain as _MINHASH_SQL, but candidates come from the
+# ASYMMETRIC join of new-batch slices (doc_id % 10 = 7) against corpus
+# slices, with the skew guard counted over CORPUS bucket members only —
+# mirroring operators/dedup.py:lsh_pairs_against_corpus.
+_INCR_DEDUP_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), dims AS (
+  SELECT unnest(generate_series(1, (SELECT MAX(len(t)) FROM toks))) AS i
+), sh AS (
+  SELECT DISTINCT doc_id, t[d.i] || ' ' || t[d.i+1] || ' ' || t[d.i+2] AS shingle
+  FROM toks, dims d WHERE d.i <= len(t) - 2
+), hs AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh
+), fam AS (
+  SELECT i,
+         ((i + 1) * 2654435761) % 2147483647 AS a,
+         ((i + 1) * 97531) % 2147483647 AS b
+  FROM (SELECT unnest(range(64)) AS i)
+), sig AS (
+  SELECT doc_id, f.i, MIN((f.a * h + f.b) % 2147483647) AS s
+  FROM hs CROSS JOIN fam f
+  GROUP BY doc_id, f.i
+), slices AS (
+  SELECT doc_id, i // 4 AS band, string_agg(s, ',' ORDER BY i) AS slice
+  FROM sig GROUP BY doc_id, i // 4
+), ok_buckets AS (
+  SELECT band, slice FROM slices WHERE doc_id % 10 <> 7
+  GROUP BY band, slice HAVING COUNT(*) <= 1000
+), cand AS (
+  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS dup_of
+  FROM slices x
+  JOIN ok_buckets ob ON x.band = ob.band AND x.slice = ob.slice
+  JOIN slices y ON x.band = y.band AND x.slice = y.slice
+  WHERE x.doc_id % 10 = 7 AND y.doc_id % 10 <> 7
+)
+SELECT c.new_id, c.dup_of,
+       SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END)::DOUBLE / 64 AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.new_id
+JOIN sig sb ON sb.doc_id = c.dup_of AND sb.i = sa.i
+GROUP BY c.new_id, c.dup_of
+HAVING SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END)::DOUBLE / 64 >= 0.5
+"""
+
+
+@query("q_incremental_dedup", oracle=_INCR_DEDUP_SQL)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: docs with doc_id % 10 == 7 play the
+    incoming crawl delta, the rest the standing corpus; each new doc is
+    matched to the corpus docs it near-duplicates (portable MinHash
+    bands, est Jaccard >= 0.5) WITHOUT ever re-pairing the corpus with
+    itself (operators/dedup.py:lsh_pairs_against_corpus).  At 100 TB
+    this is the nightly-delta path: corpus cost is one bucket
+    aggregation (or a pre-materialized index), delta cost is
+    delta-sized and broadcastable."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=64, portable=True).persist()
+    batch = sigs.filter(F.col("doc_id") % 10 == 7)
+    corpus = sigs.filter(F.col("doc_id") % 10 != 7)
+    return lsh_pairs_against_corpus(batch, corpus).filter(
+        F.col("est_jaccard") >= 0.5
+    )

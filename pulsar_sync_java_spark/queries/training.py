@@ -544,3 +544,70 @@ def q_corpus_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("keeper"))
         .select("doc_id", "lang", "source", F.col("n_tokens").cast("int").alias("n_tokens"))
     )
+
+
+# ------------------------------------------------------------- domain cap
+
+_DOMAIN_CAP_SQL = """
+WITH c AS (
+  SELECT source, COUNT(*) AS n_source_docs FROM documents GROUP BY source
+), r AS (
+  SELECT d.doc_id, d.source, c.n_source_docs,
+         CASE WHEN CAST(substr(d.source, 4) AS INT) < 10 THEN 10 ELSE 30 END AS cap,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY (d.doc_id * 2654435761) % 4294967296, d.doc_id) AS rn
+  FROM documents d JOIN c ON d.source = c.source
+)
+SELECT doc_id, source, n_source_docs, CAST(cap AS INT) AS cap
+FROM r WHERE rn <= cap
+"""
+
+
+def _source_cap() -> F.Column:
+    """Per-domain cap policy: low-trust sources (src0..src9) capped at
+    10 docs, the rest at 30 — stands in for the per-domain quota table
+    of a crawl pipeline."""
+    return (
+        F.when(F.expr("CAST(substring(source, 4) AS INT)") < 10, F.lit(10))
+        .otherwise(F.lit(30))
+        .cast("int")
+    )
+
+
+@query("q_domain_cap", oracle=_DOMAIN_CAP_SQL)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap in portable-hash order — the crawl
+    pipeline's "no domain dominates the corpus" gate, reproducible
+    across runs/engines (same multiplicative hash as
+    q_sample_stratified, so the kept set is stable).
+
+    SKEW-SAFE two-phase shape, not a naive global rank window: pass 1
+    aggregates per-source counts (shuffle carries one row per domain);
+    sources under their cap bypass ranking entirely — their rows never
+    enter a window shuffle, just a broadcast semi join against the
+    tiny under-cap source list.  Only OVERSIZED domains' rows pay the
+    row_number window.  At 100 TB the domain distribution is long-tail
+    (most domains far under cap, a few hot ones way over), so the
+    expensive ordered shuffle carries only the hot slice — the same
+    hot-key discipline as operators/skew.py.  The oracle is the plain
+    global-QUALIFY formulation (identical result, single window)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_source_docs"))
+    sized = counts.select("source", "n_source_docs", _source_cap().alias("cap"))
+    under = sized.filter(F.col("n_source_docs") <= F.col("cap"))
+    over = sized.filter(F.col("n_source_docs") > F.col("cap"))
+
+    kept_whole = d.join(F.broadcast(under), "source")
+    w = Window.partitionBy("source").orderBy(
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296), "doc_id"
+    )
+    kept_ranked = (
+        d.join(F.broadcast(over), "source")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("cap"))
+        .drop("__rn")
+    )
+    return kept_whole.unionByName(kept_ranked).select(
+        "doc_id", "source", "n_source_docs", "cap"
+    )

@@ -730,3 +730,36 @@ def test_containment_catches_planted_superset(spark):
     }
     assert set(jacc_all) == set(cont_all)
     assert all(cont_all[p] >= jacc_all[p] - 1e-12 for p in jacc_all)
+
+
+def test_incremental_lsh_matches_symmetric_pairs_restricted(spark, documents):
+    """Asymmetric batch-vs-corpus LSH must find exactly the symmetric
+    candidate pairs that straddle the split (same bands, same skew
+    guard), with identical estimates — i.e. incremental ingestion loses
+    nothing vs re-running the full pairwise pass."""
+    from pulsar_sync_java_spark.operators.dedup import lsh_pairs_against_corpus
+
+    sigs = minhash_signatures(documents, num_hashes=64, portable=True).persist()
+    try:
+        batch = sigs.filter(F.col("doc_id") % 10 == 7)
+        corpus = sigs.filter(F.col("doc_id") % 10 != 7)
+        asym = {
+            (r["new_id"], r["dup_of"], round(r["est_jaccard"], 6))
+            for r in lsh_pairs_against_corpus(batch, corpus)
+            .filter(F.col("est_jaccard") >= 0.5)
+            .collect()
+        }
+        sym = lsh_candidate_pairs(sigs, bands=16).filter(
+            F.col("est_jaccard") >= 0.5
+        )
+        want = set()
+        for r in sym.collect():
+            a, b, e = r["doc_a"], r["doc_b"], round(r["est_jaccard"], 6)
+            if a % 10 == 7 and b % 10 != 7:
+                want.add((a, b, e))
+            elif b % 10 == 7 and a % 10 != 7:
+                want.add((b, a, e))
+        assert asym == want
+        assert want, "split produced no straddling pairs — test is vacuous"
+    finally:
+        sigs.unpersist()

@@ -283,3 +283,24 @@ def test_grouping_family_is_expand_based_single_scan(spark, queries, name):
     # rollup joins 3 dims + 1 fact; the others read exactly one table
     limit = 4 if name == "q_rollup" else 1
     assert scans <= limit, f"{name}: {scans} scans (limit {limit})\n{plan}"
+
+
+def test_domain_cap_windows_only_oversized_sources(spark, queries):
+    """q_domain_cap's skew discipline: ONE Window (the hot-domain rank)
+    fed through broadcast joins of the tiny per-source count table —
+    under-cap rows must reach the union without a window, and the only
+    non-broadcast shuffles are the count aggregate and the hot-slice
+    window sort."""
+    plan = plan_of(queries["q_domain_cap"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_semi_join_query_prefilters_in_scan_stage(spark, queries):
+    """q_bloom_semi_join: the bloom must ride as a Filter (shiftleft
+    bit tests) with exactly one real join in the plan."""
+    plan = plan_of(queries["q_bloom_semi_join"](spark, SF_DIR))
+    assert "shiftleft" in plan
+    assert plan.count("LeftSemi") >= 1
+    assert len(re.findall(r"\(\d+\) \w*Join", plan)) <= 2, plan

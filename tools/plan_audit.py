@@ -108,6 +108,8 @@ EXPECT = {
     "q_histogram": "bucket expression inside the scan stage; one count aggregate + a tiny share window over (type, bucket) rows",
     "q_containment_dedup": "same inverted-index shape as q_ngram_jaccard (cached shingle arrays, one candidate shuffle, sizes broadcast back); only the scoring expression differs",
     "q_bloom_semi_join": "bloom prefilter is a literal-array Filter INSIDE the big side's scan stage (no extra join/shuffle); exactly one exact semi join above it",
+    "q_domain_cap": "skew-safe cap: ONE Window fed only by oversized domains; under-cap rows join the union via broadcast joins of the per-source count table",
+    "q_incremental_dedup": "asymmetric LSH: corpus side is ONE bucket aggregate; the delta's banded table joins it (AQE broadcast), never a corpus self-join",
 }
 
 _SECTION = """\
