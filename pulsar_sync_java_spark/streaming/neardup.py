@@ -1,0 +1,127 @@
+"""Streaming near-duplicate ingestion: each micro-batch of documents is
+deduplicated against the ALREADY-ACCEPTED corpus with the asymmetric
+banded-LSH join (operators/dedup.py:lsh_pairs_against_corpus), and the
+batch's surviving signatures are appended to the corpus index so later
+batches dedupe against them — the always-on form of the
+`q_incremental_dedup` nightly-delta path.
+
+This is the streaming composition the reference's replication loop
+implies for a data pipeline: an unbounded source (R13), a per-batch
+set-membership decision against accumulated state (R22's create-once
+guard, scaled from exact cursor identity to NEAR-duplicate identity),
+and convergent idempotent sinks (R3 conflict tolerance —
+`PulsarTenantSyncManager.java:79`).
+
+Dedup rule (deterministic, distributed — no sequential scan):
+a batch doc is DROPPED iff it near-duplicates (est_jaccard >= the
+threshold) an accepted corpus doc, or a batch-mate with a smaller
+doc_id.  Within a batch this is the parallel greedy rule — a pair
+keeps only its min-id member — matching the keeper convention of
+q_dedup_keepers without paying a per-batch connected-components pass;
+chains (A~B~C with A<B<C but A!~C) keep A and C, which transitive
+clustering would also drop — an accepted, documented difference.
+
+Exactly-once discipline: both sinks go through
+sinks/writers.py:idempotent_append keyed on doc_id, so a replayed
+micro-batch (crash between sink write and checkpoint commit, or a
+rebuilt checkpoint) re-derives the same keeper set — the corpus
+signatures it appended the first time are now visible, every keeper
+key already exists, and the replay is a no-op.
+
+Scale: per batch, the corpus contributes one bucket aggregation over
+its signature table (or a pre-materialized bucket index for a standing
+corpus); the batch side is delta-sized and broadcastable; batch
+signatures are computed once per batch (zero-shuffle Arrow kernel) and
+reused for both the corpus probe and the batch self-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+from pulsar_sync_java_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    lsh_pairs_against_corpus,
+    minhash_signatures,
+)
+from pulsar_sync_java_spark.sinks.writers import _sink_exists, idempotent_append
+
+
+def ingest_batch(
+    batch_df: DataFrame,
+    corpus_sig_dir: str,
+    sink_dir: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> int:
+    """Process one batch of documents; returns keepers appended.
+
+    Exposed separately from the stream wiring so the decision kernel is
+    unit-testable (and usable for one-shot delta ingestion without a
+    streaming query).
+    """
+    spark = batch_df.sparkSession
+    sigs = minhash_signatures(
+        batch_df, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, portable=True,
+    ).persist()
+    try:
+        dropped = None
+        if _sink_exists(spark, corpus_sig_dir):
+            corpus = spark.read.parquet(corpus_sig_dir)
+            vs_corpus = (
+                lsh_pairs_against_corpus(
+                    sigs, corpus, id_col=id_col,
+                    bands=bands, num_hashes=num_hashes,
+                )
+                .filter(F.col("est_jaccard") >= threshold)
+                .select(F.col("new_id").alias(id_col))
+            )
+            dropped = vs_corpus
+        within = (
+            lsh_candidate_pairs(
+                sigs, id_col=id_col, bands=bands, num_hashes=num_hashes
+            )
+            .filter(F.col("est_jaccard") >= threshold)
+            # pair keeps its min-id member: the larger id is dropped
+            .select(F.greatest("doc_a", "doc_b").alias(id_col))
+        )
+        dropped = within if dropped is None else dropped.unionByName(within)
+        dropped = dropped.distinct()
+
+        keeper_sigs = sigs.join(dropped, id_col, "left_anti")
+        # docs the signature kernel skipped (< n tokens, no shingles)
+        # are trivially unique — kept, but never indexed
+        keepers = batch_df.join(dropped, id_col, "left_anti")
+        n = idempotent_append(keepers, sink_dir, [id_col])
+        idempotent_append(keeper_sigs, corpus_sig_dir, [id_col])
+        return n
+    finally:
+        sigs.unpersist()
+
+
+def neardup_ingest_stream(
+    doc_stream: DataFrame,
+    corpus_sig_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    **kwargs,
+) -> DataStreamWriter:
+    """Wire `ingest_batch` into a foreachBatch streaming query."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch(
+            batch_df, corpus_sig_dir, sink_dir, threshold=threshold, **kwargs
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
