@@ -108,6 +108,71 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table)
 
 
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> F.Column:
+    """The interleaved-bits (Morton) sort key over numeric columns.
+
+    Each column is min-max scaled to `bits` bits (one bounded stats
+    aggregate — 2·N scalars collected), then the bit planes are
+    interleaved so sorting by the key clusters rows that are close in
+    EVERY dimension, not just the leading sort column.  All shifts are
+    literal amounts — plain codegen'd long arithmetic, no UDF.
+    """
+    if len(cols) * bits > 63:
+        raise ValueError(f"{len(cols)} cols x {bits} bits exceeds a long")
+    row = df.agg(
+        *[f for c in cols for f in (F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}"))]
+    ).collect()[0]
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        mn, mx = float(row[f"mn_{c}"]), float(row[f"mx_{c}"])
+        span = mx - mn if mx > mn else 1.0
+        scaled = (
+            (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * F.lit((1 << bits) - 1)
+        ).cast("long")
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(scaled, b).bitwiseAND(F.lit(1)), b * n + i)
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order clustered parquet write — multi-column data skipping.
+
+    A linear sort on column A gives every file a narrow A-range but the
+    FULL range of B, so B-predicates prune nothing.  Interleaving the
+    bit planes (Morton order) bounds every file's extent in ALL listed
+    dimensions (~side^(1/N) of the space per file), so parquet min/max
+    stats prune scans for predicates on ANY of them — the lakehouse
+    OPTIMIZE ZORDER BY layout, from public first principles.
+
+    Physical shape: one bounded stats aggregate for the scaling, then
+    `repartitionByRange` on the key (range shuffle with a sampling
+    pass — the global clustering across files) + `sortWithinPartitions`
+    (the clustering within each file, which orders parquet row groups
+    too).  Cost is one extra shuffle at write time, paid once, saved on
+    every subsequent selective scan.  Verified by reading back per-file
+    footer stats in tests/test_sinks.py.
+    """
+    z = zorder_key(df, cols, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def _partition_cols(spark: SparkSession, path: str) -> list[str]:
     """Hive partition columns of a parquet directory, outermost first,
     detected from the `key=value` directory chain (the same layout

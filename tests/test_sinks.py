@@ -292,3 +292,54 @@ def test_compact_keeps_extensionless_data_files(spark, facts, tmp_path):
     compact(spark, out, target_file_bytes=64 * 1024)  # force salting path
     after = sorted(r.id for r in spark.read.parquet(out).collect())
     assert before == after
+
+
+def _file_stats(path, col):
+    """(min, max) of `col` per parquet data file, from footer metadata."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        mn = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        mx = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        out.append((mn, mx))
+    return out
+
+
+def _overlapping(stats, lo, hi):
+    return sum(1 for mn, mx in stats if mx >= lo and mn <= hi)
+
+
+def test_zorder_prunes_on_every_dimension(spark, tmp_path):
+    """Z-order vs linear sort on a 64x64 grid: the linear layout prunes
+    only its leading column (every file spans the full y range), the
+    z-ordered layout bounds BOTH columns per file so a point-range
+    predicate on either dimension skips most files via footer stats."""
+    from pulsar_sync_java_spark.sinks.writers import write_zordered
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zordered(grid, zdir, ["x", "y"], num_files=16)
+    grid.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(ldir)
+
+    assert spark.read.parquet(zdir).count() == 64 * 64  # rows preserved
+    n_z = len(_file_stats(zdir, "x"))
+    n_l = len(_file_stats(ldir, "x"))
+    # linear: x prunes, y does not (every file covers all of y)
+    assert _overlapping(_file_stats(ldir, "x"), 10, 12) <= n_l // 2
+    assert _overlapping(_file_stats(ldir, "y"), 10, 12) == n_l
+    # z-order: BOTH dimensions prune
+    assert _overlapping(_file_stats(zdir, "x"), 10, 12) <= n_z // 2, _file_stats(zdir, "x")
+    assert _overlapping(_file_stats(zdir, "y"), 10, 12) <= n_z // 2, _file_stats(zdir, "y")
+
+
+def test_zorder_key_validates_width(spark):
+    from pulsar_sync_java_spark.sinks.writers import zorder_key
+
+    df = spark.range(4).selectExpr("id a", "id b", "id c", "id d")
+    with pytest.raises(ValueError):
+        zorder_key(df, ["a", "b", "c", "d"], bits=16)  # 64 bits > long
