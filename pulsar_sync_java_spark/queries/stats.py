@@ -188,3 +188,127 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(w)).alias("share"),
     )
+
+
+# ------------------------------------------------------------- profiling
+
+_PROFILE_SQL = """
+SELECT COUNT(*) AS n_rows,
+       SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS n_blank_text,
+       COUNT(DISTINCT lang) AS d_lang,
+       COUNT(DISTINCT source) AS d_source,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / COUNT(n_chars) AS avg_chars
+FROM documents
+"""
+
+
+@query("q_profile", oracle=_PROFILE_SQL)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile — the data-quality summary a pipeline
+    emits per ingested batch: row count, blank/null payloads, key-space
+    cardinalities, and the numeric envelope of the length column.
+
+    ONE aggregate job: the two exact DISTINCT counts compile to a
+    single Expand-based partial+final pair alongside the plain
+    aggregates (same plan family as q_distinct_count), so profiling a
+    100 TB table costs one scan + one shuffle of group rows — never a
+    job per metric (the naive profiler's failure mode)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("text").isNull() | (F.col("text") == ""), 1).otherwise(0)
+        ).alias("n_blank_text"),
+        F.countDistinct("lang").alias("d_lang"),
+        F.countDistinct("source").alias("d_source"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(38,6)")).cast("double")
+            / F.count("n_chars")
+        ).alias("avg_chars"),
+    )
+
+
+# ------------------------------------------------------------- drift
+
+# Total-variation distance between the two slices' per-type value
+# distributions.  TV = max over events of probability difference =
+# (1/2) * sum_buckets |p_a - p_b|; with integer counts this is
+# sum|obs_a*n_b - obs_b*n_a| / (2*n_a*n_b) — the bucket sum stays in
+# EXACT integer (decimal) arithmetic, one final double division.
+# (Chi-square / PSI need per-bucket float divisions summed in
+# engine-dependent order — unhashable; TV is the drift metric that
+# survives the determinism gate.)
+_DRIFT_SQL = """
+WITH b AS (
+  SELECT event_type, user_id % 2 AS slice,
+         CAST(least(floor(value / 50), 9) AS INT) AS bucket, COUNT(*) AS obs
+  FROM events GROUP BY 1, 2, 3
+), tot AS (
+  SELECT event_type,
+         SUM(CASE WHEN slice = 0 THEN obs ELSE 0 END) AS n_a,
+         SUM(CASE WHEN slice = 1 THEN obs ELSE 0 END) AS n_b
+  FROM b GROUP BY 1
+), wide AS (
+  SELECT b.event_type, b.bucket,
+         SUM(CASE WHEN slice = 0 THEN obs ELSE 0 END) AS obs_a,
+         SUM(CASE WHEN slice = 1 THEN obs ELSE 0 END) AS obs_b
+  FROM b GROUP BY 1, 2
+)
+SELECT w.event_type,
+       t.n_a, t.n_b,
+       CAST(SUM(CAST(abs(w.obs_a * t.n_b - w.obs_b * t.n_a) AS DECIMAL(38,0))) AS DOUBLE)
+         / (2.0 * t.n_a * t.n_b) AS tv_distance,
+       CAST(SUM(CAST(abs(w.obs_a * t.n_b - w.obs_b * t.n_a) AS DECIMAL(38,0))) AS DOUBLE)
+         / (2.0 * t.n_a * t.n_b) > 0.1 AS drifted
+FROM wide w JOIN tot t ON w.event_type = t.event_type
+GROUP BY w.event_type, t.n_a, t.n_b
+"""
+
+
+@query("q_drift_tv", oracle=_DRIFT_SQL)
+def q_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift screen between two population slices (the
+    A/B halves by user parity): per event type, the total-variation
+    distance between the slices' bucketed value distributions, flagged
+    at TV > 0.1.  The drift check a pipeline runs when a new crawl or
+    feed version lands.
+
+    Shape: one (type, slice, bucket) count aggregate over the scan,
+    then two TINY regroupings of bucket rows (hundreds of rows
+    regardless of input size) — the data crosses a shuffle once as
+    counts.  Exactness: the TV numerator is an integer-product sum
+    accumulated in DECIMAL (order-independent), with a single final
+    double division per type."""
+    e = load_table(spark, sf_dir, "events")
+    b = (
+        e.select(
+            "event_type",
+            (F.col("user_id") % 2).alias("slice"),
+            F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("int").alias("bucket"),
+        )
+        .groupBy("event_type", "slice", "bucket")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    wide = b.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("slice") == 0, F.col("obs")).otherwise(0)).alias("obs_a"),
+        F.sum(F.when(F.col("slice") == 1, F.col("obs")).otherwise(0)).alias("obs_b"),
+    )
+    tot = b.groupBy("event_type").agg(
+        F.sum(F.when(F.col("slice") == 0, F.col("obs")).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("slice") == 1, F.col("obs")).otherwise(0)).alias("n_b"),
+    )
+    num = F.sum(
+        F.abs(
+            F.col("obs_a") * F.col("n_b") - F.col("obs_b") * F.col("n_a")
+        ).cast("decimal(38,0)")
+    ).cast("double")
+    tv = num / (F.lit(2.0) * F.col("n_a") * F.col("n_b"))
+    return (
+        wide.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "n_a", "n_b")
+        .agg(tv.alias("tv_distance"), (tv > 0.1).alias("drifted"))
+    )

@@ -44,8 +44,8 @@ def test_bloom_has_no_false_negatives_and_bounded_false_positives(spark):
     # superset: every true member passes
     assert probed.join(member, "o_orderkey", "left_semi").count() == n_member
     assert n_probed >= n_member
-    # default sizing (2^16 bits, k=5) keeps false positives ~1-2%;
-    # 20% is the generous noise ceiling that still proves pruning works
+    # the default (max-size) filter keeps false positives sub-percent;
+    # 20% is the generous ceiling that still proves pruning works
     n_total = o.count()
     fp = (n_probed - n_member) / max(n_total - n_member, 1)
     assert fp < 0.20, f"false-positive rate {fp:.3f} out of bounds"
@@ -92,3 +92,24 @@ def test_bloom_probe_is_filter_not_join(spark):
     )
     assert n_joins == 1, plan
     assert "shiftleft" in plan  # the inlined bit test rides in a Filter
+
+
+def test_bloom_auto_sizing_tracks_build_cardinality(spark):
+    from pulsar_sync_java_spark.operators.bloom import (
+        MAX_NUM_BITS,
+        sized_num_bits,
+    )
+
+    assert sized_num_bits(0) == 1024
+    assert sized_num_bits(7_500) == 1 << 17       # ~16 bits/key, pow2
+    assert sized_num_bits(30_000) == 1 << 19
+    assert sized_num_bits(10**9) == MAX_NUM_BITS  # capped
+    from pulsar_sync_java_spark.operators.bloom import MAX_NUM_BITS as _M
+
+    o = spark.range(30_000).select(F.col("id").alias("k"))
+    words = bloom_build(o, "k", num_bits=None)  # default: ceiling, no count job
+    assert len(words) * 8 == _M  # bytes -> bits
+    # fp at the auto size stays ~1e-3, not the sf-rotted tens of percent
+    probe = spark.range(30_000, 300_000).select(F.col("id").alias("k"))
+    fp = probe.filter(might_contain("k", words)).count() / 270_000
+    assert fp < 0.01, fp

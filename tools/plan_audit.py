@@ -107,9 +107,11 @@ EXPECT = {
     "q_corr_pearson": "five exact decimal moment sums in ONE partial+final aggregate; corr is per-group constant arithmetic",
     "q_histogram": "bucket expression inside the scan stage; one count aggregate + a tiny share window over (type, bucket) rows",
     "q_containment_dedup": "same inverted-index shape as q_ngram_jaccard (cached shingle arrays, one candidate shuffle, sizes broadcast back); only the scoring expression differs",
-    "q_bloom_semi_join": "bloom prefilter is a literal-array Filter INSIDE the big side's scan stage (no extra join/shuffle); exactly one exact semi join above it",
+    "q_bloom_semi_join": "bloom prefilter is a binary-literal Filter INSIDE the big side's scan stage (no extra join/shuffle); exactly one exact semi join above it",
     "q_domain_cap": "skew-safe cap: ONE Window fed only by oversized domains; under-cap rows join the union via broadcast joins of the per-source count table",
     "q_incremental_dedup": "asymmetric LSH: corpus side is ONE bucket aggregate; the delta's banded table joins it (AQE broadcast), never a corpus self-join",
+    "q_profile": "whole-table profile in ONE aggregate: both DISTINCTs share a single Expand + two-phase agg with the plain metrics — never a job per metric",
+    "q_drift_tv": "one (type,slice,bucket) count aggregate over the scan; the TV regroupings run over bucket-count rows only (hundreds, size-independent)",
 }
 
 _SECTION = """\
