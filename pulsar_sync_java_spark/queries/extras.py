@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from pulsar_sync_java_spark.functions.numeric import dsum, sql_dsum
 from pulsar_sync_java_spark.operators.dedup import jaccard_pairs
-from pulsar_sync_java_spark.operators.graph import connected_components
+from pulsar_sync_java_spark.operators.graph import connected_components, pagerank
 from pulsar_sync_java_spark.operators.similarity import knn_join
 from pulsar_sync_java_spark.operators.skew import salted_join
 from pulsar_sync_java_spark.queries import query
@@ -430,3 +430,86 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     qs = e.filter(F.col("vec_id") < 8)
     return knn_join(e, qs, k=5, exclude_self=True)
+
+
+# ------------------------------------------------------------- pagerank
+
+def _pagerank_sql(iterations: int = 5) -> str:
+    """Unrolled fixed-iteration PageRank oracle: DuckDB disallows
+    aggregation in a recursive CTE's recursive term, so the iterations
+    are generated as chained CTEs — the SQL twin of the operator's
+    python loop.  All rank arithmetic is double (CAST pins the DuckDB
+    literals, which default to DECIMAL); per-edge contributions bridge
+    through DECIMAL(38,12) for the order-independent sum and come back
+    through VARCHAR (the correctly-rounded decimal->double path, see
+    queries/stats.py)."""
+    head = """
+WITH e0 AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+), edges AS (
+  SELECT p * 2 AS src, s * 2 + 1 AS dst FROM e0
+  UNION ALL
+  SELECT s * 2 + 1 AS src, p * 2 AS dst FROM e0
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst AS node FROM edges
+), nn AS (SELECT COUNT(*) AS n FROM nodes),
+ed AS (
+  SELECT e.src, e.dst, d.outdeg
+  FROM edges e JOIN (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src) d
+    ON d.src = e.src
+),
+pr0 AS (
+  SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
+)"""
+    step = """
+, c{k} AS (
+  SELECT ed.dst AS node,
+         SUM(CAST(p.rank / ed.outdeg AS DECIMAL(38,12))) AS mass
+  FROM ed JOIN pr{j} p ON p.node = ed.src
+  GROUP BY ed.dst
+), pr{k} AS (
+  SELECT n.node,
+         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT nn.n FROM nn)
+           + CAST(0.85 AS DOUBLE)
+             * COALESCE(CAST(CAST(c.mass AS VARCHAR) AS DOUBLE), CAST(0 AS DOUBLE)) AS rank
+  FROM nodes n LEFT JOIN c{k} c ON c.node = n.node
+)"""
+    body = head + "".join(step.format(k=k, j=k - 1) for k in range(1, iterations + 1))
+    return body + f"""
+SELECT node,
+       CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'part' END AS entity,
+       node // 2 AS key,
+       rank
+FROM pr{iterations}
+"""
+
+
+@query("q_pagerank", oracle=_pagerank_sql())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five PageRank iterations over the part<->supplier bipartite
+    graph (distinct lineitem pairs, edges both directions) — the
+    engine's iterative-algorithm query, fully hash-checked against an
+    unrolled-CTE oracle thanks to the decimal-bridged mass sums
+    (operators/graph.py:pagerank).  The pipeline analogue is authority
+    weighting over a link/domain graph feeding quality scores."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    fwd = pairs.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        pairs.select(
+            (F.col("l_suppkey") * 2 + 1).alias("src"),
+            (F.col("l_partkey") * 2).alias("dst"),
+        )
+    )
+    ranks = pagerank(edges, iterations=5, damping=0.85)
+    return ranks.select(
+        "node",
+        F.when(F.col("node") % 2 == 1, "supplier").otherwise("part").alias("entity"),
+        F.floor(F.col("node") / 2).alias("key"),
+        "rank",
+    )

@@ -134,3 +134,21 @@ def test_cc_null_ids_are_dropped_not_poisonous(spark):
     )
     got = {r["id"]: r["label"] for r in connected_components(df).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_pagerank_conserves_mass_and_ranks_hubs(spark):
+    """With bidirectional edges there are no dangling nodes, so total
+    rank stays 1 every iteration; a hub connected to all spokes must
+    out-rank every spoke."""
+    from pulsar_sync_java_spark.operators.graph import pagerank
+
+    star = [(0, i) for i in range(1, 9)] + [(i, 0) for i in range(1, 9)]
+    extra = [(1, 2), (2, 1)]
+    df = spark.createDataFrame(star + extra, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=5).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert all(v > 0 for v in got.values())
+    hub = got[0]
+    assert all(hub > got[i] for i in range(1, 9))
+    # the two cross-linked spokes beat the plain spokes
+    assert got[1] > got[3] and got[2] > got[3]

@@ -343,3 +343,36 @@ def test_zorder_key_validates_width(spark):
     df = spark.range(4).selectExpr("id a", "id b", "id c", "id d")
     with pytest.raises(ValueError):
         zorder_key(df, ["a", "b", "c", "d"], bits=16)  # 64 bits > long
+
+
+def test_zorder_key_matches_python_morton_reference(spark):
+    """The Spark expression must compute exactly the reference Morton
+    key: min-max scale each column to `bits` bits (same IEEE double
+    steps), then interleave bit planes column-major."""
+    from pulsar_sync_java_spark.sinks.writers import zorder_key
+
+    rows = [(x * 37 % 101, (x * 61 + 13) % 257) for x in range(500)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    bits = 8
+    got = [
+        r["z"]
+        for r in df.select(zorder_key(df, ["x", "y"], bits=bits).alias("z"))
+        .orderBy("x", "y")
+        .collect()
+    ]
+
+    xs, ys = [r[0] for r in rows], [r[1] for r in rows]
+    def scale(v, mn, mx):
+        span = (mx - mn) if mx > mn else 1.0
+        return int((float(v) - mn) / span * ((1 << bits) - 1))
+    def morton(sx, sy):
+        z = 0
+        for b in range(bits):
+            z |= ((sx >> b) & 1) << (2 * b)
+            z |= ((sy >> b) & 1) << (2 * b + 1)
+        return z
+    want = [
+        morton(scale(x, min(xs), max(xs)), scale(y, min(ys), max(ys)))
+        for x, y in sorted(rows)
+    ]
+    assert got == want

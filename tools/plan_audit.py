@@ -112,6 +112,7 @@ EXPECT = {
     "q_incremental_dedup": "asymmetric LSH: corpus side is ONE bucket aggregate; the delta's banded table joins it (AQE broadcast), never a corpus self-join",
     "q_profile": "whole-table profile in ONE aggregate: both DISTINCTs share a single Expand + two-phase agg with the plain metrics — never a job per metric",
     "q_drift_tv": "one (type,slice,bucket) count aggregate over the scan; the TV regroupings run over bucket-count rows only (hundreds, size-independent)",
+    "q_pagerank": "iterative: each of 5 iterations is one edge-rank join + one mass aggregate reading the persisted previous rank (InMemoryTableScan) — linear lineage, no re-evaluation cascade",
 }
 
 _SECTION = """\
