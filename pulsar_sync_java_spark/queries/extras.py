@@ -513,3 +513,54 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("node") / 2).alias("key"),
         "rank",
     )
+
+
+# ------------------------------------------------------ interval overlap
+
+_OVERLAP_JOIN_SQL = """
+WITH a AS (
+  SELECT event_id AS err_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(floor(value) AS BIGINT) * 1000000 AS e
+  FROM events WHERE event_type = 'error'
+), b AS (
+  SELECT event_id AS sig_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(floor(value) AS BIGINT) * 1000000 AS e
+  FROM events WHERE event_type = 'signup'
+)
+SELECT a.err_id, b.sig_id,
+       least(a.e, b.e) - greatest(a.s, b.s) AS overlap
+FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
+"""
+
+
+@query("q_interval_overlap", oracle=_OVERLAP_JOIN_SQL)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which error windows overlapped a signup window?  Each event
+    opens an interval of floor(value) seconds; the join has NO equi
+    key, which Spark would otherwise plan as a nested loop — the
+    operator (operators/interval.py) quantizes the timeline into
+    10-minute buckets so candidates ride ONE equi-join shuffle and the
+    exact predicate trims bucket neighbors.  Timestamps become epoch
+    MICROSECOND longs on both engines (unix_micros / epoch_us), so
+    the overlap arithmetic is exact integers — no timestamp-interval
+    rounding to disagree on.  The oracle is the plain inequality
+    join."""
+    from pulsar_sync_java_spark.operators.interval import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def intervals(etype: str, id_alias: str) -> DataFrame:
+        s = F.unix_micros("ts")
+        return ev.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(id_alias),
+            s.alias("s"),
+            (s + F.floor("value").cast("long") * 1000000).alias("e"),
+        )
+
+    return interval_overlap_join(
+        intervals("error", "err_id"),
+        intervals("signup", "sig_id"),
+        "err_id",
+        "sig_id",
+        bucket_width=600_000_000,
+    )

@@ -14,6 +14,9 @@ UDFs in operators/ are).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -315,4 +318,57 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars "
         "FROM __udtf_docs d, LATERAL split_sentences(d.text) s"
+    )
+
+
+# ---------------------------------------------------------- UDAF surface
+
+_UDAF_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       mad(l_extendedprice) AS mad_price,
+       quantile_cont(l_extendedprice, 0.5) AS median_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q_grouped_udaf", oracle=_UDAF_SQL)
+def q_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared UDAF surface: a GROUPED_AGG pandas UDF computing the
+    median absolute deviation per return flag, next to the JVM-side
+    exact median (`percentile` ≡ DuckDB quantile_cont, bit-exact — see
+    q_percentiles) so both custom-aggregate paths are exercised in one
+    result.
+
+    Determinism: numpy's median sorts and averages the two middle
+    DOUBLES — bit-identical to DuckDB's quantile_cont(0.5)/mad chain
+    on the same values; the |x - median| subtraction is one IEEE op
+    per element.  Scale note: a grouped-agg pandas UDF materializes
+    each GROUP in one Arrow batch (fine for bounded group counts like
+    flags/categories; unbounded-cardinality aggregates belong in the
+    partial+final JVM path — the hot-path twin here is the built-in
+    `percentile`/`approx_percentile` family)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def mad_udaf(v: pd.Series) -> float:
+        vals = v.values
+        med = float(np.median(vals))
+        return float(np.median(np.abs(vals - med)))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # Spark forbids mixing a GROUPED_AGG pandas UDF with JVM aggregates
+    # in one pass (INVALID_PANDAS_UDF_PLACEMENT), so the two paths run
+    # as separate aggregations joined on the tiny flag key (3 groups —
+    # AQE broadcasts the join)
+    jvm = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
+    )
+    pnd = li.groupBy("l_returnflag").agg(
+        mad_udaf("l_extendedprice").alias("mad_price")
+    )
+    return jvm.join(pnd, "l_returnflag").select(
+        "l_returnflag", "n", "mad_price", "median_price"
     )

@@ -113,6 +113,8 @@ EXPECT = {
     "q_profile": "whole-table profile in ONE aggregate: both DISTINCTs share a single Expand + two-phase agg with the plain metrics — never a job per metric",
     "q_drift_tv": "one (type,slice,bucket) count aggregate over the scan; the TV regroupings run over bucket-count rows only (hundreds, size-independent)",
     "q_pagerank": "iterative: each of 5 iterations is one edge-rank join + one mass aggregate reading the persisted previous rank (InMemoryTableScan) — linear lineage, no re-evaluation cascade",
+    "q_interval_overlap": "no-equi-key overlap join rides ONE bucket equi-join (Generate explodes covered buckets); exact predicate is a post-join Filter; never NestedLoop/Cartesian",
+    "q_grouped_udaf": "GROUPED_AGG pandas UDF aggregate (ObjectHashAggregate over Arrow) joined to the JVM percentile aggregate on the 3-row key",
 }
 
 _SECTION = """\
