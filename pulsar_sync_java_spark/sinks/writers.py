@@ -247,10 +247,23 @@ def _partition_value_sizes(
 
 
 def compact(
-    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_cols: list[str] | None = None,
 ) -> int:
     """Rewrite a parquet directory into ~target-sized files; returns the
-    new file count.  Reads fully, stages next to the original, then
+    new file count.
+
+    ``zorder_cols`` additionally clusters the rewrite by the Morton key
+    over those (numeric) columns — OPTIMIZE ZORDER BY: small-file merge
+    and multi-column data-skipping layout in the same single rewrite.
+    Unpartitioned tables range-partition on the key (global clustering
+    across files); Hive-partitioned tables keep their value/salt file
+    routing and z-sort WITHIN each writer, ordering row groups so
+    footer stats prune inside every partition value.  Costs one extra
+    stats aggregate + (unpartitioned) a range shuffle instead of the
+    shuffle-free coalesce.  Reads fully, stages next to the original, then
     swaps via the Hadoop FileSystem API (works on HDFS/S3A the same as
     on local disk) — a lazy self-overwrite would read-after-delete.
 
@@ -341,6 +354,18 @@ def compact(
                 )
             else:
                 routed = df.repartition(*[F.col(c) for c in pcols])
+            if zorder_cols:
+                # z-sort inside each writer (narrow, keeps the value/
+                # salt routing): row groups within every file are
+                # z-clustered, so footer stats prune per partition value
+                zk = zorder_key(df, zorder_cols)
+                routed = (
+                    routed.withColumn("__z", zk)
+                    .sortWithinPartitions(
+                        *[F.col(c) for c in pcols], F.col("__z")
+                    )
+                    .select(*df.columns)
+                )
             with _pinned_conf(spark, coalesce_key, "false"):
                 (
                     routed.write.mode("overwrite")
@@ -349,8 +374,19 @@ def compact(
                 )
     else:
         df = spark.read.parquet(path)
-        # coalesce, not repartition: pure file merge, no shuffle
-        df.coalesce(n_files).write.mode("overwrite").parquet(staged.toString())
+        if zorder_cols:
+            z = zorder_key(df, zorder_cols)
+            (
+                df.withColumn("__z", z)
+                .repartitionByRange(n_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+                .write.mode("overwrite")
+                .parquet(staged.toString())
+            )
+        else:
+            # coalesce, not repartition: pure file merge, no shuffle
+            df.coalesce(n_files).write.mode("overwrite").parquet(staged.toString())
 
     if pcols:
         # actual staged file count (~= sum of per-value targets)

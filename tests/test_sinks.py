@@ -376,3 +376,43 @@ def test_zorder_key_matches_python_morton_reference(spark):
         for x, y in sorted(rows)
     ]
     assert got == want
+
+
+def test_compact_zorder_clusters_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER: compacting with zorder_cols must keep every row
+    AND produce files whose footer stats prune on both listed columns
+    (unpartitioned path: global range clustering across files)."""
+    from pulsar_sync_java_spark.sinks.writers import compact
+
+    out = str(tmp_path / "t")
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    # litter: many small files in random-ish order
+    grid.orderBy(F.xxhash64("x", "y")).repartition(24).write.parquet(out)
+    n = compact(spark, out, target_file_bytes=2 * 1024, zorder_cols=["x", "y"])
+    assert spark.read.parquet(out).count() == 64 * 64
+    stats_x = _file_stats(out, "x")
+    stats_y = _file_stats(out, "y")
+    assert len(stats_x) == n and n >= 10
+    assert _overlapping(stats_x, 10, 12) <= n // 2, stats_x
+    assert _overlapping(stats_y, 10, 12) <= n // 2, stats_y
+
+
+def test_compact_zorder_keeps_hive_layout(spark, tmp_path):
+    """Partitioned path: zorder_cols must not disturb the partition
+    directory chain or row count."""
+    from pulsar_sync_java_spark.sinks.writers import compact
+
+    out = str(tmp_path / "p")
+    grid = spark.range(2048).select(
+        (F.col("id") % 2).cast("int").alias("part"),
+        (F.col("id") % 32).alias("x"),
+        (F.col("id") / 32).cast("long").alias("y"),
+    )
+    grid.repartition(8).write.partitionBy("part").parquet(out)
+    compact(spark, out, zorder_cols=["x", "y"])
+    back = spark.read.parquet(out)
+    assert back.count() == 2048
+    assert set(back.columns) == {"part", "x", "y"}
+    assert back.groupBy("part").count().count() == 2
