@@ -281,3 +281,62 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+_ASOF_FWD_SQL = f"""
+WITH v AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT event_id AS p_event_id, user_id, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = 'purchase'
+), ranked AS (
+  SELECT v.event_id, v.user_id, v.ts,
+         p.p_event_id, p.p_ts, p.p_value,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.event_id
+           ORDER BY p.p_ts ASC, p.p_event_id DESC) AS rn
+  FROM v LEFT JOIN p ON p.user_id = v.user_id AND p.p_ts >= v.ts
+)
+SELECT event_id, user_id,
+       strftime(ts, '{TS_FMT_DUCK}') AS ts,
+       p_event_id,
+       strftime(p_ts, '{TS_FMT_DUCK}') AS p_ts,
+       p_value
+FROM ranked
+WHERE rn = 1 OR rn IS NULL
+"""
+
+
+@query("q_asof_forward", oracle=_ASOF_FWD_SQL)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each view event resolves to the same user's
+    EARLIEST purchase at-or-after it — the ceiling companion to the
+    reference's floor lookup (R21): where the floor gives the
+    conservative replay position, the ceiling bounds how far ahead the
+    next sampled mapping lies.  Same single-shuffle union-window
+    operator, direction='forward'; at equal timestamps the larger
+    event id wins (the operator's documented tie convention, mirrored
+    in the oracle's ORDER BY ... DESC)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "event_id", F.col("user_id"), F.col("ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    joined = asof_join(
+        v, p, on="ts", by="user_id",
+        right_tiebreak=["p_event_id"], direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        fmt_ts(F.col("ts")).alias("ts"),
+        "p_event_id",
+        fmt_ts(F.col("p_ts")).alias("p_ts"),
+        "p_value",
+    )

@@ -115,6 +115,7 @@ EXPECT = {
     "q_pagerank": "iterative: each of 5 iterations is one edge-rank join + one mass aggregate reading the persisted previous rank (InMemoryTableScan) — linear lineage, no re-evaluation cascade",
     "q_interval_overlap": "no-equi-key overlap join rides ONE bucket equi-join (Generate explodes covered buckets); exact predicate is a post-join Filter; never NestedLoop/Cartesian",
     "q_grouped_udaf": "GROUPED_AGG pandas UDF aggregate (ObjectHashAggregate over Arrow) joined to the JVM percentile aggregate on the 3-row key",
+    "q_asof_forward": "forward as-of via the same union+window shape: ONE shuffle, no range-join explosion",
 }
 
 _SECTION = """\
