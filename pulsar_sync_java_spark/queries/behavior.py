@@ -15,7 +15,7 @@ becomes profitable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pulsar_sync_java_spark.queries import query
@@ -140,4 +140,51 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff("active_day", "cohort_day").cast("int").alias("day_offset"),
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# ------------------------------------------------------ markov transitions
+
+_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), t AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+FROM t
+"""
+
+
+@query("q_markov_transitions", oracle=_MARKOV_SQL)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for every
+    ordered pair of consecutive events of one user, the transition
+    count and row-normalized probability — the session-modeling
+    aggregate behind next-action prediction and anomaly screens.
+
+    Shape: ONE (user, ts) window shuffle for the lag pairing, one hash
+    aggregate of (from, to) pairs (25 groups here, event-type² in
+    general), and a tiny window over the aggregate for normalization.
+    p = count/total is a single double division on exact integers —
+    deterministic bits on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wt)).alias("p"),
     )

@@ -564,3 +564,49 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sig_id",
         bucket_width=600_000_000,
     )
+
+
+# ------------------------------------------------------ hierarchy walk
+
+_TREE_SQL = """
+WITH RECURSIVE p AS (
+  SELECT doc_id AS node, (doc_id - 1) // 2 AS parent
+  FROM documents WHERE doc_id > 0
+), walk(node, anc, depth) AS (
+  SELECT node, parent, 1 FROM p
+  UNION ALL
+  SELECT w.node, p2.parent, w.depth + 1
+  FROM walk w JOIN p p2 ON p2.node = w.anc
+)
+SELECT w.node AS doc_id, w.anc AS root, CAST(w.depth AS BIGINT) AS depth
+FROM walk w WHERE w.anc NOT IN (SELECT node FROM p)
+UNION ALL
+SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id = 0
+"""
+
+
+@query("q_tree_ancestors", oracle=_TREE_SQL)
+def q_tree_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy traversal — the recursive-CTE capability class: every
+    node of the binary-heap tree over doc_ids (parent = (id-1)//2)
+    resolves its ROOT and DEPTH.  Spark has no WITH RECURSIVE; the
+    operator (operators/graph.py:tree_roots) answers it with pointer
+    doubling — ceil(log2(n)) self-joins instead of depth-many
+    sequential rounds, the only shape that survives a deep hierarchy
+    at scale.  The oracle is DuckDB's genuine recursive CTE, so the
+    comparison pits the distributed log-round formulation against
+    real row-at-a-time recursion."""
+    from pulsar_sync_java_spark.operators.graph import tree_roots
+
+    d = load_table(spark, sf_dir, "documents")
+    parents = d.filter(F.col("doc_id") > 0).select(
+        F.col("doc_id").alias("node"),
+        F.floor((F.col("doc_id") - 1) / 2).alias("parent"),
+    )
+    # heap-shaped ids bound the depth analytically: one tiny max() job
+    # selects the fast linear-unroll regime (see tree_roots docstring)
+    max_id = d.agg(F.max("doc_id")).collect()[0][0]
+    depth_bound = max(1, int(max_id + 1).bit_length())
+    return tree_roots(parents, max_depth=depth_bound).select(
+        F.col("node").alias("doc_id"), "root", "depth"
+    )

@@ -152,3 +152,37 @@ def test_pagerank_conserves_mass_and_ranks_hubs(spark):
     assert all(hub > got[i] for i in range(1, 9))
     # the two cross-linked spokes beat the plain spokes
     assert got[1] > got[3] and got[2] > got[3]
+
+
+def test_tree_roots_both_regimes_agree_on_random_forest(spark):
+    """Linear unroll (bounded depth) and pointer doubling (unbounded)
+    must produce identical (root, depth) labels — checked on a random
+    multi-root forest with chains deep enough to need real iteration."""
+    from pulsar_sync_java_spark.operators.graph import tree_roots
+
+    rng = random.Random(7)
+    edges = []
+    for node in range(1, 120):
+        parent = rng.randrange(0, node)  # acyclic: parent < node
+        if parent % 17 == 0 and parent != 0:
+            continue  # leave some extra roots
+        edges.append((node, parent))
+    df = spark.createDataFrame(edges, "node long, parent long")
+    fast = {
+        (r["node"]): (r["root"], r["depth"])
+        for r in tree_roots(df, max_depth=130).collect()
+    }
+    slow = {
+        (r["node"]): (r["root"], r["depth"])
+        for r in tree_roots(df).collect()
+    }
+    assert fast == slow
+    # sanity vs a python walk
+    par = dict(edges)
+    def walk(n):
+        d = 0
+        while n in par:
+            n, d = par[n], d + 1
+        return n, d
+    for n in list(fast):
+        assert fast[n] == walk(n), n

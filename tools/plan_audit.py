@@ -116,6 +116,8 @@ EXPECT = {
     "q_interval_overlap": "no-equi-key overlap join rides ONE bucket equi-join (Generate explodes covered buckets); exact predicate is a post-join Filter; never NestedLoop/Cartesian",
     "q_grouped_udaf": "GROUPED_AGG pandas UDF aggregate (ObjectHashAggregate over Arrow) joined to the JVM percentile aggregate on the 3-row key",
     "q_asof_forward": "forward as-of via the same union+window shape: ONE shuffle, no range-join explosion",
+    "q_markov_transitions": "one (user,ts) window shuffle for the lag pairing; transition agg + normalization window run over pair-count rows",
+    "q_tree_ancestors": "recursive-CTE class via bounded linear unroll: D chained left joins against the persisted parent table in ONE lazy plan",
 }
 
 _SECTION = """\
