@@ -346,7 +346,17 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        # empty graph: empty rank table, not a ZeroDivisionError
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # nodes/ed stay persisted: the returned plan references them per
+    # iteration, and Spark's plan-matched cache REUSES these entries on
+    # repeated invocations over the same graph (bounded — one pair per
+    # distinct edge plan, not per call).  Callers sweeping many
+    # DISTINCT graphs own cache release (spark.catalog.clearCache or
+    # unpersist after materializing), same contract as the persisted
+    # signature tables in queries/dedup_scale.py.
     ed = edges.join(deg, "src").persist()
 
     base = (1.0 - damping) / n

@@ -116,7 +116,13 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # share a band iff their 4-long signature slices are EQUAL, which SQL
 # expresses directly (the engine's xxhash64 bucket id is just a grouping
 # key for that same equality).
-_MINHASH_SQL = """
+# Shared portable-MinHash CTE chain (tokens -> shingles -> md5 base
+# hashes -> affine family -> 64-long signatures -> 16 band slices):
+# both the symmetric (q_minhash_lsh) and asymmetric
+# (q_incremental_dedup) pair builders append only their candidate
+# SELECTs, so the signature semantics cannot diverge between them —
+# same discipline as _OVERLAP_CTES above.
+_MINHASH_CTES = """
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
@@ -140,7 +146,11 @@ WITH toks AS (
 ), slices AS (
   SELECT doc_id, i // 4 AS band, string_agg(s, ',' ORDER BY i) AS slice
   FROM sig GROUP BY doc_id, i // 4
-), ok_buckets AS (
+)
+"""
+
+_MINHASH_SQL = _MINHASH_CTES + """
+, ok_buckets AS (
   -- the engine's max_bucket=1000 skew guard: oversized buckets dropped whole
   SELECT band, slice FROM slices GROUP BY band, slice HAVING COUNT(*) <= 1000
 ), cand AS (
@@ -396,31 +406,8 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ASYMMETRIC join of new-batch slices (doc_id % 10 = 7) against corpus
 # slices, with the skew guard counted over CORPUS bucket members only —
 # mirroring operators/dedup.py:lsh_pairs_against_corpus.
-_INCR_DEDUP_SQL = """
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
-  FROM documents
-), dims AS (
-  SELECT unnest(generate_series(1, (SELECT MAX(len(t)) FROM toks))) AS i
-), sh AS (
-  SELECT DISTINCT doc_id, t[d.i] || ' ' || t[d.i+1] || ' ' || t[d.i+2] AS shingle
-  FROM toks, dims d WHERE d.i <= len(t) - 2
-), hs AS (
-  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh
-), fam AS (
-  SELECT i,
-         ((i + 1) * 2654435761) % 2147483647 AS a,
-         ((i + 1) * 97531) % 2147483647 AS b
-  FROM (SELECT unnest(range(64)) AS i)
-), sig AS (
-  SELECT doc_id, f.i, MIN((f.a * h + f.b) % 2147483647) AS s
-  FROM hs CROSS JOIN fam f
-  GROUP BY doc_id, f.i
-), slices AS (
-  SELECT doc_id, i // 4 AS band, string_agg(s, ',' ORDER BY i) AS slice
-  FROM sig GROUP BY doc_id, i // 4
-), ok_buckets AS (
+_INCR_DEDUP_SQL = _MINHASH_CTES + """
+, ok_buckets AS (
   SELECT band, slice FROM slices WHERE doc_id % 10 <> 7
   GROUP BY band, slice HAVING COUNT(*) <= 1000
 ), cand AS (

@@ -258,7 +258,7 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue of lineitems belonging to URGENT orders, with the semi
     join routed through `operators/bloom.py:bloom_semi_join`: a compact
     bit-set of the urgent order keys is built in one bounded aggregate,
-    inlined as an array literal, and drops non-urgent lineitems IN THE
+    inlined as a binary literal, and drops non-urgent lineitems IN THE
     SCAN STAGE — the oracle is the PLAIN semi join, because the bloom
     admits only a superset that the exact join then trims (no false
     negatives, property-tested).

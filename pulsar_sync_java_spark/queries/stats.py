@@ -199,7 +199,7 @@ SELECT COUNT(*) AS n_rows,
        COUNT(DISTINCT source) AS d_source,
        MIN(n_chars) AS min_chars,
        MAX(n_chars) AS max_chars,
-       CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / COUNT(n_chars) AS avg_chars
+       CAST(CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(n_chars) AS avg_chars
 FROM documents
 """
 
@@ -260,9 +260,9 @@ WITH b AS (
 )
 SELECT w.event_type,
        t.n_a, t.n_b,
-       CAST(SUM(CAST(abs(w.obs_a * t.n_b - w.obs_b * t.n_a) AS DECIMAL(38,0))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(abs(w.obs_a * t.n_b - w.obs_b * t.n_a) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
          / (2.0 * t.n_a * t.n_b) AS tv_distance,
-       CAST(SUM(CAST(abs(w.obs_a * t.n_b - w.obs_b * t.n_a) AS DECIMAL(38,0))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(abs(w.obs_a * t.n_b - w.obs_b * t.n_a) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
          / (2.0 * t.n_a * t.n_b) > 0.1 AS drifted
 FROM wide w JOIN tot t ON w.event_type = t.event_type
 GROUP BY w.event_type, t.n_a, t.n_b

@@ -251,6 +251,7 @@ def compact(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     zorder_cols: list[str] | None = None,
+    zorder_bits: int = 16,
 ) -> int:
     """Rewrite a parquet directory into ~target-sized files; returns the
     new file count.
@@ -358,7 +359,7 @@ def compact(
                 # z-sort inside each writer (narrow, keeps the value/
                 # salt routing): row groups within every file are
                 # z-clustered, so footer stats prune per partition value
-                zk = zorder_key(df, zorder_cols)
+                zk = zorder_key(df, zorder_cols, bits=zorder_bits)
                 routed = (
                     routed.withColumn("__z", zk)
                     .sortWithinPartitions(
@@ -375,14 +376,9 @@ def compact(
     else:
         df = spark.read.parquet(path)
         if zorder_cols:
-            z = zorder_key(df, zorder_cols)
-            (
-                df.withColumn("__z", z)
-                .repartitionByRange(n_files, "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z")
-                .write.mode("overwrite")
-                .parquet(staged.toString())
+            write_zordered(
+                df, staged.toString(), zorder_cols,
+                num_files=n_files, bits=zorder_bits,
             )
         else:
             # coalesce, not repartition: pure file merge, no shuffle

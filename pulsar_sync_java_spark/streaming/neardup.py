@@ -14,12 +14,17 @@ and convergent idempotent sinks (R3 conflict tolerance —
 
 Dedup rule (deterministic, distributed — no sequential scan):
 a batch doc is DROPPED iff it near-duplicates (est_jaccard >= the
-threshold) an accepted corpus doc, or a batch-mate with a smaller
-doc_id.  Within a batch this is the parallel greedy rule — a pair
-keeps only its min-id member — matching the keeper convention of
-q_dedup_keepers without paying a per-batch connected-components pass;
-chains (A~B~C with A<B<C but A!~C) keep A and C, which transitive
-clustering would also drop — an accepted, documented difference.
+threshold) an accepted corpus doc, or ANY batch-mate with a smaller
+doc_id — whether or not that batch-mate itself survives.  On a chain
+A~B~C (A<B<C, A!~C) this keeps only A: B falls to A and C falls to B
+even though B is dropped — the same outcome as q_dedup_keepers'
+transitive component-minimum there.  The rules differ on FORKED
+chains (2~9, 9~4, 2!~4): this keeps {2, 4} where component-minimum
+keeps only {2}, and a sequential first-wins scan would keep a doc
+whose smaller near-dups were all themselves dropped (C in the chain
+above).  The local rule needs one pair pass instead of a per-batch
+connected-components round; the exact drop set is pinned against an
+independent pair derivation in tests/test_neardup_stream.py.
 
 Exactly-once discipline: both sinks go through
 sinks/writers.py:idempotent_append keyed on doc_id, so a replayed

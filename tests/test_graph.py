@@ -186,3 +186,12 @@ def test_tree_roots_both_regimes_agree_on_random_forest(spark):
         return n, d
     for n in list(fast):
         assert fast[n] == walk(n), n
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    from pulsar_sync_java_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(empty, iterations=3)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0

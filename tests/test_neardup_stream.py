@@ -102,3 +102,31 @@ def test_neardup_stream_matches_batch_kernel(spark, tmp_path, doc_batches):
     got = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
     want = sorted(r["doc_id"] for r in spark.read.parquet(sink_b).collect())
     assert got == want
+
+
+def test_ingest_batch_drop_rule_matches_pair_derivation(spark, tmp_path):
+    """Pins the documented within-batch rule — a doc is dropped iff it
+    pairs (est >= threshold) with ANY smaller-id batch-mate, kept or
+    dropped — by deriving the expected keeper set independently from
+    the same deterministic sketch pairs and comparing exactly."""
+    from pulsar_sync_java_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    sigs = minhash_signatures(docs, num_hashes=64, portable=True)
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sigs)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .collect()
+    ]
+    assert pairs, "no within-batch pairs — fixture vacuous"
+    dropped = {max(a, b) for a, b in pairs}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+
+    sink = str(tmp_path / "corpus")
+    ingest_batch(docs, str(tmp_path / "sigs"), sink, threshold=0.5)
+    kept = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    assert kept == all_ids - dropped
