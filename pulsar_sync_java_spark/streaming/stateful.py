@@ -305,3 +305,86 @@ def stateful_funnel(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------------- transitions
+
+TRANSITION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("from_type", StringType()),
+        StructField("to_type", StringType()),
+        StructField("to_ts", LongType()),
+    ]
+)
+
+TRANSITION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts", LongType()),
+        StructField("last_entry", LongType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+
+def _transitions():
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        if state.exists:
+            last_ts, last_entry, last_type = state.get
+        else:
+            last_ts, last_entry, last_type = None, None, None
+        out: list[tuple] = []
+        # ONE sort over the whole micro-batch (same chunk-spanning
+        # correctness argument as _funnel: per-chunk sorting would pair
+        # events out of time order whenever a user spans Arrow chunks)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = pd.concat(chunks, ignore_index=True) if chunks else None
+        if batch is not None:
+            batch = batch.sort_values(["event_time", "entry_id"])
+            ts_us = batch["event_time"].astype("int64") // 1000
+            for ts, entry, etype in zip(
+                ts_us, batch["entry_id"], batch["topic"]
+            ):
+                ts, entry = int(ts), int(entry)
+                if last_type is not None:
+                    out.append((int(user), last_type, str(etype), ts))
+                last_ts, last_entry, last_type = ts, entry, str(etype)
+            state.update((last_ts, last_entry, last_type))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in TRANSITION_OUTPUT_SCHEMA]
+            )
+
+    return fn
+
+
+def stateful_transitions(stream: DataFrame) -> DataFrame:
+    """Streaming twin of q_markov_transitions' pairing stage: per-user
+    keyed state holds only the LAST event, and every arriving event
+    emits one (from_type, to_type) transition row — the raw input of
+    the transition-matrix aggregate, produced incrementally instead of
+    by a batch lag window.
+
+    Equivalence: over event-time-ordered delivery per key (the
+    reference's per-partition ordering guarantee, same contract as the
+    other twins), the emitted pair multiset equals the batch
+    lag-formulation exactly — including pairs that SPAN micro-batches,
+    which the carried one-row state stitches (asserted across a
+    two-run restart in tests/test_streaming.py).  State per user is one
+    (ts, entry, type) row — bounded by USERS, not traffic."""
+    return (
+        stream.selectExpr(
+            "ledger_id AS user_id", "topic", "event_time", "entry_id"
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _transitions(),
+            outputStructType=TRANSITION_OUTPUT_SCHEMA,
+            stateStructType=TRANSITION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -857,3 +857,61 @@ def test_attribution_stream_state_survives_restart(spark, tmp_path):
     # the restarted query must emit the COMPLETE batch join result
     assert got == expected
     assert expected, "fixture produced no attributable pairs"
+
+
+def test_stateful_transitions_match_batch_lag(spark, tmp_path):
+    """Streaming per-user transition emission vs the batch lag
+    formulation on the same events: the emitted pair multiset must be
+    identical, including pairs whose two events arrive in DIFFERENT
+    micro-batch runs (the carried last-event state stitches them)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from pulsar_sync_java_spark.streaming.stateful import stateful_transitions
+
+    msgs = build_messages(spark)
+    cut = msgs.agg(
+        F.expr("percentile(unix_micros(event_time), 0.5)")
+    ).collect()[0][0]
+    src = str(tmp_path / "src")
+    halves = [
+        msgs.where(F.unix_micros("event_time") <= cut),
+        msgs.where(F.unix_micros("event_time") > cut),
+    ]
+    for i, half in enumerate(halves):
+        staged = str(tmp_path / f"stage{i}")
+        half.coalesce(1).write.parquet(staged)
+        os.makedirs(src, exist_ok=True)
+        for f in glob.glob(staged + "/part-*.parquet"):
+            shutil.copy(f, os.path.join(src, f"batch{i}.parquet"))
+        q = (
+            stateful_transitions(read_message_stream(spark, src))
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "pairs"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    got = sorted(
+        (r["user_id"], r["from_type"], r["to_type"], r["to_ts"])
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    )
+    w = Window.partitionBy("ledger_id").orderBy("event_time", "entry_id")
+    want = sorted(
+        (r["u"], r["f"], r["t"], r["ts"])
+        for r in msgs.select(
+            F.col("ledger_id").alias("u"),
+            F.lag("topic").over(w).alias("f"),
+            F.col("topic").alias("t"),
+            F.unix_micros("event_time").alias("ts"),
+        )
+        .where(F.col("f").isNotNull())
+        .collect()
+    )
+    assert got == want and len(got) > 500
