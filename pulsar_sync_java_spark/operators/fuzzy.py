@@ -1,0 +1,89 @@
+"""Edit-distance fuzzy matching via deletion-neighborhood blocking —
+entity resolution (name/title/id variants) without an all-pairs
+comparison.
+
+Spark evaluates ``levenshtein(a, b) <= k`` only as a join predicate on
+a nested loop: O(|L|x|R|) string comparisons and a plan shape this repo
+forbids.  The standard blocking fix (the SymSpell / FastSS deletion
+neighborhood, public algorithm): every string generates itself plus all
+strings with ONE character deleted; two strings within edit distance 1
+ALWAYS share a variant —
+
+- substitution at position i: both sides' delete-at-i agree;
+- insertion/deletion: the shorter string IS a deletion variant of the
+  longer.
+
+So candidates ride one equi-join on the variant key and the exact
+levenshtein verifies them (false candidates possible, false dismissals
+impossible at distance <= 1).  Distance k generalizes to k-deletion
+neighborhoods (variant count ~len^k per row) — the classic
+accuracy-vs-blowup trade; this module ships the k=1 workhorse.
+
+Scale: variant fan-out is len(string)+1 rows per input — linear, not
+quadratic; the join shuffles (variant, id) pairs only and the verify
+runs on the candidate sliver.  Skew guard: a variant shared by many
+rows (short strings, heavy templates) creates a hot bucket — the
+`max_bucket` cap drops such buckets whole, same stop-shingle
+discipline as operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pulsar_sync_java_spark.operators.util import pair_structs
+
+
+def _variants(text: F.Column) -> F.Column:
+    """The string itself + every one-character deletion."""
+    idx = F.sequence(F.lit(1), F.length(text))
+    # call_function: the F.substring wrapper wants literal pos/len,
+    # these are per-element Columns
+    dels = F.transform(
+        idx,
+        lambda i: F.concat(
+            F.call_function("substring", text, F.lit(1), i - 1),
+            F.call_function("substring", text, i + 1, F.length(text)),
+        ),
+    )
+    return F.array_union(F.array(text), dels)
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 1,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """All pairs within ``max_distance`` (only 1 supported) edit
+    distance: (id_a, id_b, distance), id_a < id_b, exact-verified."""
+    if max_distance != 1:
+        raise ValueError("deletion-neighborhood blocking ships max_distance=1")
+    base = df.select(F.col(id_col).alias("__fid"), F.col(text_col).alias("__ftxt"))
+    blocked = base.select(
+        "__fid", F.explode(_variants(F.col("__ftxt"))).alias("__v")
+    ).dropDuplicates(["__fid", "__v"])
+    buckets = (
+        blocked.groupBy("__v")
+        .agg(F.sort_array(F.collect_list("__fid")).alias("__ids"))
+        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs(F.col("__ids"))).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ta = base.select(F.col("__fid").alias("id_a"), F.col("__ftxt").alias("__ta"))
+    tb = base.select(F.col("__fid").alias("id_b"), F.col("__ftxt").alias("__tb"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__ta", "__tb").alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )

@@ -610,3 +610,29 @@ def q_tree_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tree_roots(parents, max_depth=depth_bound).select(
         F.col("node").alias("doc_id"), "root", "depth"
     )
+
+
+# ------------------------------------------------------ fuzzy matching
+
+_FUZZY_SQL = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+@query("q_fuzzy_join", oracle=_FUZZY_SQL)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: customer-name pairs within edit distance 1,
+    via deletion-neighborhood blocking (operators/fuzzy.py) — variants
+    equi-join instead of the all-pairs nested loop the levenshtein
+    predicate would otherwise plan.  Exact verify makes false
+    candidates impossible; at distance <= 1 the blocking provably
+    misses nothing.  The oracle is the plain quadratic join."""
+    from pulsar_sync_java_spark.operators.fuzzy import fuzzy_pairs
+
+    c = load_table(spark, sf_dir, "customer")
+    return fuzzy_pairs(c, "c_custkey", "c_name").select(
+        "id_a", "id_b", F.col("distance").cast("int").alias("distance")
+    )

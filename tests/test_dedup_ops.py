@@ -763,3 +763,36 @@ def test_incremental_lsh_matches_symmetric_pairs_restricted(spark, documents):
         assert want, "split produced no straddling pairs — test is vacuous"
     finally:
         sigs.unpersist()
+
+
+def test_fuzzy_pairs_match_bruteforce_levenshtein(spark):
+    """Deletion-neighborhood blocking must find exactly the brute-force
+    distance<=1 pairs — including insert/delete pairs (length differs),
+    not just substitutions."""
+    from pulsar_sync_java_spark.operators.fuzzy import fuzzy_pairs
+
+    names = [
+        (1, "alpha"), (2, "alpah"), (3, "alpha"), (4, "alphas"),
+        (5, "alph"), (6, "beta"), (7, "betta"), (8, "bita"),
+        (9, "gamma"), (10, "gamm"), (11, "delta"), (12, "dleta"),
+    ]
+    df = spark.createDataFrame(names, "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_pairs(df, "id", "name").collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    want = {
+        (r[0], r[1], r[2])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id"), F.col("b.id"),
+            F.levenshtein("a.name", "b.name").alias("d"),
+        )
+        .filter(F.col("d") <= 1)
+        .collect()
+    }
+    assert got == want and want
+    # non-trivial coverage: at least one pair with differing lengths
+    by_id = dict(names)
+    assert any(len(by_id[x]) != len(by_id[y]) for x, y, _ in want)
