@@ -189,3 +189,66 @@ def q_partition_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("partition_idx").cast("int").alias("partition_idx"),
     )
+
+
+# ------------------------------------------------------ snapshot diff
+
+_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey AS k, o_totalprice AS v FROM orders WHERE o_orderkey % 11 <> 0
+), new AS (
+  SELECT o_orderkey AS k,
+         o_totalprice + (CASE WHEN o_orderkey % 5 = 0 THEN 1.0 ELSE 0.0 END) AS v
+  FROM orders WHERE o_orderkey % 13 <> 0
+), d AS (
+  SELECT COALESCE(old.k, new.k) AS k,
+         CASE WHEN old.k IS NULL THEN 'insert'
+              WHEN new.k IS NULL THEN 'delete'
+              WHEN old.v <> new.v THEN 'update'
+              ELSE 'unchanged' END AS op
+  FROM old FULL OUTER JOIN new ON old.k = new.k
+)
+SELECT op, COUNT(*) AS n, MIN(k) AS min_key, MAX(k) AS max_key
+FROM d GROUP BY op
+"""
+
+
+@query("q_snapshot_diff", oracle=_SNAPSHOT_DIFF_SQL)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized snapshot diff — the CDC derivation: two keyed
+    snapshots (deterministic old/new slices of orders, with planted
+    value drift) full-outer joined and every key classified
+    insert/delete/update/unchanged, summarized per class.
+
+    This generalizes the reference's control plane: its catalog diff is
+    the ADDITIVE-ONLY special case (anti-join producing only inserts —
+    plans/catalog_diff.py, `PulsarTenantSyncManager.java:75-84` never
+    deletes), while a replication engine validating convergence, or a
+    lakehouse MERGE planner, needs the full 4-way classification.  One
+    full-outer join on the key (sort-merge at scale; both sides shuffle
+    once) + one tiny class aggregate; value comparison is exact on the
+    2-decimal doubles."""
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("k_old"), F.col("o_totalprice").alias("v_old")
+    )
+    new = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("k_new"),
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 5 == 0, 1.0).otherwise(0.0)
+        ).alias("v_new"),
+    )
+    d = old.join(new, old.k_old == new.k_new, "full_outer").select(
+        F.coalesce("k_old", "k_new").alias("k"),
+        F.when(F.col("k_old").isNull(), "insert")
+        .when(F.col("k_new").isNull(), "delete")
+        .when(F.col("v_old") != F.col("v_new"), "update")
+        .otherwise("unchanged")
+        .alias("op"),
+    )
+    return d.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )

@@ -119,6 +119,7 @@ EXPECT = {
     "q_markov_transitions": "one (user,ts) window shuffle for the lag pairing; transition agg + normalization window run over pair-count rows",
     "q_tree_ancestors": "recursive-CTE class via bounded linear unroll: D chained left joins against the persisted parent table in ONE lazy plan",
     "q_fuzzy_join": "deletion-variant Generate -> ONE bucket aggregate -> pair explosion; exact levenshtein verify is a post-join Filter; never NestedLoop",
+    "q_snapshot_diff": "CDC classification: one FullOuter sort-merge join on the key + a tiny per-class aggregate; both snapshot filters pushed to the scan",
 }
 
 _SECTION = """\
