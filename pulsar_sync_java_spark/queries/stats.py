@@ -312,3 +312,66 @@ def q_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "n_a", "n_b")
         .agg(tv.alias("tv_distance"), (tv > 0.1).alias("drifted"))
     )
+
+
+# ------------------------------------------------------------- trend
+
+# x = whole seconds since 2024-01-01 (integer floor-division on exact
+# epoch micros — both engines floor), so Σx/Σx²/Σxy stay exact in
+# DECIMAL at any corpus size; the OLS arithmetic is constant-time
+# doubles per group off the VARCHAR-bridged sums (the corr pattern).
+_TREND_SQL = """
+WITH pts AS (
+  SELECT event_type,
+         (epoch_us(ts) // 1000000) - 1704067200 AS x,
+         value AS y
+  FROM events
+), m AS (
+  SELECT event_type,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(y AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxy,
+         COUNT(*) AS n
+  FROM pts GROUP BY event_type
+)
+SELECT event_type, n,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400.0 AS slope_per_day,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+FROM m WHERE n > 1
+"""
+
+
+@query("q_trend_ols", oracle=_TREND_SQL)
+def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type metric TREND: ordinary-least-squares slope of event
+    value over time (per day) + intercept — the drift/trend screen a
+    monitoring pipeline runs next to q_drift_tv's distribution check
+    and q_anomaly_zscore's outlier screen.
+
+    Same scale/determinism shape as q_corr_pearson: ONE partial+final
+    moments aggregate (a sums-row per event type through the shuffle),
+    exact DECIMAL accumulation over integer seconds and 2-decimal
+    values, VARCHAR-bridged back to doubles, OLS as constant-time
+    per-group arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    x = (
+        F.expr("unix_micros(ts) DIV 1000000") - F.lit(1704067200)
+    ).cast("decimal(38,0)")
+    y = F.col("value").cast(_D6)
+    m = e.groupBy("event_type").agg(
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.filter(F.col("n") > 1).select(
+        "event_type",
+        "n",
+        (slope * 86400.0).alias("slope_per_day"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )

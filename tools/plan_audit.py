@@ -120,6 +120,7 @@ EXPECT = {
     "q_tree_ancestors": "recursive-CTE class via bounded linear unroll: D chained left joins against the persisted parent table in ONE lazy plan",
     "q_fuzzy_join": "deletion-variant Generate -> ONE bucket aggregate -> pair explosion; exact levenshtein verify is a post-join Filter; never NestedLoop",
     "q_snapshot_diff": "CDC classification: one FullOuter sort-merge join on the key + a tiny per-class aggregate; both snapshot filters pushed to the scan",
+    "q_trend_ols": "ONE partial+final moments aggregate (sums-row per type through the shuffle); OLS slope/intercept are per-group constant expressions",
 }
 
 _SECTION = """\
