@@ -304,3 +304,29 @@ def test_bloom_semi_join_query_prefilters_in_scan_stage(spark, queries):
     assert "shiftleft" in plan
     assert plan.count("LeftSemi") >= 1
     assert len(re.findall(r"\(\d+\) \w*Join", plan)) <= 2, plan
+
+
+def test_fuzzy_join_blocks_with_equi_join_not_nested_loop(spark, queries):
+    """q_fuzzy_join: deletion-variant blocking must keep the plan free
+    of nested loops; the exact levenshtein check rides as a Filter."""
+    plan = plan_of(queries["q_fuzzy_join"](spark, SF_DIR))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+    assert len(re.findall(r"\(\d+\) Generate\b", plan)) >= 1  # variant explode
+
+
+def test_trend_ols_single_moments_aggregate(spark, queries):
+    """q_trend_ols: one partial+final aggregate pair, no window, no
+    join — the sums-row-per-group shape shared with q_corr_pearson."""
+    plan = plan_of(queries["q_trend_ols"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) HashAggregate\b", plan)) == 2, plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_snapshot_diff_is_one_full_outer_join(spark, queries):
+    """q_snapshot_diff: exactly one FullOuter join + the class
+    aggregate; both snapshot filters must reach the scans."""
+    plan = plan_of(queries["q_snapshot_diff"](spark, SF_DIR))
+    assert plan.count("FullOuter") >= 1
+    assert len(re.findall(r"\(\d+\) \w*Join\b", plan)) == 1, plan
+    assert "PushedFilters: [IsNotNull(o_orderkey)" in plan or "PushedFilters:" in plan
