@@ -89,18 +89,68 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full-fidelity record (full names, best AND median, 4dp) goes to a
+    # committed sidecar — the per-round driver only tail-captures the
+    # last ~2000 chars of stdout, so the machine-parsed line below must
+    # stay small no matter how large the query suite grows.
+    detail = {
+        "metric": "declared_query_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "runs_per_query": runs_per_query,
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(f"# full per-query best+median written to {detail_path}", file=sys.stderr)
+
+    print(_compact_line(total, timings, sf_val))
+
+
+def _compact_line(total: float, timings: dict[str, float], sf_val) -> str:
+    """One JSON line guaranteed <= MAX_LINE chars (driver tail window is
+    ~2000).  Degrade gracefully: 2-decimal values -> strip the shared
+    'q_' key prefix (declared via "key_prefix") -> keep only the slowest
+    entries and declare how many were dropped ("queries_truncated" +
+    the sidecar pointer make the truncation loud, never silent)."""
+    # The driver tail-captures the last 2000 chars of stdout and this is
+    # the only stdout line, so anything <= ~1999 incl newline parses.
+    MAX_LINE = 1980
+
+    def line(extra: dict) -> str:
+        base = {"metric": "declared_query_suite_total", "value": total, "unit": "sec"}
+        base.update(extra)
+        base["sf"] = sf_val
+        return json.dumps(base, separators=(",", ":"))
+
+    q2 = {k: round(v, 2) for k, v in sorted(timings.items())}
+    out = line({"queries": q2})
+    if len(out) <= MAX_LINE:
+        return out
+    stripped = {k[2:] if k.startswith("q_") else k: v for k, v in q2.items()}
+    out = line({"queries": stripped, "key_prefix": "q_"})
+    if len(out) <= MAX_LINE:
+        return out
+    # Last resort: slowest-first subset that fits, with the drop count.
+    by_cost = sorted(stripped.items(), key=lambda kv: (-kv[1], kv[0]))
+    keep = dict(by_cost)
+    while keep and len(
+        out := line(
             {
-                "metric": "declared_query_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": dict(sorted(keep.items())),
+                "key_prefix": "q_",
+                "queries_truncated": len(stripped) - len(keep),
+                "detail": "BENCH_DETAIL.json",
             }
         )
-    )
+    ) > MAX_LINE:
+        keep.pop(by_cost[len(keep) - 1][0])
+    return out
 
 
 if __name__ == "__main__":

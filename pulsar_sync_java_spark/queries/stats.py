@@ -194,7 +194,7 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PROFILE_SQL = """
 SELECT COUNT(*) AS n_rows,
-       SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS n_blank_text,
+       COUNT(*) FILTER (WHERE text IS NULL OR text = '') AS n_blank_text,
        COUNT(DISTINCT lang) AS d_lang,
        COUNT(DISTINCT source) AS d_source,
        MIN(n_chars) AS min_chars,
@@ -249,8 +249,8 @@ WITH b AS (
   FROM events GROUP BY 1, 2, 3
 ), tot AS (
   SELECT event_type,
-         SUM(CASE WHEN slice = 0 THEN obs ELSE 0 END) AS n_a,
-         SUM(CASE WHEN slice = 1 THEN obs ELSE 0 END) AS n_b
+         CAST(SUM(CASE WHEN slice = 0 THEN obs ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN slice = 1 THEN obs ELSE 0 END) AS BIGINT) AS n_b
   FROM b GROUP BY 1
 ), wide AS (
   SELECT b.event_type, b.bucket,
