@@ -323,6 +323,65 @@ def test_trend_ols_single_moments_aggregate(spark, queries):
     assert "Join" not in plan and "Window" not in plan
 
 
+def test_interval_overlap_is_bucketized_equi_join(spark, queries):
+    """q_interval_overlap: the timeline-bucket rewrite must hold — two
+    Generate nodes (each side's bucket fan-out), candidates meet in ONE
+    equi-join (broadcast or sort-merge, AQE's call), and the inequality
+    predicate NEVER plans as a nested loop (operators/interval.py)."""
+    plan = plan_of(queries["q_interval_overlap"](spark, SF_DIR))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Generate\b", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) \w*Join\b", plan)) == 1, plan
+
+
+def test_markov_transitions_single_raw_event_shuffle(spark, queries):
+    """q_markov_transitions: raw events cross the wire exactly ONCE —
+    the (user_id) window shuffle for the lag pairing.  Everything after
+    operates on the type-pair aggregate (event_type² rows): one agg
+    exchange, one tiny normalization window.  A second hashpartitioning
+    on user_id (or any window over raw events) is the regression this
+    guards against."""
+    plan = plan_of(queries["q_markov_transitions"](spark, SF_DIR))
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 3, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_tree_ancestors_bounded_regime_is_one_lazy_plan(spark, queries):
+    """q_tree_ancestors in the bounded (heap-depth) regime: ONE lazy
+    plan containing the whole unroll — depth-many equi-joins over the
+    persisted parents relation, no nested loop — and building it may
+    run only the single scalar max(doc_id) job (no per-round count()
+    actions: the count-gated path is for the unbounded regime)."""
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None))
+    df = queries["q_tree_ancestors"](spark, SF_DIR)
+    jobs_after = len(tracker.getJobIdsForGroup(None))
+    # the scalar max(doc_id) costs <=3 jobs under AQE (listing + one
+    # job per query stage); per-round actions would add D more
+    assert jobs_after - jobs_before <= 3, (
+        f"bounded regime ran {jobs_after - jobs_before} driver jobs "
+        f"while building the plan — per-round actions crept back in"
+    )
+    plan = plan_of(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) \w*Join\b", plan)) >= 5, plan
+    assert "InMemoryRelation" in plan  # persisted parents feed the unroll
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2, plan
+
+
+def test_incremental_dedup_broadcasts_delta_side(spark, queries):
+    """q_incremental_dedup: the corpus side is ONE collect_list bucket
+    aggregate (ObjectHashAggregate); the delta bands and the tiny pair
+    set ride BROADCAST joins — a SortMergeJoin would mean the nightly
+    delta started shuffling the standing corpus."""
+    plan = plan_of(queries["q_incremental_dedup"](spark, SF_DIR))
+    assert "ObjectHashAggregate" in plan
+    joins = re.findall(r"\(\d+\) \*?\s*(\w*Join\w*)", plan)
+    assert joins and all(j == "BroadcastHashJoin" for j in joins), joins
+
+
 def test_snapshot_diff_is_one_full_outer_join(spark, queries):
     """q_snapshot_diff: exactly one FullOuter join + the class
     aggregate; both snapshot filters must reach the scans."""
