@@ -20,11 +20,15 @@ neighborhoods (variant count ~len^k per row) — the classic
 accuracy-vs-blowup trade; this module ships the k=1 workhorse.
 
 Scale: variant fan-out is len(string)+1 rows per input — linear, not
-quadratic; the join shuffles (variant, id) pairs only and the verify
-runs on the candidate sliver.  Skew guard: a variant shared by many
-rows (short strings, heavy templates) creates a hot bucket — the
-`max_bucket` cap drops such buckets whole, same stop-shingle
-discipline as operators/dedup.py.
+quadratic; variants are hashed to 64-bit keys BEFORE the shuffle (the
+same discipline as the shingle index, operators/dedup.py), so the
+candidate exchange carries (long, id) instead of (string, id) — an
+xxhash64 collision can only ADD a candidate, and the exact levenshtein
+verify removes it.  Skew guard: a variant shared by many rows (short
+strings, heavy templates) creates a hot bucket — the `max_bucket` cap
+drops such buckets whole (``on_overflow='drop'``, the stop-shingle
+discipline) or fails the job loudly (``on_overflow='error'``, for
+callers whose oracle/contract cannot mirror the drop).
 """
 
 from __future__ import annotations
@@ -56,19 +60,46 @@ def fuzzy_pairs(
     text_col: str,
     max_distance: int = 1,
     max_bucket: int = 1000,
+    on_overflow: str = "drop",
 ) -> DataFrame:
     """All pairs within ``max_distance`` (only 1 supported) edit
-    distance: (id_a, id_b, distance), id_a < id_b, exact-verified."""
+    distance: (id_a, id_b, distance), id_a < id_b, exact-verified.
+
+    ``on_overflow``: what to do with a variant bucket holding more than
+    ``max_bucket`` ids — ``'drop'`` skips it whole (skew-safe, may miss
+    pairs that ONLY share hot variants), ``'error'`` raises at execution
+    time so a contract that promises the exact pair set fails loudly
+    instead of silently diverging when the guard first fires."""
     if max_distance != 1:
         raise ValueError("deletion-neighborhood blocking ships max_distance=1")
+    if on_overflow not in ("drop", "error"):
+        raise ValueError("on_overflow must be 'drop' or 'error'")
     base = df.select(F.col(id_col).alias("__fid"), F.col(text_col).alias("__ftxt"))
+    # 64-bit variant keys: the shuffle carries (long, id), not the
+    # variant strings themselves
     blocked = base.select(
-        "__fid", F.explode(_variants(F.col("__ftxt"))).alias("__v")
+        "__fid",
+        F.explode(
+            F.transform(_variants(F.col("__ftxt")), lambda v: F.xxhash64(v))
+        ).alias("__v"),
     ).dropDuplicates(["__fid", "__v"])
+    if on_overflow == "error":
+        size_ok = F.assert_true(
+            F.size("__ids") <= max_bucket,
+            F.concat(
+                F.lit(f"fuzzy_pairs: variant bucket exceeds max_bucket={max_bucket} "
+                      f"(size="),
+                F.size("__ids").cast("string"),
+                F.lit(") — exact-pair contract violated; raise max_bucket or "
+                      "switch on_overflow='drop'"),
+            ),
+        ).isNull()
+    else:
+        size_ok = F.size("__ids") <= max_bucket
     buckets = (
         blocked.groupBy("__v")
         .agg(F.sort_array(F.collect_list("__fid")).alias("__ids"))
-        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
+        .filter((F.size("__ids") >= 2) & size_ok)
     )
     cand = (
         buckets.select(F.explode(pair_structs(F.col("__ids"))).alias("p"))

@@ -311,6 +311,7 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 5,
     damping: float = 0.85,
+    release_cache: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (src, dst) —
     the iterative-algorithm family member of the engine (authority /
@@ -347,8 +348,11 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
-        # empty graph: empty rank table, not a ZeroDivisionError
-        return nodes.select("node", F.lit(0.0).alias("rank"))
+        # empty graph: empty rank table, not a ZeroDivisionError —
+        # release the (empty) cache entry, nothing references it again
+        out = nodes.select("node", F.lit(0.0).alias("rank")).localCheckpoint()
+        nodes.unpersist()
+        return out
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # nodes/ed stay persisted: the returned plan references them per
     # iteration, and Spark's plan-matched cache REUSES these entries on
@@ -380,6 +384,15 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
             ).alias("rank"),
         )
+    if release_cache:
+        # materialize the node-sized result (localCheckpoint severs the
+        # lineage that references the cached tables), then release both
+        # cache entries — the posture for repeated sweeps over DISTINCT
+        # graphs, where plan-matched cache reuse never kicks in and the
+        # entries would otherwise accumulate in executor memory
+        ranks = ranks.localCheckpoint()
+        nodes.unpersist()
+        ed.unpersist()
     return ranks
 
 

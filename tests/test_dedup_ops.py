@@ -796,3 +796,24 @@ def test_fuzzy_pairs_match_bruteforce_levenshtein(spark):
     # non-trivial coverage: at least one pair with differing lengths
     by_id = dict(names)
     assert any(len(by_id[x]) != len(by_id[y]) for x, y, _ in want)
+
+
+def test_fuzzy_pairs_overflow_modes(spark):
+    """A variant bucket larger than max_bucket must be dropped whole in
+    'drop' mode and raise at execution time in 'error' mode (the loud
+    guard q_fuzzy_join relies on — its quadratic oracle cannot mirror
+    the drop)."""
+    from pulsar_sync_java_spark.operators.fuzzy import fuzzy_pairs
+
+    # 4 identical strings share every variant: bucket size 4 > 3
+    df = spark.createDataFrame(
+        [(i, "same") for i in range(1, 5)], "id long, name string"
+    )
+    assert fuzzy_pairs(df, "id", "name", max_bucket=3).count() == 0
+    with pytest.raises(Exception, match="max_bucket"):
+        fuzzy_pairs(df, "id", "name", max_bucket=3, on_overflow="error").count()
+    # under the cap both modes agree
+    assert (
+        fuzzy_pairs(df, "id", "name", max_bucket=10, on_overflow="error").count()
+        == 6
+    )

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from pulsar_sync_java_spark.operators.graph import connected_components
 
 
@@ -195,3 +197,19 @@ def test_pagerank_empty_edges_returns_empty(spark):
     out = pagerank(empty, iterations=3)
     assert out.columns == ["node", "rank"]
     assert out.count() == 0
+
+
+def test_pagerank_release_cache_frees_persisted_tables(spark):
+    """release_cache=True must leave NO new cached relations behind
+    (the distinct-graph sweep posture) while returning the same ranks."""
+    from pulsar_sync_java_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    kept = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
+    freed_df = pagerank(edges, iterations=3, release_cache=True)
+    freed = {r["node"]: r["rank"] for r in freed_df.collect()}
+    assert freed == pytest.approx(kept)
+    # the released run's plan no longer references any cached relation
+    assert "InMemory" not in freed_df._jdf.queryExecution().executedPlan().toString()
