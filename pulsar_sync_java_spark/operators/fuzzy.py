@@ -16,8 +16,14 @@ ALWAYS share a variant —
 So candidates ride one equi-join on the variant key and the exact
 levenshtein verifies them (false candidates possible, false dismissals
 impossible at distance <= 1).  Distance k generalizes to k-deletion
-neighborhoods (variant count ~len^k per row) — the classic
-accuracy-vs-blowup trade; this module ships the k=1 workhorse.
+neighborhoods (FastSS, Bocek et al. 2007: ed(a,b) <= k implies the
+depth-k deletion neighborhoods intersect — delete each side's edited
+positions and the common remainder is in both).  This module ships
+k=1 (len+1 variants/row, the workhorse) and k=2 (~len^2/2 variants/row
+— the accuracy-vs-blowup trade, affordable for name/title-length
+strings and gated by the same max_bucket discipline; short strings
+share tiny variants like "" heavily, so hot buckets concentrate there
+and the cap matters more at k=2).
 
 Scale: variant fan-out is len(string)+1 rows per input — linear, not
 quadratic; variants are hashed to 64-bit keys BEFORE the shuffle (the
@@ -54,6 +60,33 @@ def _variants(text: F.Column) -> F.Column:
     return F.array_union(F.array(text), dels)
 
 
+def _variants_k2(text: F.Column) -> F.Column:
+    """Depth-2 deletion neighborhood: the string, every 1-deletion, and
+    every 2-deletion (positions i < j removed from the ORIGINAL string,
+    so indexes never shift under us)."""
+    idx = F.sequence(F.lit(1), F.length(text))
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                idx,
+                lambda i: F.transform(
+                    idx, lambda j: F.struct(i.alias("i"), j.alias("j"))
+                ),
+            )
+        ),
+        lambda s: s["i"] < s["j"],
+    )
+    del2 = F.transform(
+        pairs,
+        lambda s: F.concat(
+            F.call_function("substring", text, F.lit(1), s["i"] - 1),
+            F.call_function("substring", text, s["i"] + 1, s["j"] - s["i"] - 1),
+            F.call_function("substring", text, s["j"] + 1, F.length(text)),
+        ),
+    )
+    return F.array_union(_variants(text), del2)
+
+
 def fuzzy_pairs(
     df: DataFrame,
     id_col: str,
@@ -62,25 +95,26 @@ def fuzzy_pairs(
     max_bucket: int = 1000,
     on_overflow: str = "drop",
 ) -> DataFrame:
-    """All pairs within ``max_distance`` (only 1 supported) edit
-    distance: (id_a, id_b, distance), id_a < id_b, exact-verified.
+    """All pairs within ``max_distance`` (1 or 2) edit distance:
+    (id_a, id_b, distance), id_a < id_b, exact-verified.
 
     ``on_overflow``: what to do with a variant bucket holding more than
     ``max_bucket`` ids — ``'drop'`` skips it whole (skew-safe, may miss
     pairs that ONLY share hot variants), ``'error'`` raises at execution
     time so a contract that promises the exact pair set fails loudly
     instead of silently diverging when the guard first fires."""
-    if max_distance != 1:
-        raise ValueError("deletion-neighborhood blocking ships max_distance=1")
+    if max_distance not in (1, 2):
+        raise ValueError("deletion-neighborhood blocking ships max_distance in (1, 2)")
     if on_overflow not in ("drop", "error"):
         raise ValueError("on_overflow must be 'drop' or 'error'")
+    variants = _variants if max_distance == 1 else _variants_k2
     base = df.select(F.col(id_col).alias("__fid"), F.col(text_col).alias("__ftxt"))
     # 64-bit variant keys: the shuffle carries (long, id), not the
     # variant strings themselves
     blocked = base.select(
         "__fid",
         F.explode(
-            F.transform(_variants(F.col("__ftxt")), lambda v: F.xxhash64(v))
+            F.transform(variants(F.col("__ftxt")), lambda v: F.xxhash64(v))
         ).alias("__v"),
     ).dropDuplicates(["__fid", "__v"])
     if on_overflow == "error":

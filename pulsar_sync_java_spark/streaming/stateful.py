@@ -31,9 +31,11 @@ from collections.abc import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -198,6 +200,94 @@ def stateful_sparse_sampler_tws(
         outputStructType=OUTPUT_SCHEMA,
         outputMode="append",
         timeMode="none",
+    )
+
+
+# ------------------------------------------------------ grouped UDAF twin
+
+UDAF_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("group_key", StringType()),
+        StructField("n", LongType()),
+        StructField("mad", DoubleType()),
+    ]
+)
+
+UDAF_STATE_SCHEMA = StructType([StructField("vals", ArrayType(DoubleType()))])
+
+
+def _grouped_mad(max_state_values: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (grp,) = key
+        vals: list[float] = list(state.get[0]) if state.exists else []
+        got_rows = False
+        for pdf in pdfs:
+            if len(pdf):
+                got_rows = True
+                vals.extend(float(v) for v in pdf["value"].values)
+        if not got_rows:
+            return
+        if len(vals) > max_state_values:
+            raise ValueError(
+                f"stateful_grouped_udaf: group {grp!r} accumulated "
+                f"{len(vals)} values > max_state_values={max_state_values} "
+                f"— holistic state outgrew its declared bound; raise the "
+                f"bound or switch this group to a mergeable sketch"
+            )
+        state.update((vals,))
+        import numpy as np
+
+        arr = np.asarray(vals, dtype="float64")
+        med = float(np.median(arr))
+        mad = float(np.median(np.abs(arr - med)))
+        yield pd.DataFrame(
+            [(str(grp), len(vals), mad)],
+            columns=[f.name for f in UDAF_OUTPUT_SCHEMA],
+        )
+
+    return fn
+
+
+def stateful_grouped_udaf(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    max_state_values: int = 100_000,
+) -> DataFrame:
+    """Streaming twin of q_grouped_udaf's GROUPED_AGG pandas UDF
+    (queries/scalar.py:337): per group key, the median absolute
+    deviation over the stream PREFIX, re-emitted each micro-batch the
+    group receives rows.
+
+    MAD is HOLISTIC — no bounded partial state merges it exactly — so
+    this twin keeps the group's full value list as keyed state and
+    recomputes per batch: the honest cost of an exact holistic
+    aggregate over a stream.  That state is O(values-per-group) and the
+    operator says so loudly: crossing ``max_state_values`` raises
+    (carrying the remediation) rather than degrading silently.  The
+    scale posture for unbounded groups is the mergeable-sketch family
+    (approx_percentile in windowed aggs), same division of labor the
+    batch query documents for its JVM twin.
+
+    Equivalence: emissions after all input is consumed equal the batch
+    UDAF exactly — np.median on the same doubles, invariant to how the
+    stream chunked them (asserted vs q_grouped_udaf's mad column in
+    tests/test_streaming.py, including across a multi-batch split)."""
+    return (
+        stream.select(
+            F.col(key_col).cast("string").alias("group_key"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        .groupBy("group_key")
+        .applyInPandasWithState(
+            _grouped_mad(max_state_values),
+            outputStructType=UDAF_OUTPUT_SCHEMA,
+            stateStructType=UDAF_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 

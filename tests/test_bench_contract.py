@@ -1,0 +1,44 @@
+"""The round driver tail-captures the last 2000 chars of bench.py's
+stdout and json-parses the final line; round 4's line outgrew the
+window and the bench gate silently skipped.  Pin the contract: the
+compact line stays under the window and stays parseable at any
+plausible suite size."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _fake_timings(n: int) -> dict[str, float]:
+    return {f"q_operator_family_name_{i:03d}": 0.1 + (i % 40) / 7.0 for i in range(n)}
+
+
+def test_compact_line_fits_tail_window_at_every_scale():
+    for n in (10, 93, 120, 200, 400):
+        line = bench._compact_line(123.4567, _fake_timings(n), 0.1)
+        assert len(line) <= 1980, (n, len(line))
+        p = json.loads(line)
+        assert {"metric", "value", "unit", "queries", "sf"} <= set(p)
+        # truncation, if any, is DECLARED — never silent
+        if len(p["queries"]) < n:
+            assert p["queries_truncated"] == n - len(p["queries"])
+            assert p["detail"] == "BENCH_DETAIL.json"
+            # slowest queries survive truncation (the regression signal)
+            kept = set(p["queries"])
+            t = _fake_timings(n)
+            key = {k[2:] if k.startswith("q_") else k: v for k, v in t.items()}
+            dropped_max = max(v for k, v in key.items() if k not in kept)
+            kept_min = min(v for k, v in key.items() if k in kept)
+            assert dropped_max <= kept_min + 1e-9
+
+
+def test_compact_line_current_suite_not_truncated():
+    """At today's 93 declared queries nothing may be truncated."""
+    from pulsar_sync_java_spark.queries import all_queries
+
+    t = {n: 1.2345 for n in all_queries()}
+    p = json.loads(bench._compact_line(99.9, t, 0.1))
+    assert len(p["queries"]) == len(t)
+    assert "queries_truncated" not in p

@@ -124,6 +124,9 @@ def test_lsh_topk_recall_vs_exact(spark, embeddings):
     # the query vector itself is always in its own bucket
     assert 0 in approx
     recall = len(set(exact) & set(approx)) / 10
+    # soft floor ON PURPOSE: this fixture is tiny (sf0.001, ~100 vecs)
+    # where LSH recall is high-variance; the hard quality gate is the
+    # recall@10 >= 0.9 assertion at sf0.1 further down this file
     assert recall >= 0.5, f"recall {recall}: exact={exact} approx={approx}"
 
 
@@ -135,6 +138,8 @@ def test_ivf_topk_recall_vs_exact(spark, embeddings):
     # the query's own list is always probed, so vec 0 must appear
     assert 0 in approx
     recall = len(set(exact) & set(approx)) / 10
+    # soft floor ON PURPOSE — see the LSH twin above; the hard gate is
+    # the sf0.1 recall@10 >= 0.9 test below
     assert recall >= 0.5, f"recall {recall}: exact={exact} approx={approx}"
 
 
@@ -796,6 +801,43 @@ def test_fuzzy_pairs_match_bruteforce_levenshtein(spark):
     # non-trivial coverage: at least one pair with differing lengths
     by_id = dict(names)
     assert any(len(by_id[x]) != len(by_id[y]) for x, y, _ in want)
+
+
+def test_fuzzy_pairs_k2_match_bruteforce_levenshtein(spark):
+    """Depth-2 deletion neighborhoods (FastSS) must find exactly the
+    brute-force distance<=2 pairs — substitution pairs, indel pairs,
+    mixed pairs, and transpositions (which levenshtein counts as 2)."""
+    from pulsar_sync_java_spark.operators.fuzzy import fuzzy_pairs
+
+    names = [
+        (1, "alphabet"), (2, "alpahbet"), (3, "alphabets"), (4, "alphbet"),
+        (5, "alphabeta"), (6, "elephant"), (7, "elepant"), (8, "relevant"),
+        (9, "gamma"), (10, "gamut"), (11, "delta"), (12, "delat"),
+        (13, "dleta"), (14, "stream"), (15, "steam"), (16, "dream"),
+    ]
+    df = spark.createDataFrame(names, "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_pairs(df, "id", "name", max_distance=2).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    want = {
+        (r[0], r[1], r[2])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id"), F.col("b.id"),
+            F.levenshtein("a.name", "b.name").alias("d"),
+        )
+        .filter(F.col("d") <= 2)
+        .collect()
+    }
+    assert got == want and want
+    # non-trivial coverage: distance-2 pairs of each flavor are present
+    assert any(d == 2 for _, _, d in want)
+    by_id = dict(names)
+    assert any(
+        d == 2 and len(by_id[x]) != len(by_id[y]) for x, y, d in want
+    )  # mixed indel+sub
 
 
 def test_fuzzy_pairs_overflow_modes(spark):

@@ -915,3 +915,70 @@ def test_stateful_transitions_match_batch_lag(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) > 500
+
+
+def test_stateful_grouped_udaf_matches_batch_mad(spark, tmp_path):
+    """Streaming grouped-UDAF twin: after consuming lineitem prices in
+    THREE micro-batches, each return flag's final (n, mad) emission must
+    equal the batch GROUPED_AGG pandas UDF in q_grouped_udaf — the
+    holistic aggregate is chunking-invariant because the full value
+    state is carried across batches."""
+    from pulsar_sync_java_spark.queries import all_queries
+    from pulsar_sync_java_spark.streaming.stateful import stateful_grouped_udaf
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    src = str(tmp_path / "src")
+    li.repartition(3).write.parquet(src)
+
+    stream = spark.readStream.schema(li.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = stateful_grouped_udaf(stream, "l_returnflag", "l_extendedprice")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert len(rows) > 3  # interim emissions exist: state really spans batches
+    final = {}
+    for r in rows:
+        if r.group_key not in final or r.n > final[r.group_key][0]:
+            final[r.group_key] = (r.n, r.mad)
+    batch = {
+        r.l_returnflag: (r.n, r.mad_price)
+        for r in all_queries()["q_grouped_udaf"](spark, SF_DIR).collect()
+    }
+    assert final == batch
+
+
+def test_stateful_grouped_udaf_state_bound_is_loud(spark, tmp_path):
+    """Crossing max_state_values must FAIL the stream with the
+    remediation message, not silently degrade."""
+    import pytest
+
+    from pulsar_sync_java_spark.streaming.stateful import stateful_grouped_udaf
+
+    df = spark.createDataFrame(
+        [("A", float(i)) for i in range(50)], "k string, v double"
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stateful_grouped_udaf(stream, "k", "v", max_state_values=10)
+        .writeStream.format("memory")
+        .queryName("udaf_overflow")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="max_state_values"):
+        q.awaitTermination(120)
