@@ -982,3 +982,55 @@ def test_stateful_grouped_udaf_state_bound_is_loud(spark, tmp_path):
     )
     with pytest.raises(Exception, match="max_state_values"):
         q.awaitTermination(120)
+
+
+def test_stateful_grouped_udaf_state_survives_restart(spark, tmp_path):
+    """Two separate query runs over one checkpoint: batch-2 emissions
+    must aggregate over BOTH halves' values — keyed state recovers from
+    the checkpoint, not from reprocessing half 1."""
+    from pulsar_sync_java_spark.streaming.stateful import stateful_grouped_udaf
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    halves = li.randomSplit([0.5, 0.5], seed=7)
+    src = str(tmp_path / "src")
+    import glob
+    import os
+    import shutil
+
+    for i, half in enumerate(halves):
+        staged = str(tmp_path / f"stage{i}")
+        half.coalesce(1).write.parquet(staged)
+        os.makedirs(src, exist_ok=True)
+        for f in glob.glob(staged + "/part-*.parquet"):
+            shutil.copy(f, os.path.join(src, f"half{i}.parquet"))
+        stream = spark.readStream.schema(li.schema).parquet(src)
+        q = (
+            stateful_grouped_udaf(stream, "l_returnflag", "l_extendedprice")
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    final = {}
+    for r in rows:
+        if r.group_key not in final or r.n > final[r.group_key][0]:
+            final[r.group_key] = (r.n, r.mad)
+    # expected: exact MAD over ALL values per flag (run 2 saw only half
+    # the rows; equality proves the checkpoint carried run 1's state)
+    import numpy as np
+
+    expected = {}
+    for r in li.groupBy("l_returnflag").agg(
+        F.collect_list("l_extendedprice").alias("vals")
+    ).collect():
+        arr = np.asarray(r.vals, dtype="float64")
+        med = float(np.median(arr))
+        expected[r.l_returnflag] = (len(arr), float(np.median(np.abs(arr - med))))
+    assert final == expected
