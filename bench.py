@@ -105,9 +105,15 @@ def main() -> None:
         "sf": sf_val,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    with open(detail_path, "w") as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
-    print(f"# full per-query best+median written to {detail_path}", file=sys.stderr)
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+        print(f"# full per-query best+median written to {detail_path}", file=sys.stderr)
+    except OSError as exc:
+        # the sidecar is best-effort: a read-only checkout or full disk
+        # must not destroy the machine-parsed stdout line after minutes
+        # of timed work
+        print(f"# WARNING: could not write {detail_path}: {exc}", file=sys.stderr)
 
     print(_compact_line(total, timings, sf_val))
 
@@ -132,10 +138,17 @@ def _compact_line(total: float, timings: dict[str, float], sf_val) -> str:
     out = line({"queries": q2})
     if len(out) <= MAX_LINE:
         return out
-    stripped = {k[2:] if k.startswith("q_") else k: v for k, v in q2.items()}
-    out = line({"queries": stripped, "key_prefix": "q_"})
-    if len(out) <= MAX_LINE:
-        return out
+    # prefix-strip only when EVERY key carries the prefix — a mixed
+    # fleet ('q_foo' and 'foo') would otherwise collide and silently
+    # drop a measurement
+    prefix: dict = {}
+    stripped = q2
+    if all(k.startswith("q_") for k in q2):
+        stripped = {k[2:]: v for k, v in q2.items()}
+        prefix = {"key_prefix": "q_"}
+        out = line({"queries": stripped, **prefix})
+        if len(out) <= MAX_LINE:
+            return out
     # Last resort: slowest-first subset that fits, with the drop count.
     by_cost = sorted(stripped.items(), key=lambda kv: (-kv[1], kv[0]))
     keep = dict(by_cost)
@@ -143,7 +156,7 @@ def _compact_line(total: float, timings: dict[str, float], sf_val) -> str:
         out := line(
             {
                 "queries": dict(sorted(keep.items())),
-                "key_prefix": "q_",
+                **prefix,
                 "queries_truncated": len(stripped) - len(keep),
                 "detail": "BENCH_DETAIL.json",
             }

@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pytest
 
@@ -30,35 +28,42 @@ def duck():
     con.close()
 
 
-def _norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return float(v)
-    return v
-
-
-def normalize_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
-    """Mirror the driver's order-insensitive compare: sort columns by
-    name, then sort rows by their stringified values."""
+def normalize_pandas(cols: list[str], pdf) -> list[tuple]:
+    """The driver's order-insensitive compare, faithfully: it fetches
+    BOTH engines' results pandas-style and hashes name-sorted columns /
+    sorted STRINGIFIED rows — so dtype materialization differences ARE
+    part of the contract (round 4: DuckDB HUGEINT -> float64 -> "0.0"
+    hashed against Spark's long "0" and failed even though the values
+    matched).  Any local compare that fetches typed values (fetchall /
+    collect) is looser than the gate it claims to mirror."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(out, key=lambda r: tuple(str(x) for x in r))
+    out = [
+        tuple(str(row[i]) for i in order)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    return sorted(out)
+
+
+def compare_frames(s_cols, s_pdf, d_cols, d_pdf):
+    """Returns (ok, detail) for a Spark-vs-oracle pandas pair under the
+    driver's semantics.  Shared by the pytest gate (sf0.001) and
+    tools/oracle_sweep.py (driver-scale) so the two local replicas can
+    never disagree with each other."""
+    if sorted(s_cols) != sorted(d_cols):
+        return False, f"column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    sn = normalize_pandas(s_cols, s_pdf)
+    dn = normalize_pandas(d_cols, d_pdf)
+    if len(sn) != len(dn):
+        return False, f"row count: spark={len(sn)} duck={len(dn)}"
+    mismatches = [(i, a, b) for i, (a, b) in enumerate(zip(sn, dn)) if a != b]
+    if mismatches:
+        return False, f"{len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+    return True, f"{len(sn)} rows"
 
 
 def assert_matches_oracle(spark, duck, spark_df, sql: str):
-    s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
     rel = duck.sql(sql)
-    d_cols = rel.columns
-    d_rows = rel.fetchall()
-    assert sorted(s_cols) == sorted(d_cols), (
-        f"column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    ok, detail = compare_frames(
+        spark_df.columns, spark_df.toPandas(), rel.columns, rel.df()
     )
-    sn = normalize_rows(s_cols, s_rows)
-    dn = normalize_rows(d_cols, d_rows)
-    assert len(sn) == len(dn), f"row count: spark={len(sn)} duck={len(dn)}"
-    mismatches = [
-        (i, a, b) for i, (a, b) in enumerate(zip(sn, dn)) if a != b
-    ]
-    assert not mismatches, f"{len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+    assert ok, detail

@@ -34,6 +34,24 @@ def test_compact_line_fits_tail_window_at_every_scale():
             assert dropped_max <= kept_min + 1e-9
 
 
+def test_compact_line_mixed_prefix_fleet_never_collides():
+    """If ever a metric name lacks the q_ prefix, stripping would merge
+    'q_foo' and 'foo' and silently drop a measurement — the ladder must
+    skip the strip rung entirely for a mixed fleet."""
+    t = _fake_timings(200)  # big enough to overflow the full-name rung
+    t["no_prefix_metric"] = 9.9
+    t["q_no_prefix_metric"] = 1.1  # the collision partner
+    p = json.loads(bench._compact_line(50.0, t, 0.1))
+    assert "key_prefix" not in p
+    kept = p["queries"]
+    # both collision partners are distinguishable (the slow one, at
+    # least, must survive truncation; the fast one may be truncated but
+    # never silently MERGED)
+    assert kept.get("no_prefix_metric") == 9.9
+    total_accounted = len(kept) + p.get("queries_truncated", 0)
+    assert total_accounted == len(t)
+
+
 def test_compact_line_current_suite_not_truncated():
     """At today's 93 declared queries nothing may be truncated."""
     from pulsar_sync_java_spark.queries import all_queries

@@ -18,16 +18,25 @@ import __spark_entry__ as entry
 _ORACLES = entry.oracle_sql()
 
 
+# Types whose pandas materialization diverges from their typed value:
+# HUGEINT/UHUGEINT -> float64 ("0" becomes "0.0"), DECIMAL -> float64
+# (loses the scale Spark's DecimalType string keeps).  The repo bridges
+# every exposed decimal through CAST(CAST(x AS VARCHAR) AS DOUBLE); this
+# test keeps both conventions honest.
+_RISKY = ("HUGEINT", "DECIMAL")
+
+
 @pytest.mark.parametrize("name", sorted(_ORACLES))
-def test_oracle_has_no_hugeint_columns(duck, name):
+def test_oracle_has_no_pandas_divergent_columns(duck, name):
     rel = duck.sql(_ORACLES[name])
     bad = [
         (col, str(t))
         for col, t in zip(rel.columns, rel.types)
-        if "HUGEINT" in str(t).upper()
+        if any(r in str(t).upper() for r in _RISKY)
     ]
     assert not bad, (
-        f"{name}: oracle exposes HUGEINT column(s) {bad} — the driver "
-        f"fetch renders these as float64 and the hash gate fails; "
-        f"CAST(... AS BIGINT) or use COUNT(*) FILTER (...)"
+        f"{name}: oracle exposes pandas-divergent column(s) {bad} — the "
+        f"driver fetch renders these as float64 and the hash gate fails; "
+        f"CAST(... AS BIGINT), COUNT(*) FILTER (...), or the "
+        f"VARCHAR->DOUBLE decimal bridge"
     )

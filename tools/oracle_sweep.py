@@ -24,11 +24,10 @@ import __spark_entry__ as entry
 from pulsar_sync_java_spark.session import get_spark
 from pulsar_sync_java_spark.sources.tables import TABLES
 
-
-def norm(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(str(r[i]) for i in order) for r in rows]
-    return sorted(out)
+# the one true local replica of the driver compare (pandas-style fetch
+# on BOTH engines, name-sorted columns, sorted stringified rows) —
+# shared with the pytest gate so the two replicas cannot disagree
+from tests.conftest import compare_frames
 
 
 def main() -> int:
@@ -43,25 +42,15 @@ def main() -> int:
     for name in sorted(qs):
         try:
             sdf = qs[name](spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            s_pdf = sdf.toPandas()
             if name not in oracles:
-                print(f"  {name}: rows-only ({len(s_rows)} rows)", flush=True)
+                print(f"  {name}: rows-only ({len(s_pdf)} rows)", flush=True)
                 continue
             rel = con.sql(oracles[name])
-            d_cols, d_rows = rel.columns, rel.fetchall()
-            ok_schema = sorted(s_cols) == sorted(d_cols)
-            sn, dn = norm(s_cols, s_rows), norm(d_cols, d_rows)
-            ok = ok_schema and sn == dn
-            status = "ok" if ok else "MISMATCH"
-            print(f"  {name}: {status} ({len(sn)} vs {len(dn)} rows)", flush=True)
+            ok, detail = compare_frames(sdf.columns, s_pdf, rel.columns, rel.df())
+            print(f"  {name}: {'ok' if ok else 'MISMATCH'} ({detail})", flush=True)
             if not ok:
                 bad.append(name)
-                if not ok_schema:
-                    print(f"    cols: spark={sorted(s_cols)} duck={sorted(d_cols)}")
-                else:
-                    diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
-                    print(f"    first diffs: {diffs}")
         except Exception as exc:  # keep sweeping; report at the end
             bad.append(name)
             print(f"  {name}: ERROR {exc}", flush=True)
