@@ -840,6 +840,43 @@ def test_fuzzy_pairs_k2_match_bruteforce_levenshtein(spark):
     )  # mixed indel+sub
 
 
+def test_fuzzy_variant_expressions_match_python_reference(spark):
+    """The SQL-expression deletion neighborhoods (nested substring
+    arithmetic over ORIGINAL-string indexes) must produce exactly the
+    set a plain Python implementation produces — for random strings,
+    including repeats, unicode, and short/empty-ish lengths."""
+    import random
+
+    from pulsar_sync_java_spark.operators.fuzzy import _variants, _variants_k2
+
+    rng = random.Random(42)
+    alphabet = "abcdeé#7 "
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        for _ in range(200)
+    ]
+
+    def py_d1(s):
+        return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+    def py_d2(s):
+        return py_d1(s) | {
+            s[:i] + s[i + 1 : j] + s[j + 1 :]
+            for i in range(len(s))
+            for j in range(i + 1, len(s))
+        }
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = df.select(
+        "w",
+        _variants(F.col("w")).alias("v1"),
+        _variants_k2(F.col("w")).alias("v2"),
+    ).collect()
+    for r in got:
+        assert set(r["v1"]) == py_d1(r["w"]), r["w"]
+        assert set(r["v2"]) == py_d2(r["w"]), r["w"]
+
+
 def test_fuzzy_pairs_overflow_modes(spark):
     """A variant bucket larger than max_bucket must be dropped whole in
     'drop' mode and raise at execution time in 'error' mode (the loud
