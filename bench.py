@@ -121,9 +121,11 @@ def main() -> None:
 def _compact_line(total: float, timings: dict[str, float], sf_val) -> str:
     """One JSON line guaranteed <= MAX_LINE chars (driver tail window is
     ~2000).  Degrade gracefully: 2-decimal values -> strip the shared
-    'q_' key prefix (declared via "key_prefix") -> keep only the slowest
-    entries and declare how many were dropped ("queries_truncated" +
-    the sidecar pointer make the truncation loud, never silent)."""
+    'q_' key prefix (declared via "key_prefix") -> 1-decimal values
+    (coarse-but-complete; BENCH_DETAIL.json keeps 4dp) -> keep only the
+    slowest entries and declare how many were dropped
+    ("queries_truncated" + the sidecar pointer make the truncation
+    loud, never silent)."""
     # The driver tail-captures the last 2000 chars of stdout and this is
     # the only stdout line, so anything <= ~1999 incl newline parses.
     MAX_LINE = 1980
@@ -149,6 +151,13 @@ def _compact_line(total: float, timings: dict[str, float], sf_val) -> str:
         out = line({"queries": stripped, **prefix})
         if len(out) <= MAX_LINE:
             return out
+    # next rung: 1-decimal values (coarse but complete beats precise
+    # but truncated — BENCH_DETAIL.json keeps the 4dp numbers)
+    q1 = {k: round(v, 1) for k, v in stripped.items()}
+    out = line({"queries": q1, **prefix})
+    if len(out) <= MAX_LINE:
+        return out
+    stripped = q1
     # Last resort: slowest-first subset that fits, with the drop count.
     by_cost = sorted(stripped.items(), key=lambda kv: (-kv[1], kv[0]))
     keep = dict(by_cost)

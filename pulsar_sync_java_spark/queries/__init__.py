@@ -44,6 +44,7 @@ def load_all() -> None:
     from pulsar_sync_java_spark.queries import (  # noqa: F401
         aggregates,
         behavior,
+        clustering,
         dedup_scale,
         extras,
         joins,

@@ -1,0 +1,203 @@
+"""Distributed k-means clustering over the embedding table — the
+semantic-clustering primitive a training-data pipeline uses for
+topic bucketing, diversity sampling, and cluster-level dedup (the
+SemDeDup recipe: cluster, then near-dup only within clusters).
+
+Relation to the reference: the reference engine has no ML operators —
+this is part of the beyond-reference LLM-pipeline surface (build
+brief), sitting on the same embeddings table as q_sim_topk /
+q_embedding_neardup.
+
+Determinism discipline (what makes an ITERATIVE float algorithm
+hash-gateable at all — same playbook as q_pagerank's decimal-bridged
+mass aggregation, graph.py):
+
+- init is data-deterministic: centroids = the K smallest vec_ids;
+- every squared distance is a sum of per-dim terms computed in IEEE
+  doubles (bit-identical on bit-identical inputs), each term rounded
+  to a scale-12 DECIMAL, then summed EXACTLY in decimal — decimal
+  addition is order-independent, so Spark's partial-agg order can
+  never flip an argmin, and the argmin compares exact decimals
+  (never a lossy decimal->double cast, whose ulp differences between
+  engines could flip a near-tie);
+- argmin tie-break: smallest cluster id (struct-min in Spark,
+  row_number in DuckDB — same total order);
+- centroid update: per-dim EXACT decimal sum -> correctly-rounded
+  double (DuckDB side bridges through VARCHAR because its native
+  DECIMAL->DOUBLE cast divides in floating point and can be off by an
+  ulp past 2^53 — measured in stats.py), then ONE double division by
+  the (identical) member count.
+
+Scale (100 TB posture): Lloyd's is inherently multi-pass, and each
+pass is the right distributed shape — the centroid table is K rows of
+D-dim arrays (KB-scale), BROADCAST to every task; the assignment pass
+is a map-side zip_with fold (no shuffle beyond the K-row broadcast);
+the update pass shuffles one (cluster, dim) row of partial decimal
+sums per partition (partial aggregation pushes the combine map-side).
+Nothing driver-side ever holds more than the K x D centroid table.
+At 100 TB you'd add a mini-batch or sampled-update variant; the
+full-pass shape here is the exact one Spark MLlib uses per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_sync_java_spark.queries import query
+from pulsar_sync_java_spark.sources.tables import load_table
+
+_K = 8
+_ITERS = 2
+_DEC = "decimal(30,12)"
+
+
+def _dist2_dec(xcol, ccol):
+    """Exact decimal squared distance between two double arrays.
+
+    Per-dim (x-c)^2 in doubles, each term rounded to scale-12 decimal,
+    folded with the accumulator-type re-cast (scale unchanged -> no
+    rounding; see pipeline._dec_arr_sum for why the re-cast is needed).
+    Stays DECIMAL so the argmin comparison is exact in both engines.
+    """
+    diff = F.zip_with(
+        xcol,
+        ccol,
+        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+    )
+    return F.aggregate(
+        diff,
+        F.lit(0).cast(_DEC),
+        lambda acc, t: (acc + t.cast(_DEC)).cast(_DEC),
+    )
+
+
+def _assign(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the K-row centroid table,
+    score every vector map-side, exact-decimal argmin with cluster-id
+    tie-break (struct-min = lexicographic (dist, cluster))."""
+    j = e.crossJoin(F.broadcast(cent))
+    scored = j.select(
+        "vec_id",
+        "cluster",
+        _dist2_dec(F.col("embedding"), F.col("carr")).alias("dist"),
+    )
+    best = scored.groupBy("vec_id").agg(F.min(F.struct("dist", "cluster")).alias("b"))
+    return best.select("vec_id", F.col("b.cluster").alias("cluster"))
+
+
+def _update(e: DataFrame, assign: DataFrame) -> DataFrame:
+    """Centroid recompute: per-(cluster, dim) exact decimal mean ->
+    correctly-rounded double, rebuilt into dim-ordered arrays.  One
+    shuffle keyed (cluster, dim) with map-side partial sums; the
+    result is K rows."""
+    pts = e.join(assign, "vec_id").select(
+        "cluster", F.posexplode("embedding").alias("dim", "x")
+    )
+    agg = pts.groupBy("cluster", "dim").agg(
+        (
+            F.sum(F.col("x").cast("double").cast(_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    return agg.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("carr")
+    )
+
+
+_KMEANS_SQL = f"""
+WITH pts AS (
+  SELECT vec_id, d.i AS dim, CAST(embedding[d.i] AS DOUBLE) AS x
+  FROM embeddings e,
+       (SELECT unnest(generate_series(1,
+          (SELECT MAX(len(embedding)) FROM embeddings))) AS i) d
+  WHERE d.i <= len(e.embedding)
+),
+c0 AS (
+  SELECT CAST(vec_id AS INT) AS cluster, dim, x AS c
+  FROM pts WHERE vec_id < {_K}
+),
+s0 AS (
+  SELECT p.vec_id, c.cluster,
+         SUM(CAST((p.x - c.c) * (p.x - c.c) AS DECIMAL(38,12))) AS dist
+  FROM pts p JOIN c0 c ON p.dim = c.dim
+  GROUP BY p.vec_id, c.cluster
+),
+a0 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM s0) t WHERE rn = 1
+),
+c1 AS (
+  SELECT a.cluster, p.dim,
+         CAST(CAST(SUM(CAST(p.x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM pts p JOIN a0 a ON p.vec_id = a.vec_id
+  GROUP BY a.cluster, p.dim
+),
+s1 AS (
+  SELECT p.vec_id, c.cluster,
+         SUM(CAST((p.x - c.c) * (p.x - c.c) AS DECIMAL(38,12))) AS dist
+  FROM pts p JOIN c1 c ON p.dim = c.dim
+  GROUP BY p.vec_id, c.cluster
+),
+a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM s1) t WHERE rn = 1
+),
+c2 AS (
+  SELECT a.cluster, p.dim,
+         CAST(CAST(SUM(CAST(p.x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM pts p JOIN a1 a ON p.vec_id = a.vec_id
+  GROUP BY a.cluster, p.dim
+),
+s2 AS (
+  SELECT p.vec_id, c.cluster,
+         SUM(CAST((p.x - c.c) * (p.x - c.c) AS DECIMAL(38,12))) AS dist
+  FROM pts p JOIN c2 c ON p.dim = c.dim
+  GROUP BY p.vec_id, c.cluster
+),
+a2 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM s2) t WHERE rn = 1
+)
+SELECT a2.vec_id, a2.cluster, CAST(n.cluster_size AS BIGINT) AS cluster_size
+FROM a2 JOIN (SELECT cluster, COUNT(*) AS cluster_size
+              FROM a2 GROUP BY cluster) n ON a2.cluster = n.cluster
+"""
+
+
+@query("q_kmeans_assign", oracle=_KMEANS_SQL)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (K=8, 2 Lloyd iterations, init = K smallest vec_ids):
+    every vector's final cluster assignment plus its cluster's size.
+
+    The oracle is the SAME algorithm unrolled as chained CTEs —
+    exactly how q_pagerank is gated (extras.py) — so the hash check
+    covers every iteration's argmin and centroid arithmetic, not just
+    the last step.  See module docstring for why each step is
+    bit-reproducible across engines and partition orders."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = e.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("carr"),
+    )
+    for _ in range(_ITERS):
+        assign = _assign(e, cent)
+        cent = _update(e, assign)
+    final = _assign(e, cent)
+    sizes = final.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return final.join(F.broadcast(sizes), "cluster").select(
+        "vec_id", "cluster", "cluster_size"
+    )

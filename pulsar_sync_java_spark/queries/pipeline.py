@@ -334,3 +334,116 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lg in sorted(_LANG_MARKERS):
         pred = pred.when(F.col(f"s_{lg}") == best, F.lit(lg))
     return scored.select("doc_id", "true_lang", pred.alias("predicted_lang"))
+
+
+# --------------------------------------------- unigram-frequency score
+
+_RARE_MAX = 2  # corpus count <= this marks a token "rare"
+
+_UNIGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents
+), vocab AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY token
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_toks,
+       CAST(COUNT(*) FILTER (WHERE v.cnt <= {_RARE_MAX}) AS DOUBLE)
+         / COUNT(*) AS rare_ratio,
+       CAST(CAST(SUM(v.cnt) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_tf
+FROM toks t JOIN vocab v ON t.token = v.token
+GROUP BY t.doc_id
+"""
+
+
+@query("q_unigram_score", oracle=_UNIGRAM_SQL)
+def q_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality scoring — the unigram-LM stand-in: each
+    document scored by its mean token corpus-frequency and its
+    rare-token ratio (tokens seen <= 2 times corpus-wide).  Low mean
+    frequency + high rare ratio flags gibberish/OCR noise; the classic
+    perplexity filter's shape with the log replaced by rational
+    integer arithmetic (Σcnt and counts are exact integers, ONE IEEE
+    division at the end) so both engines emit identical bits — same
+    discipline as q_tfidf_topterms.
+
+    Scale: one tokenize+explode scan -> (token) count aggregate (the
+    vocabulary); token-keyed equi-join back onto the token stream
+    (stopword keys are hot — the join is a plain shuffle join AQE can
+    skew-split; vocab ≪ token stream); then a (doc_id) aggregate.
+    Partial aggregation combines map-side at every step; nothing is
+    ever per-pair."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_spark_tokens()).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    j = toks.join(vocab, "token")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        (
+            F.count_if(F.col("cnt") <= _RARE_MAX).cast("double")
+            / F.count(F.lit(1))
+        ).alias("rare_ratio"),
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("mean_tf"),
+    )
+
+
+# --------------------------------------------------- quality funnel
+
+_FUNNEL_GATES_SQL = f"""
+WITH t AS (
+  SELECT source,
+         (text IS NOT NULL AND text <> '') AS g1,
+         n_chars >= 200 AS g2,
+         lang IS NOT NULL AS g3,
+         len({_DUCK_TOKENS}) >= 30 AS g4
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(*) FILTER (WHERE g1) AS BIGINT) AS pass_nonempty,
+       CAST(COUNT(*) FILTER (WHERE g1 AND g2) AS BIGINT) AS pass_minlen,
+       CAST(COUNT(*) FILTER (WHERE g1 AND g2 AND g3) AS BIGINT) AS pass_lang,
+       CAST(COUNT(*) FILTER (WHERE g1 AND g2 AND g3 AND g4) AS BIGINT)
+         AS pass_mintok,
+       CAST(COUNT(*) FILTER (WHERE g1 AND g2 AND g3 AND g4) AS DOUBLE)
+         / COUNT(*) AS retention
+FROM t GROUP BY source
+"""
+
+
+@query("q_quality_funnel", oracle=_FUNNEL_GATES_SQL)
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-gate funnel: how many documents survive each
+    successive filter stage (non-empty -> min length -> known lang ->
+    min tokens) and the final retention rate — the observability
+    report every corpus-cleaning run ships with its output (which gate
+    ate the data, per source).
+
+    Pure single-scan conditional aggregation: the cumulative-AND gate
+    flags are computed per row and every stage count is a map-side
+    partial COUNT FILTER; one (source)-keyed shuffle of count rows.
+    Retention is an integer ratio -> one IEEE division, hash-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    g1 = F.col("text").isNotNull() & (F.col("text") != "")
+    g2 = F.col("n_chars") >= 200
+    g3 = F.col("lang").isNotNull()
+    g4 = F.size(_spark_tokens()) >= 30
+    t = d.select(
+        "source",
+        g1.alias("g1"),
+        g2.alias("g2"),
+        g3.alias("g3"),
+        g4.alias("g4"),
+    )
+    c = lambda cond, name: F.count_if(cond).alias(name)  # noqa: E731
+    s12 = F.col("g1") & F.col("g2")
+    s123 = s12 & F.col("g3")
+    s1234 = s123 & F.col("g4")
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        c(F.col("g1"), "pass_nonempty"),
+        c(s12, "pass_minlen"),
+        c(s123, "pass_lang"),
+        c(s1234, "pass_mintok"),
+        (F.count_if(s1234).cast("double") / F.count(F.lit(1))).alias("retention"),
+    )

@@ -252,3 +252,65 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_key"),
         F.max("k").alias("max_key"),
     )
+
+
+# ------------------------------------------------------ SCD2 history
+
+_SCD2_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type,
+       strftime(ts, '{TS_FMT_DUCK}') AS valid_from,
+       strftime(lead(ts) OVER w, '{TS_FMT_DUCK}') AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current,
+       CAST(row_number() OVER w AS INT) AS version
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("q_scd2_history", oracle=_SCD2_SQL)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) materialization of each
+    user's event_type over time: collapse the event stream to its
+    change points and emit [valid_from, valid_to) validity intervals
+    with an is_current flag and per-user version number.
+
+    This is the MERGE-history view a CDC consumer of the reference's
+    replication stream would maintain (the reference itself only
+    converges latest-state — PulsarTenantSyncManager.java:75-84 is
+    additive-only; SCD2 is what a lakehouse sink does with the same
+    feed).  Classic gaps-and-islands: one lag to find change points,
+    then lead/row_number over the (much smaller) change set.  Both
+    windows share the (user_id)-hash partitioning, so the whole query
+    is ONE shuffle of the events scan plus a window over the shrunken
+    change rows; ordering is total via the (ts, event_id) tie-break,
+    and timestamps are string-formatted on both engines so zone/type
+    representation can't touch the hash."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .drop("prev_type")
+    )
+    return changes.select(
+        "user_id",
+        "event_type",
+        fmt_ts(F.col("ts")).alias("valid_from"),
+        fmt_ts(F.lead("ts").over(w)).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+        F.row_number().over(w).cast("int").alias("version"),
+    )

@@ -611,3 +611,80 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept_whole.unionByName(kept_ranked).select(
         "doc_id", "source", "n_source_docs", "cap"
     )
+
+
+# ------------------------------------------------ shard bin-packing
+
+_SHARD_TARGET = 20_000  # chars per output shard
+_SHARD_RANGE = 64  # doc_ids per prefix-sum leaf bucket
+
+_SHARD_PACK_SQL = f"""
+WITH c AS (
+  SELECT doc_id, n_chars,
+         SUM(n_chars) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars AS start
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars, CAST(start // {_SHARD_TARGET} AS BIGINT) AS shard_id
+  FROM c
+)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM s GROUP BY shard_id
+"""
+
+
+@query("q_shard_pack", oracle=_SHARD_PACK_SQL)
+def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents (in stable doc_id order) into training shards of
+    ~TARGET chars by exclusive running total: shard = floor(prefix /
+    TARGET) — the writer-side shard planner that turns a cleaned
+    corpus into evenly-sized output files, summarized per shard.
+
+    The interesting part is HOW the running total is computed: a
+    global `SUM() OVER (ORDER BY ...)` is a SINGLE-TASK window — the
+    one operator shape that cannot scale — so the engine uses the
+    classic two-level distributed prefix sum instead: (1) bucket ids
+    into contiguous ranges (doc_id div RANGE — parallel, no shuffle),
+    (2) per-bucket totals, cumulated over the TINY bucket table in one
+    small window (B rows = n/RANGE, the only serial step, and it runs
+    over aggregated rows, not data rows), (3) broadcast the bucket
+    offsets back and finish with a PER-BUCKET (partitioned, parallel)
+    window.  The oracle is the naive single-window form — same
+    semantics, so the hash gate proves the distributed rewrite exact.
+    At 100 TB you'd add a third level (buckets-of-buckets) once B
+    itself outgrows one task; depth grows with log_RANGE(n).
+
+    Integer discipline: prefixes and shard ids are exact BIGINT
+    arithmetic (`div`, never float floor)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    b = d.withColumn("bucket", F.expr(f"doc_id div {_SHARD_RANGE}"))
+    # per-bucket totals -> exclusive offsets via one window over B rows
+    totals = b.groupBy("bucket").agg(F.sum("n_chars").alias("bucket_chars"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    offsets = totals.select(
+        "bucket",
+        (F.sum("bucket_chars").over(wb) - F.col("bucket_chars")).alias("offset"),
+    )
+    # per-bucket (parallel) exclusive cumsum + broadcast offset
+    ww = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = (
+        b.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "start",
+            F.col("offset") + F.sum("n_chars").over(ww) - F.col("n_chars"),
+        )
+        .withColumn("shard_id", F.expr(f"start div {_SHARD_TARGET}").cast("bigint"))
+    )
+    return s.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -53,7 +53,7 @@ def test_compact_line_mixed_prefix_fleet_never_collides():
 
 
 def test_compact_line_current_suite_not_truncated():
-    """At today's 93 declared queries nothing may be truncated."""
+    """At today's declared-query count nothing may be truncated."""
     from pulsar_sync_java_spark.queries import all_queries
 
     t = {n: 1.2345 for n in all_queries()}

@@ -389,3 +389,56 @@ def test_snapshot_diff_is_one_full_outer_join(spark, queries):
     assert plan.count("FullOuter") >= 1
     assert len(re.findall(r"\(\d+\) \w*Join\b", plan)) == 1, plan
     assert "PushedFilters: [IsNotNull(o_orderkey)" in plan or "PushedFilters:" in plan
+
+
+def test_kmeans_broadcasts_centroids_every_pass(spark, queries):
+    """q_kmeans_assign: every assignment pass joins against the K-row
+    centroid table via BROADCAST (BroadcastNestedLoopJoin for the
+    K-row cross join / BroadcastHashJoin for the size join) — a
+    SortMergeJoin anywhere would mean a Lloyd pass started shuffling
+    the full embedding table against K rows."""
+    plan = plan_of(queries["q_kmeans_assign"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_scd2_single_event_shuffle(spark, queries):
+    """q_scd2_history: both windows share the (user_id) partitioning —
+    exactly ONE exchange of raw event rows (plus AQE reads); a second
+    hashpartitioning exchange would mean the change-point filter and
+    the validity windows stopped sharing their shuffle."""
+    plan = plan_of(queries["q_scd2_history"](spark, SF_DIR))
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
+
+
+def test_shard_pack_serial_window_only_over_bucket_totals(spark, queries):
+    """q_shard_pack: the only UNPARTITIONED (single-task) window must
+    run over the aggregated bucket-totals table, never the data rows —
+    i.e. the global-order window consumes a HashAggregate, and the
+    data-row cumsum window is partitioned by bucket.  Also the bucket
+    offsets join back via broadcast."""
+    plan = plan_of(queries["q_shard_pack"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # two Window nodes: one partitioned by bucket (data rows), one over
+    # the tiny totals; the totals window's child chain must contain the
+    # partial/final aggregate, proving it runs post-aggregation
+    assert "partial_sum" in plan or "partial_" in plan
+    # the serial exchange must carry only the (bucket, bucket_chars)
+    # aggregate rows — its node block must never mention doc_id
+    blocks = re.split(r"\(\d+\) ", plan)
+    serial = [b for b in blocks if b.startswith("Exchange") and "SinglePartition" in b]
+    assert serial, plan
+    for b in serial:
+        assert "bucket_chars" in b and "doc_id" not in b, b
+
+
+def test_unigram_score_two_aggregates_one_token_join(spark, queries):
+    """q_unigram_score: one tokenize scan feeding a (token) vocabulary
+    aggregate and a token-keyed equi-join — never a nested loop — then
+    the (doc_id) final aggregate with map-side partials."""
+    plan = plan_of(queries["q_unigram_score"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan

@@ -121,6 +121,11 @@ EXPECT = {
     "q_fuzzy_join": "deletion-variant Generate (variants xxhash64'd inside the fan-out, so the bucket shuffle carries (long, id) not strings) -> ONE bucket aggregate -> pair explosion; exact levenshtein verify is a post-join Filter; never NestedLoop; bucket overflow raises (on_overflow='error') instead of silently dropping, since the quadratic oracle cannot mirror a drop",
     "q_snapshot_diff": "CDC classification: one FullOuter sort-merge join on the key + a tiny per-class aggregate; both snapshot filters pushed to the scan",
     "q_trend_ols": "ONE partial+final moments aggregate (sums-row per type through the shuffle); OLS slope/intercept are per-group constant expressions",
+    "q_kmeans_assign": "every Lloyd pass joins the K-row centroid table via BROADCAST (BNLJ for the cross join, BHJ for sizes) — no SortMergeJoin anywhere; update pass is a partial+final (cluster,dim) decimal aggregate",
+    "q_scd2_history": "gaps-and-islands SCD2: both windows share ONE (user_id) hashpartitioning exchange; change-point filter between them",
+    "q_unigram_score": "tokenize scan -> (token) vocabulary aggregate -> token equi-join (never nested loop) -> (doc) final aggregate, partials map-side throughout",
+    "q_quality_funnel": "single scan, cumulative-AND COUNT FILTER partials, one (source) exchange of count rows",
+    "q_shard_pack": "two-level distributed prefix sum: the only SinglePartition exchange carries (bucket, bucket_chars) aggregate rows — never doc rows; offsets broadcast back; per-bucket window partitioned",
 }
 
 _SECTION = """\
