@@ -478,3 +478,89 @@ def stateful_transitions(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------------------- SCD2
+
+SCD2_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("valid_from_us", LongType()),
+        StructField("valid_to_us", LongType()),
+        StructField("version", IntegerType()),
+    ]
+)
+
+SCD2_STATE_SCHEMA = StructType(
+    [
+        StructField("open_from_us", LongType()),
+        StructField("open_type", StringType()),
+        StructField("version", IntegerType()),
+    ]
+)
+
+
+def _scd2():
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        if state.exists:
+            open_from, open_type, version = state.get
+        else:
+            open_from, open_type, version = None, None, 0
+        out: list[tuple] = []
+        # one sort over the whole micro-batch — same chunk-spanning
+        # argument as _funnel/_transitions
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = pd.concat(chunks, ignore_index=True) if chunks else None
+        if batch is not None:
+            batch = batch.sort_values(["event_time", "entry_id"])
+            ts_us = batch["event_time"].astype("int64") // 1000
+            for ts, etype in zip(ts_us, batch["topic"]):
+                ts, etype = int(ts), str(etype)
+                if open_type is None:
+                    open_from, open_type, version = ts, etype, 1
+                elif etype != open_type:
+                    out.append((int(user), open_type, open_from, ts, version))
+                    open_from, open_type, version = ts, etype, version + 1
+            state.update((open_from, open_type, version))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in SCD2_OUTPUT_SCHEMA]
+            )
+
+    return fn
+
+
+def stateful_scd2(stream: DataFrame) -> DataFrame:
+    """Streaming twin of q_scd2_history (queries/reference.py): per-key
+    SCD type-2 maintenance over the replication feed.  Keyed state
+    holds only the OPEN validity interval (from, type, version); a
+    type change CLOSES the open interval — emitted exactly once, in
+    append mode — and opens the next.  The closed-interval multiset
+    equals the batch gaps-and-islands query's non-current rows,
+    including intervals whose open and close events arrive in
+    different micro-batches (the carried open-interval state stitches
+    them; asserted across a checkpointed restart in
+    tests/test_streaming.py).
+
+    State per key is ONE row regardless of traffic — bounded by key
+    cardinality, the same budget as the reference's per-partition
+    cursor maps (PulsarPartitionSyncWorker.java cursor state).  The
+    current (open) rows live in the state store, exactly where a
+    lakehouse MERGE keeps its unclosed versions."""
+    return (
+        stream.selectExpr(
+            "ledger_id AS user_id", "topic", "event_time", "entry_id"
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _scd2(),
+            outputStructType=SCD2_OUTPUT_SCHEMA,
+            stateStructType=SCD2_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1034,3 +1034,74 @@ def test_stateful_grouped_udaf_state_survives_restart(spark, tmp_path):
         med = float(np.median(arr))
         expected[r.l_returnflag] = (len(arr), float(np.median(np.abs(arr - med))))
     assert final == expected
+
+
+def test_stateful_scd2_matches_batch_islands(spark, tmp_path):
+    """Streaming SCD2 twin: closed validity intervals emitted across a
+    TWO-RUN checkpointed restart must equal the batch gaps-and-islands
+    formulation's non-current rows — intervals spanning the restart
+    are stitched by the carried open-interval state."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from pulsar_sync_java_spark.streaming.stateful import stateful_scd2
+
+    msgs = build_messages(spark)
+    cut = msgs.agg(
+        F.expr("percentile(unix_micros(event_time), 0.5)")
+    ).collect()[0][0]
+    src = str(tmp_path / "src")
+    halves = [
+        msgs.where(F.unix_micros("event_time") <= cut),
+        msgs.where(F.unix_micros("event_time") > cut),
+    ]
+    for i, half in enumerate(halves):
+        staged = str(tmp_path / f"stage{i}")
+        half.coalesce(1).write.parquet(staged)
+        os.makedirs(src, exist_ok=True)
+        for f in glob.glob(staged + "/part-*.parquet"):
+            shutil.copy(f, os.path.join(src, f"batch{i}.parquet"))
+        q = (
+            stateful_scd2(read_message_stream(spark, src))
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "ivals"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    got = sorted(
+        (r["user_id"], r["event_type"], r["valid_from_us"],
+         r["valid_to_us"], r["version"])
+        for r in spark.read.parquet(str(tmp_path / "ivals")).collect()
+    )
+    # batch twin: change points -> closed intervals (non-current rows)
+    w = Window.partitionBy("ledger_id").orderBy("event_time", "entry_id")
+    ch = (
+        msgs.select(
+            F.col("ledger_id").alias("u"),
+            F.col("topic").alias("t"),
+            F.unix_micros("event_time").alias("ts"),
+            "event_time",
+            "entry_id",
+            F.lag("topic").over(w).alias("prev"),
+        )
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("t")))
+    )
+    w2 = Window.partitionBy("u").orderBy("event_time", "entry_id")
+    want = sorted(
+        (r["u"], r["t"], r["ts"], r["to_ts"], r["version"])
+        for r in ch.select(
+            "u", "t", "ts",
+            F.lead("ts").over(w2).alias("to_ts"),
+            F.row_number().over(w2).cast("int").alias("version"),
+        )
+        .where(F.col("to_ts").isNotNull())
+        .collect()
+    )
+    assert got == want and len(got) > 200
