@@ -340,3 +340,118 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt_ts(F.col("p_ts")).alias("p_ts"),
         "p_value",
     )
+
+
+_ASOF_NEAREST_SQL = f"""
+WITH v AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT event_id AS p_event_id, user_id, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = 'purchase'
+), b AS (
+  SELECT event_id, p_event_id, p_ts, p_value FROM (
+    SELECT v.event_id, p.p_event_id, p.p_ts, p.p_value,
+           ROW_NUMBER() OVER (PARTITION BY v.event_id
+                              ORDER BY p.p_ts DESC, p.p_event_id ASC) AS rn
+    FROM v JOIN p ON p.user_id = v.user_id AND p.p_ts <= v.ts) t
+  WHERE rn = 1
+), f AS (
+  SELECT event_id, p_event_id, p_ts, p_value FROM (
+    SELECT v.event_id, p.p_event_id, p.p_ts, p.p_value,
+           ROW_NUMBER() OVER (PARTITION BY v.event_id
+                              ORDER BY p.p_ts ASC, p.p_event_id DESC) AS rn
+    FROM v JOIN p ON p.user_id = v.user_id AND p.p_ts >= v.ts) t
+  WHERE rn = 1
+), chosen AS (
+  SELECT v.event_id, v.user_id, v.ts,
+         CASE WHEN b.p_ts IS NOT NULL AND (f.p_ts IS NULL OR
+                epoch_us(v.ts) - epoch_us(b.p_ts)
+                  <= epoch_us(f.p_ts) - epoch_us(v.ts))
+              THEN 'backward'
+              WHEN f.p_ts IS NOT NULL THEN 'forward' END AS side,
+         b.p_event_id AS b_event_id, b.p_ts AS b_ts, b.p_value AS b_value,
+         f.p_event_id AS f_event_id, f.p_ts AS f_ts, f.p_value AS f_value
+  FROM v LEFT JOIN b ON v.event_id = b.event_id
+         LEFT JOIN f ON v.event_id = f.event_id
+)
+SELECT event_id, user_id,
+       strftime(ts, '{TS_FMT_DUCK}') AS ts,
+       side,
+       CASE side WHEN 'backward' THEN b_event_id
+                 WHEN 'forward' THEN f_event_id END AS p_event_id,
+       strftime(CASE side WHEN 'backward' THEN b_ts
+                          WHEN 'forward' THEN f_ts END,
+                '{TS_FMT_DUCK}') AS p_ts,
+       CASE side WHEN 'backward' THEN b_value
+                 WHEN 'forward' THEN f_value END AS p_value
+FROM chosen
+"""
+
+
+@query("q_asof_nearest", oracle=_ASOF_NEAREST_SQL)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — each view event resolves to the same
+    user's closest purchase in either time direction (ties prefer the
+    backward/earlier match, pandas merge_asof 'nearest' parity) —
+    completing the direction family over the reference's floor lookup
+    (R21): backward = conservative replay position, forward = next
+    sample, nearest = best positional estimate.
+
+    Composition, not a new operator: one backward + one forward
+    union-window as-of join over the SAME (user_id) key — two
+    single-shuffle passes, no range-join explosion — then a per-row
+    constant-time chooser on exact integer microsecond deltas.  The
+    oracle composes the same two window formulations, so the tie
+    conventions (backward: later purchase wins, smaller id on equal
+    ts; forward: earlier purchase wins, larger id on equal ts;
+    equal-delta: backward) are pinned on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+
+    def purchases(pre: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id"),
+            F.col("ts"),
+            F.col("event_id").alias(f"{pre}_event_id"),
+            F.col("ts").alias(f"{pre}_ts"),
+            F.col("value").alias(f"{pre}_value"),
+        )
+
+    # backward tie convention here: ascending tiebreak, LAST wins ->
+    # to match the oracle's "smaller id on equal ts" we order by the
+    # NEGATED id (operator keeps the last of the ascending order)
+    pb = purchases("b").withColumn("__neg_id", -F.col("b_event_id"))
+    j1 = asof_join(
+        v, pb, on="ts", by="user_id", right_tiebreak=["__neg_id"]
+    ).drop("__neg_id")
+    j2 = asof_join(
+        j1,
+        purchases("f"),
+        on="ts",
+        by="user_id",
+        right_tiebreak=["f_event_id"],
+        direction="forward",
+    )
+    db = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("b_ts"))
+    df_ = F.unix_micros(F.col("f_ts")) - F.unix_micros(F.col("ts"))
+    use_b = F.col("b_ts").isNotNull() & (F.col("f_ts").isNull() | (db <= df_))
+    side = (
+        F.when(use_b, "backward")
+        .when(F.col("f_ts").isNotNull(), "forward")
+        .cast("string")
+    )
+    pick = lambda col: (  # noqa: E731
+        F.when(side == "backward", F.col(f"b_{col}"))
+        .when(side == "forward", F.col(f"f_{col}"))
+    )
+    return j2.select(
+        "event_id",
+        "user_id",
+        fmt_ts(F.col("ts")).alias("ts"),
+        side.alias("side"),
+        pick("event_id").alias("p_event_id"),
+        fmt_ts(pick("ts")).alias("p_ts"),
+        pick("value").alias("p_value"),
+    )

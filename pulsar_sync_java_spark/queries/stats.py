@@ -26,7 +26,7 @@ the tiny per-group moment table back onto the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pulsar_sync_java_spark.queries import query
@@ -374,4 +374,98 @@ def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (slope * 86400.0).alias("slope_per_day"),
         ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )
+
+
+# ------------------------------------------------------- gap fill
+
+_GAP_FILL_SQL = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS value_avg
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+), spine AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series((SELECT h0 FROM bounds),
+                                      (SELECT h1 FROM bounds),
+                                      INTERVAL 1 HOUR)) AS h) g
+), joined AS (
+  SELECT s.event_type, s.h,
+         COALESCE(a.n_events, 0) AS n_events,
+         a.value_avg
+  FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.h = a.h
+)
+SELECT event_type,
+       strftime(h, '%Y-%m-%d %H:%M:%S.%g') AS bucket,
+       CAST(n_events AS BIGINT) AS n_events,
+       (n_events = 0) AS filled,
+       COALESCE(last_value(value_avg IGNORE NULLS)
+                  OVER (PARTITION BY event_type ORDER BY h
+                        ROWS UNBOUNDED PRECEDING), 0.0) AS value_locf
+FROM joined
+"""
+
+
+@query("q_gap_fill", oracle=_GAP_FILL_SQL)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly time series per event_type with gap filling: every
+    (type, hour) bucket in the observed range exists in the output —
+    empty buckets carry n_events=0, filled=true, and the last observed
+    hourly mean (LOCF interpolation) — the hypertable-style rollup +
+    gap-fill every observability/timeseries store offers.
+
+    Shape: one (type, hour) partial+final aggregate over the scan; the
+    bucket spine is GENERATED (types x sequence(min_h, max_h)) from a
+    broadcast 1-row bounds aggregate — never materialized wider than
+    types x hours; one equi-join puts observations on the spine, and
+    the LOCF pass is a per-type ordered window.  Hourly means are
+    exact decimal sums -> correctly-rounded double (VARCHAR-bridged in
+    DuckDB, module docstring) -> ONE IEEE division, so the carried
+    LOCF doubles are bit-identical.  At 100 TB the series key is
+    high-cardinality (type x host x metric), so the window partitions
+    are plentiful; per-series history bounds the sort, not traffic."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.col("value").cast(_D6)
+    agg = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(x).cast("double") / F.count(F.lit(1))).alias("value_avg"),
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    types = e.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    joined = spine.join(agg, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "value_avg",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    from pulsar_sync_java_spark.queries.reference import fmt_ts
+
+    return joined.select(
+        "event_type",
+        fmt_ts(F.col("h")).alias("bucket"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        (F.col("n_events") == 0).alias("filled"),
+        F.coalesce(
+            F.last("value_avg", ignorenulls=True).over(w), F.lit(0.0)
+        ).alias("value_locf"),
     )

@@ -442,3 +442,14 @@ def test_unigram_score_two_aggregates_one_token_join(spark, queries):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_" in plan
+
+
+def test_gap_fill_spine_is_generated_not_scanned(spark, queries):
+    """q_gap_fill: the bucket spine comes from a Generate over a
+    broadcast 1-row bounds aggregate — the events table is scanned for
+    aggregates only, and observations land on the spine via ONE left
+    join (never a nested loop)."""
+    plan = plan_of(queries["q_gap_fill"](spark, SF_DIR))
+    assert "Generate" in plan and "sequence" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan

@@ -125,6 +125,8 @@ EXPECT = {
     "q_scd2_history": "gaps-and-islands SCD2: both windows share ONE (user_id) hashpartitioning exchange; change-point filter between them",
     "q_unigram_score": "tokenize scan -> (token) vocabulary aggregate -> token equi-join (never nested loop) -> (doc) final aggregate, partials map-side throughout",
     "q_quality_funnel": "single scan, cumulative-AND COUNT FILTER partials, one (source) exchange of count rows",
+    "q_asof_nearest": "two union-window as-of passes (backward+forward) on the same (user_id) key — no range join; chooser is pure projection",
+    "q_gap_fill": "generated (type x hour) spine from broadcast bounds -> ONE left equi-join -> per-series LOCF window; the hourly aggregate is partial+final",
     "q_shard_pack": "two-level distributed prefix sum: the only SinglePartition exchange carries (bucket, bucket_chars) aggregate rows — never doc rows; offsets broadcast back; per-bucket window partitioned",
 }
 
