@@ -647,3 +647,50 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs(c, "c_custkey", "c_name", on_overflow="error").select(
         "id_a", "id_b", F.col("distance").cast("int").alias("distance")
     )
+
+
+# ---------------------------------------------------- weighted sample
+
+_WS_K = 100
+# portable multiplicative hash -> [0, 2^32) priority numerator; dividing
+# by the integer weight size-biases selection (larger docs -> smaller
+# priority -> more likely kept): the deterministic, re-runnable stand-in
+# for weighted reservoir sampling (A-ES keeps the k smallest u^(1/w)
+# priorities; this keeps the k smallest h(id)/w — same monotone
+# size-bias, no RNG state, identical rows on every run and engine)
+_WS_HASH = "(doc_id * 2654435761) % 4294967296"
+
+_WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, n_chars,
+       CAST({_WS_HASH} AS DOUBLE) / n_chars AS priority
+FROM documents
+WHERE n_chars > 0
+ORDER BY priority ASC, doc_id ASC
+LIMIT {_WS_K}
+"""
+
+
+@query("q_sample_weighted", oracle=_WEIGHTED_SAMPLE_SQL)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted (size-biased) sampling: keep the K=100
+    documents with the smallest hash-priority h(doc_id)/n_chars — the
+    reproducible weighted-reservoir step of a corpus pipeline (sample
+    proportional to length/quality weight), next to q_sample_stratified's
+    per-stratum rates.
+
+    Priority is one exact integer hash -> ONE IEEE division by the
+    integer weight (bit-identical both engines); global top-K compiles
+    to TakeOrderedAndProject — per-partition heaps + a P*K driver
+    merge, never a global sort.  At 100 TB this is the ONLY scalable
+    shape for a global weighted sample: no shuffle at all, K rows per
+    partition cross the wire."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    priority = (
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).cast("double")
+        / F.col("n_chars")
+    )
+    return (
+        d.select("doc_id", "n_chars", priority.alias("priority"))
+        .orderBy(F.col("priority").asc(), F.col("doc_id").asc())
+        .limit(_WS_K)
+    )

@@ -896,3 +896,35 @@ def test_fuzzy_pairs_overflow_modes(spark):
         fuzzy_pairs(df, "id", "name", max_bucket=10, on_overflow="error").count()
         == 6
     )
+
+
+def test_kmeans_assignment_invariant_under_repartition(spark):
+    """The determinism claim behind q_kmeans_assign's oracle gate
+    (queries/clustering.py): because every distance is an exact
+    decimal sum and the argmin never crosses a lossy cast, the final
+    assignment must be IDENTICAL at any parallelism — repartitioning
+    the embedding table (different partial-agg order) cannot flip a
+    single cluster."""
+    from pulsar_sync_java_spark.queries.clustering import (
+        _K,
+        _ITERS,
+        _assign,
+        _update,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+
+    def run(df):
+        cent = df.filter(F.col("vec_id") < _K).select(
+            F.col("vec_id").cast("int").alias("cluster"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("carr"),
+        )
+        for _ in range(_ITERS):
+            cent = _update(df, _assign(df, cent))
+        return sorted(
+            (r.vec_id, r.cluster) for r in _assign(df, cent).collect()
+        )
+
+    base = run(e)
+    shuffled = run(e.repartition(13))
+    assert base == shuffled and len(base) > 0
