@@ -447,3 +447,98 @@ def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         c(s1234, "pass_mintok"),
         (F.count_if(s1234).cast("double") / F.count(F.lit(1))).alias("retention"),
     )
+
+
+# --------------------------------------------------- collocation mining
+
+_COLLOC_MIN = 5  # minimum bigram count
+_COLLOC_K = 20
+
+_COLLOC_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+), uni AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS token FROM toks) GROUP BY token
+), total AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni
+), bi AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM (
+    SELECT unnest(list_transform(
+             list_zip(t[1:len(t)-1], t[2:len(t)]),
+             s -> s[1] || ' ' || s[2])) AS bigram
+    FROM toks WHERE len(t) >= 2)
+  GROUP BY bigram HAVING COUNT(*) >= {_COLLOC_MIN}
+), scored AS (
+  SELECT b.bigram, b.c_ab, ua.c AS c_a, ub.c AS c_b,
+         CAST(b.c_ab * t.n AS DOUBLE) / (ua.c * ub.c) AS lift
+  FROM bi b
+  JOIN uni ua ON ua.token = string_split(b.bigram, ' ')[1]
+  JOIN uni ub ON ub.token = string_split(b.bigram, ' ')[2]
+  CROSS JOIN total t
+)
+SELECT bigram, c_ab, c_a, c_b, lift FROM scored
+ORDER BY lift DESC, bigram ASC
+LIMIT {_COLLOC_K}
+"""
+
+
+@query("q_collocations", oracle=_COLLOC_SQL)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the corpus's top-20 token bigrams
+    by PMI-style lift P(ab)/(P(a)P(b)) — the phrase/vocab-discovery
+    pass a tokenizer-training pipeline runs (PMI with the log dropped:
+    log is monotone, so ranking by the rational lift c_ab*N/(c_a*c_b)
+    is ranking by PMI — and integer-product/one-division arithmetic is
+    bit-identical across engines, same discipline as q_tfidf_topterms).
+
+    Shape: ONE tokenize scan feeds both the unigram aggregate and the
+    adjacent-pair (zip_with of the shifted array — no positional
+    self-join) bigram aggregate; the min-support filter
+    shrinks bigrams BEFORE the two unigram join-backs (AQE broadcasts
+    the tiny survivors); global top-K is TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _spark_tokens().alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    bigrams = F.zip_with(
+        F.expr("slice(t, 1, size(t) - 1)"),
+        F.expr("slice(t, 2, size(t) - 1)"),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _COLLOC_MIN)
+    )
+    parts = F.split(F.col("bigram"), " ")
+    bi = bi.withColumn("tok_a", parts.getItem(0)).withColumn(
+        "tok_b", parts.getItem(1)
+    )
+    ua = uni.select(F.col("token").alias("tok_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("token").alias("tok_b"), F.col("c").alias("c_b"))
+    scored = (
+        bi.join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bigram",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (
+                (F.col("c_ab") * F.col("n")).cast("double")
+                / (F.col("c_a") * F.col("c_b"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), F.col("bigram").asc()).limit(
+        _COLLOC_K
+    )

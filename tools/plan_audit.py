@@ -126,6 +126,8 @@ EXPECT = {
     "q_unigram_score": "tokenize scan -> (token) vocabulary aggregate -> token equi-join (never nested loop) -> (doc) final aggregate, partials map-side throughout",
     "q_quality_funnel": "single scan, cumulative-AND COUNT FILTER partials, one (source) exchange of count rows",
     "q_asof_nearest": "two union-window as-of passes (backward+forward) on the same (user_id) key — no range join; chooser is pure projection",
+    "q_fk_integrity": "four LEFT existence joins + conditional-count aggregates, unioned; no COUNT(DISTINCT), dims ship keys only",
+    "q_collocations": "one tokenize scan -> unigram agg + zip_with bigram agg; support filter precedes the unigram join-backs; TakeOrderedAndProject",
     "q_sample_weighted": "per-row rational priority, global top-K via TakeOrderedAndProject — zero exchanges, no global sort",
     "q_gap_fill": "generated (type x hour) spine from broadcast bounds -> ONE left equi-join -> per-series LOCF window; the hourly aggregate is partial+final",
     "q_shard_pack": "two-level distributed prefix sum: the only SinglePartition exchange carries (bucket, bucket_chars) aggregate rows — never doc rows; offsets broadcast back; per-bucket window partitioned",
