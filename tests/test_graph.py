@@ -224,3 +224,45 @@ def test_pagerank_release_cache_frees_persisted_tables(spark):
     # a broken release would also leave the nodes + out-degree caches
     # (two more entries, both materialized by the collect)
     assert n_cached() <= before + 1, (before, n_cached())
+
+
+def test_shard_pack_prefix_sum_matches_naive_cumsum(spark):
+    """Property test for the two-level distributed prefix sum behind
+    q_shard_pack (queries/training.py): on random integer sizes the
+    bucketed offset+within-bucket formulation must equal the naive
+    global running total exactly, for bucket widths that divide, skip,
+    and exceed the id range."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(min_value=0, max_value=5000),
+                       min_size=1, max_size=60),
+        width=st.sampled_from([1, 3, 16, 64, 1000]),
+    )
+    def check(sizes, width):
+        # pure-python replica of the training.q_shard_pack arithmetic
+        ids = list(range(len(sizes)))
+        naive, acc = [], 0
+        for s in sizes:
+            naive.append(acc)  # exclusive prefix
+            acc += s
+        # two-level: bucket = id div width
+        from collections import defaultdict
+        btot = defaultdict(int)
+        for i, s in zip(ids, sizes):
+            btot[i // width] += s
+        offs, run = {}, 0
+        for b in sorted(btot):
+            offs[b] = run
+            run += btot[b]
+        within = defaultdict(int)
+        got = []
+        for i, s in zip(ids, sizes):
+            b = i // width
+            got.append(offs[b] + within[b])
+            within[b] += s
+        assert got == naive
+
+    check()

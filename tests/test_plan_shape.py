@@ -453,3 +453,39 @@ def test_gap_fill_spine_is_generated_not_scanned(spark, queries):
     assert "Generate" in plan and "sequence" in plan
     assert "CartesianProduct" not in plan
     assert "partial_" in plan
+
+
+def test_sample_weighted_is_takeordered_zero_shuffle(spark, queries):
+    """q_sample_weighted: global weighted top-K must compile to
+    TakeOrderedAndProject (per-partition heaps) — no Exchange, no
+    global Sort."""
+    plan = plan_of(queries["q_sample_weighted"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0, plan
+
+
+def test_collocations_support_filter_precedes_joinbacks(spark, queries):
+    """q_collocations: no nested-loop pairing anywhere (bigrams come
+    from zip_with, not a positional self-join), and the min-support
+    filter must sit below the unigram join-backs so only surviving
+    bigrams join."""
+    plan = plan_of(queries["q_collocations"](spark, SF_DIR))
+    # the single 1-row total crossJoin is the only BNLJ node allowed
+    bnlj_nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(bnlj_nodes) <= 1, plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # support filter appears as a post-agg Filter on c_ab
+    assert re.search(r"\(c_ab#\d+L >= 5\)", plan), plan
+
+
+def test_fk_integrity_ships_dimension_keys_only(spark, queries):
+    """q_fk_integrity: every dimension scan reads ONLY its key column
+    (ReadSchema pruned to one field) — the existence checks must never
+    drag dimension payload through the joins."""
+    plan = plan_of(queries["q_fk_integrity"](spark, SF_DIR))
+    reads = [l.strip() for l in plan.splitlines() if "ReadSchema:" in l]
+    cust = [l for l in reads if "c_custkey" in l]
+    assert cust and all("c_name" not in l and "c_acctbal" not in l for l in cust), cust
+    part = [l for l in reads if "p_partkey" in l]
+    assert part and all("p_name" not in l for l in part), part
