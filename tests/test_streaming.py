@@ -1105,3 +1105,90 @@ def test_stateful_scd2_matches_batch_islands(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) > 200
+
+
+def test_e2e_replication_dedup_scd2_pipeline(spark, tmp_path):
+    """End-to-end composition — the reference's actual deployment
+    shape: an at-least-once replication feed (duplicated deliveries
+    planted), projected (R15), deduplicated within the watermark
+    horizon (effectively-once upgrade), then consumed by a stateful
+    SCD2 maintainer, across a TWO-RUN checkpointed restart.  The
+    closed validity intervals must equal the batch gaps-and-islands
+    over the UNIQUE message set — duplicates must not open, close, or
+    version any interval."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from pulsar_sync_java_spark.streaming.replicate import (
+        dedup_stream,
+        message_projection,
+        read_message_stream,
+    )
+    from pulsar_sync_java_spark.streaming.stateful import stateful_scd2
+
+    msgs = build_messages(spark)
+    cut = msgs.agg(
+        F.expr("percentile(unix_micros(event_time), 0.5)")
+    ).collect()[0][0]
+    src = str(tmp_path / "src")
+    halves = [
+        msgs.where(F.unix_micros("event_time") <= cut),
+        msgs.where(F.unix_micros("event_time") > cut),
+    ]
+    for i, half in enumerate(halves):
+        # plant at-least-once redelivery: every 3rd entry arrives twice
+        # in the same delivery file (inside the dedup horizon)
+        dup = half.where(F.col("entry_id") % 3 == 0)
+        staged = str(tmp_path / f"stage{i}")
+        half.unionAll(dup).coalesce(1).write.parquet(staged)
+        os.makedirs(src, exist_ok=True)
+        for f in glob.glob(staged + "/part-*.parquet"):
+            shutil.copy(f, os.path.join(src, f"batch{i}.parquet"))
+        piped = stateful_scd2(
+            dedup_stream(
+                message_projection(read_message_stream(spark, src)),
+                ["ledger_id", "entry_id"],
+            )
+        )
+        q = (
+            piped.writeStream.format("parquet")
+            .option("path", str(tmp_path / "ivals"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    got = sorted(
+        (r["user_id"], r["event_type"], r["valid_from_us"],
+         r["valid_to_us"], r["version"])
+        for r in spark.read.parquet(str(tmp_path / "ivals")).collect()
+    )
+    w = Window.partitionBy("ledger_id").orderBy("event_time", "entry_id")
+    ch = (
+        msgs.select(
+            F.col("ledger_id").alias("u"),
+            F.col("topic").alias("t"),
+            F.unix_micros("event_time").alias("ts"),
+            "event_time",
+            "entry_id",
+            F.lag("topic").over(w).alias("prev"),
+        )
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("t")))
+    )
+    w2 = Window.partitionBy("u").orderBy("event_time", "entry_id")
+    want = sorted(
+        (r["u"], r["t"], r["ts"], r["to_ts"], r["version"])
+        for r in ch.select(
+            "u", "t", "ts",
+            F.lead("ts").over(w2).alias("to_ts"),
+            F.row_number().over(w2).cast("int").alias("version"),
+        )
+        .where(F.col("to_ts").isNotNull())
+        .collect()
+    )
+    assert got == want and len(got) > 200
