@@ -396,15 +396,26 @@ def pagerank(
     return ranks
 
 
+_UNROLL_MAX = 32
+
+
 def tree_roots(
     parents: DataFrame,
     node: str = "node",
     parent: str = "parent",
     max_depth: int | None = None,
+    release_cache: bool = False,
 ) -> DataFrame:
     """Root and depth of every node in a forest — the distributed
     answer to a recursive CTE (Spark has none).  Returns
     (node, root, depth).
+
+    ``release_cache=True`` checkpoints the node-sized result and
+    releases the persisted parent/state tables (pagerank's posture for
+    sweeps over DISTINCT forests) — at the cost of EAGER evaluation, so
+    the default stays lazy: q_tree_ancestors keeps the single lazy
+    D-join plan (plan-asserted) and relies on plan-matched cache reuse
+    across repeated invocations over the same forest.
 
     `parents` lists (node, parent) edges, one row per non-root node;
     roots are nodes never appearing as a child.  Two regimes, chosen by
@@ -426,6 +437,16 @@ def tree_roots(
       so both regimes reach a fixed point instead of falling off the
       chain.
     """
+    # Codegen nesting bound (measured, round 5): whole-stage codegen
+    # recurses once per chained join, and a ~130-deep unroll overflows
+    # the JVM planning thread's stack (java.lang.StackOverflowError in
+    # HashJoin codegen, intermittent by thread).  A bound deeper than
+    # _UNROLL_MAX is not "known shallow" in any useful sense — pointer
+    # doubling reaches the same fixed point in log2(depth) joins, so
+    # deep bounds route there instead of nesting codegen to death.
+    if max_depth is not None and max_depth > _UNROLL_MAX:
+        max_depth = None
+
     ch = parents.select(F.col(node).alias("node"), F.col(parent).alias("parent"))
     all_nodes = (
         ch.select("node").unionByName(ch.select(F.col("parent").alias("node"))).distinct()
@@ -448,7 +469,18 @@ def tree_roots(
                     (F.col("d") + F.when(F.col("__p_parent").isNotNull(), 1).otherwise(0)).alias("d"),
                 )
             )
-        return state.select("node", F.col("anc").alias("root"), F.col("d").alias("depth"))
+        out = state.select(
+            "node", F.col("anc").alias("root"), F.col("d").alias("depth")
+        )
+        if release_cache:
+            # same posture as pagerank(release_cache=True): checkpoint
+            # the node-sized result (severing the lineage that refers
+            # to the cached parent table), then release the entry so
+            # repeated sweeps over DISTINCT forests don't accumulate
+            # cached tables in executor memory
+            out = out.localCheckpoint()
+            up.unpersist()
+        return out
 
     state = state.persist()
     n = state.count()
@@ -469,4 +501,8 @@ def tree_roots(
     state.count()
     for df in cached[:-1]:
         df.unpersist()
-    return state.select("node", F.col("anc").alias("root"), F.col("d").alias("depth"))
+    out = state.select("node", F.col("anc").alias("root"), F.col("d").alias("depth"))
+    if release_cache:
+        out = out.localCheckpoint()
+        state.unpersist()
+    return out

@@ -172,7 +172,7 @@ def test_tree_roots_both_regimes_agree_on_random_forest(spark):
     df = spark.createDataFrame(edges, "node long, parent long")
     fast = {
         (r["node"]): (r["root"], r["depth"])
-        for r in tree_roots(df, max_depth=130).collect()
+        for r in tree_roots(df, max_depth=20).collect()
     }
     slow = {
         (r["node"]): (r["root"], r["depth"])
