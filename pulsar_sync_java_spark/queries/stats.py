@@ -469,3 +469,74 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("value_avg", ignorenulls=True).over(w), F.lit(0.0)
         ).alias("value_locf"),
     )
+
+
+# ------------------------------------------------------- skew report
+
+_SKEW_SQL = """
+WITH sizes AS (
+  SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id
+), summary AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         quantile_cont(n, 0.5) AS p50,
+         quantile_cont(n, 0.99) AS p99,
+         CAST(MAX(n) AS BIGINT) AS max_n
+  FROM sizes
+), top AS (
+  SELECT key, n FROM (
+    SELECT key, n, row_number() OVER (ORDER BY n DESC, key ASC) AS rn
+    FROM sizes) t WHERE rn <= 5
+)
+SELECT s.n_keys, s.n_rows, s.p50, s.p99, s.max_n,
+       s.p99 / s.p50 AS skew_ratio,
+       CAST(s.max_n AS DOUBLE) / s.n_rows AS top1_share,
+       t.key AS hot_key, t.n AS hot_n
+FROM summary s, top t
+"""
+
+
+@query("q_skew_report", oracle=_SKEW_SQL)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis over the event stream's user_id — the
+    pre-flight report that decides whether a key needs the salted join
+    (operators/skew.py) or AQE's skew split: per-key group sizes
+    summarized (p50/p99/max, p99:p50 skew ratio, hottest key's row
+    share) alongside the 5 hottest keys.
+
+    One (key) count aggregate — shuffle carries count rows — then two
+    TINY follow-ups over the key-size table: an exact-percentile
+    summary (one row; Spark `percentile` and DuckDB `quantile_cont`
+    share the linear-interpolation algorithm, so the match is
+    bit-exact — same pairing as q_percentiles) and a top-5 via
+    TakeOrdered, cross-joined back (5 rows x 1 row).  At 100 TB the
+    key-size table is |keys| rows — the exact-percentile sort is over
+    aggregated rows, never data rows; the sketch upgrade is
+    percentile_approx over the same aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    sizes = e.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    sizes = sizes.persist()
+    summary = sizes.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.expr("percentile(n, 0.5)").alias("p50"),
+        F.expr("percentile(n, 0.99)").alias("p99"),
+        F.max("n").alias("max_n"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "p50",
+        "p99",
+        "max_n",
+        (F.col("p99") / F.col("p50")).alias("skew_ratio"),
+        (F.col("max_n").cast("double") / F.col("n_rows")).alias("top1_share"),
+    )
+    top = (
+        sizes.orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(5)
+        .select(F.col("key").alias("hot_key"), F.col("n").alias("hot_n"))
+    )
+    return summary.crossJoin(F.broadcast(top))

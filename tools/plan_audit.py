@@ -126,6 +126,7 @@ EXPECT = {
     "q_unigram_score": "tokenize scan -> (token) vocabulary aggregate -> token equi-join (never nested loop) -> (doc) final aggregate, partials map-side throughout",
     "q_quality_funnel": "single scan, cumulative-AND COUNT FILTER partials, one (source) exchange of count rows",
     "q_asof_nearest": "two union-window as-of passes (backward+forward) on the same (user_id) key — no range join; chooser is pure projection",
+    "q_skew_report": "one (key) count aggregate; percentile summary and top-5 run over the persisted key-size aggregate (InMemoryTableScan), never data rows",
     "q_fk_integrity": "four LEFT existence joins + conditional-count aggregates, unioned; no COUNT(DISTINCT), dims ship keys only",
     "q_collocations": "one tokenize scan -> unigram agg + zip_with bigram agg; support filter precedes the unigram join-backs; TakeOrderedAndProject",
     "q_sample_weighted": "per-row rational priority, global top-K via TakeOrderedAndProject — zero exchanges, no global sort",
