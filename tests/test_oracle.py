@@ -20,3 +20,54 @@ def test_query_matches_oracle(name, spark, duck):
         assert df.count() >= 0
         return
     assert_matches_oracle(spark, duck, df, _ORACLES[name])
+
+
+def test_scd2_intervals_are_consistent(spark):
+    """Semantic invariants of q_scd2_history beyond the oracle hash:
+    per user, versions are consecutive from 1, each interval's
+    valid_to equals the next interval's valid_from (contiguity at
+    change points), exactly one open (is_current) interval per user,
+    and adjacent intervals never share an event_type (else they would
+    have been merged)."""
+    from collections import defaultdict
+
+    rows = _QUERIES["q_scd2_history"](spark, SF_DIR).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    assert by_user
+    for user, ivals in by_user.items():
+        ivals.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in ivals] == list(
+            range(1, len(ivals) + 1)
+        ), user
+        assert sum(r["is_current"] for r in ivals) == 1, user
+        assert ivals[-1]["is_current"] and ivals[-1]["valid_to"] is None, user
+        for a, b in zip(ivals, ivals[1:]):
+            assert a["valid_to"] == b["valid_from"], (user, a, b)
+            assert a["event_type"] != b["event_type"], (user, a, b)
+
+
+def test_gap_fill_spine_is_dense_and_locf_consistent(spark):
+    """q_gap_fill invariants: every (type, hour) in the global range
+    appears exactly once; filled <=> n_events == 0; value_locf is
+    never null and is constant across a filled gap (carries the last
+    observed mean)."""
+    from collections import defaultdict
+
+    rows = _QUERIES["q_gap_fill"](spark, SF_DIR).collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(r)
+    n_buckets = {t: len(v) for t, v in by_type.items()}
+    assert len(set(n_buckets.values())) == 1, n_buckets  # same dense range
+    for t, v in by_type.items():
+        assert len({r["bucket"] for r in v}) == len(v), t  # no dup buckets
+        v.sort(key=lambda r: r["bucket"])
+        last = None
+        for r in v:
+            assert r["filled"] == (r["n_events"] == 0), r
+            assert r["value_locf"] is not None, r
+            if r["filled"] and last is not None:
+                assert r["value_locf"] == last, r
+            last = r["value_locf"]
