@@ -63,6 +63,43 @@ def _spread_count(df: DataFrame) -> int:
     return max(min(cap, want), min(_MIN_TASKS, cap))
 
 
+_SPREAD_MODE_CONF = "spark.pulsar_sync.spread.mode"  # auto | always | never
+
+
+def _existing_partitions(df: DataFrame) -> int | None:
+    """Physical partition count of `df` as planned (file splits for a
+    parquet scan; static shuffle-partition count downstream of an
+    exchange).  Runs the planner but NO job.
+
+    With AQE on, `Dataset.rdd` MATERIALIZES shuffle query stages —
+    probing an exchange-containing input (e.g. `spread_by(signatures)`
+    where the signatures already crossed a `spread`) would eagerly
+    execute that shuffle and throw the result away.  So the probe plans
+    a fresh clone with adaptive execution off: partition counts are
+    then static plan metadata and conversion submits zero jobs.
+    `None` when the plan cannot be converted (defensive)."""
+    sess = df.sparkSession
+    try:
+        prev = sess.conf.get("spark.sql.adaptive.enabled", None)
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return int(df.select("*")._jdf.rdd().getNumPartitions())
+        finally:
+            if prev is None:
+                sess.conf.unset("spark.sql.adaptive.enabled")
+            else:
+                sess.conf.set("spark.sql.adaptive.enabled", prev)
+    except Exception:
+        return None
+
+
+def _spread_mode(df: DataFrame) -> str:
+    try:
+        return df.sparkSession.conf.get(_SPREAD_MODE_CONF, "auto")
+    except Exception:
+        return "auto"
+
+
 def spread(df: DataFrame, full: bool = False) -> DataFrame:
     """Round-robin repartition to a size-scaled partition count
     (`_spread_count`), for CPU-bound per-row projections (sketch
@@ -89,10 +126,31 @@ def spread(df: DataFrame, full: bool = False) -> DataFrame:
     no ReusedExchange/stage-cache hit ever materializes for these
     DAGs, each branch recomputes its (column-pruned) subtree; see
     lsh_candidate_pairs for why that trade is still right.
+
+    GATED on actual upstream parallelism (round-6): when the input is
+    ALREADY planned with at least the target partition count — the
+    normal state on a real cluster, where a 100 TB scan has ~10^5
+    splits — the exchange is skipped entirely and `df` is returned
+    unchanged, so the sketch family never re-pays a full raw-corpus
+    shuffle that buys nothing.  The check runs the planner (not a job)
+    once per call, at query-build time.  Escape hatch: session conf
+    `spark.pulsar_sync.spread.mode` = `auto` (default, gate as above) |
+    `always` (unconditional exchange, the pre-round-6 behavior) |
+    `never` (trust scan parallelism everywhere).
     """
-    if full:
-        return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    return df.repartition(_spread_count(df))
+    mode = _spread_mode(df)
+    if mode == "never":
+        return df
+    want = (
+        df.sparkSession.sparkContext.defaultParallelism
+        if full
+        else _spread_count(df)
+    )
+    if mode != "always":
+        have = _existing_partitions(df)
+        if have is not None and have >= want:
+            return df
+    return df.repartition(want)
 
 
 def spread_by(df: DataFrame, *cols: str) -> DataFrame:
@@ -104,7 +162,22 @@ def spread_by(df: DataFrame, *cols: str) -> DataFrame:
     the whole self-join pipeline ran single-task).  An explicit count
     (REPARTITION_BY_NUM) is exempt from coalescing, so the barrier
     keeps both its anti-inlining role and its parallelism.  The count
-    is size-scaled like `spread` (see `_spread_count`)."""
+    is size-scaled like `spread` (see `_spread_count`).
+
+    Gated like `spread`: every call site uses this for PARALLELISM
+    (plus the barrier), never for key co-location — the downstream
+    groupBy keys are (band, bucket)-shaped, not `cols` — so when the
+    input already has >= the target partition count (any real cluster
+    scan) the exchange is skipped.  Same `spark.pulsar_sync.spread.mode`
+    escape hatch."""
     from pyspark.sql import functions as F
 
-    return df.repartition(_spread_count(df), *[F.col(c) for c in cols])
+    mode = _spread_mode(df)
+    if mode == "never":
+        return df
+    want = _spread_count(df)
+    if mode != "always":
+        have = _existing_partitions(df)
+        if have is not None and have >= want:
+            return df
+    return df.repartition(want, *[F.col(c) for c in cols])

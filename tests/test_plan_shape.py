@@ -489,3 +489,73 @@ def test_fk_integrity_ships_dimension_keys_only(spark, queries):
     assert cust and all("c_name" not in l and "c_acctbal" not in l for l in cust), cust
     part = [l for l in reads if "p_partkey" in l]
     assert part and all("p_name" not in l for l in part), part
+
+
+class TestSpreadGate:
+    """Round-6 `spread()` gate (VERDICT r5 #1): the round-robin
+    exchange must appear for a single-split local parquet scan (where
+    it is the only source of parallelism) and must DISAPPEAR when the
+    input is already planned with >= the target partition count — the
+    normal state on a cluster whose scan has thousands of splits.
+    Skipping it there removes the one full-raw-corpus shuffle the
+    sketch family would otherwise re-pay per self-join branch."""
+
+    def test_exchange_appears_for_single_split_scan(self, spark):
+        from pulsar_sync_java_spark.operators.util import spread
+
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = spread(df)
+        assert out is not df
+        # explain BEFORE touching .rdd: under AQE the RDD conversion
+        # finalizes the adaptive plan and hides the Exchange node
+        assert "RoundRobinPartitioning" in plan_of(out)
+        assert df.rdd.getNumPartitions() == 1  # premise: one split
+        assert out.rdd.getNumPartitions() > 1
+
+    def test_exchange_disappears_for_prepartitioned_input(self, spark):
+        from pulsar_sync_java_spark.operators.util import (
+            _spread_count,
+            spread,
+            spread_by,
+        )
+
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        wide = df.repartition(
+            max(_spread_count(df), spark.sparkContext.defaultParallelism)
+        )
+        assert spread(wide) is wide
+        assert spread(wide, full=True) is wide
+        assert spread_by(wide, "doc_id") is wide
+
+    def test_mode_conf_escape_hatch(self, spark):
+        from pulsar_sync_java_spark.operators.util import (
+            _SPREAD_MODE_CONF,
+            spread,
+        )
+
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        wide = df.repartition(64)
+        try:
+            spark.conf.set(_SPREAD_MODE_CONF, "always")
+            assert spread(wide) is not wide  # forced exchange
+            spark.conf.set(_SPREAD_MODE_CONF, "never")
+            assert spread(df) is df  # trusted scan parallelism
+        finally:
+            spark.conf.unset(_SPREAD_MODE_CONF)
+
+    def test_probe_submits_no_jobs_on_exchange_input(self, spark):
+        """The parallelism probe must be plan-metadata only: under AQE
+        a naive Dataset.rdd would EXECUTE the upstream shuffle of an
+        exchange-containing input at query-build time."""
+        from pulsar_sync_java_spark.operators.util import _existing_partitions
+
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(16)
+        sc = spark.sparkContext
+        sc.setJobGroup("spread-probe-guard", "probe must not run jobs")
+        try:
+            n = _existing_partitions(df)
+        finally:
+            sc.setJobGroup(None, None)
+        assert n == 16
+        jobs = sc.statusTracker().getJobIdsForGroup("spread-probe-guard")
+        assert list(jobs) == [], jobs
