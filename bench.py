@@ -172,6 +172,17 @@ def _compact_line(total: float, timings: dict[str, float], sf_val) -> str:
         )
     ) > MAX_LINE:
         keep.pop(by_cost[len(keep) - 1][0])
+    if len(out) > MAX_LINE:
+        # keep emptied while the line still overflowed (pathological key
+        # or sf value): the guaranteed-fit contract wins over content —
+        # emit totals only, truncation still declared
+        out = line(
+            {
+                "queries": {},
+                "queries_truncated": len(stripped),
+                "detail": "BENCH_DETAIL.json",
+            }
+        )
     return out
 
 

@@ -139,7 +139,12 @@ def q_ntile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly — unlike xxhash64/hash(), which are engine-specific.  At 100 TB
 # the same expression is a deterministic, re-runnable sample (no RNG
 # state, no sampling drift between runs) and pushes down to the scan.
-_BUCKET = "(doc_id * 2654435761) % 4294967296 % 100"
+# The key is pre-reduced mod 2^31 so the product stays < 5.7e18 for ANY
+# int64 id: without it, DuckDB raises on BIGINT overflow past
+# doc_id ~ 3.5e9 while non-ANSI Spark wraps silently and the engines
+# diverge (ADVICE r5).  Identical hash values for all ids < 2^31; ids
+# 2^31 apart collide, which a sampling hash tolerates by design.
+_BUCKET = "((doc_id % 2147483648) * 2654435761) % 4294967296 % 100"
 
 _STRATIFIED_SQL = f"""
 SELECT doc_id, lang, CAST({_BUCKET} AS INT) AS bucket
@@ -155,7 +160,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — the reproducible down-sampling step of a training-data
     pipeline (same rows on every run/engine, unlike TABLESAMPLE)."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
+    bucket = ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
     rate = (
         F.when(F.col("lang") == "en", 10)
         .when(F.col("lang") == "zh", 50)
@@ -658,7 +663,7 @@ _WS_K = 100
 # for weighted reservoir sampling (A-ES keeps the k smallest u^(1/w)
 # priorities; this keeps the k smallest h(id)/w — same monotone
 # size-bias, no RNG state, identical rows on every run and engine)
-_WS_HASH = "(doc_id * 2654435761) % 4294967296"
+_WS_HASH = "((doc_id % 2147483648) * 2654435761) % 4294967296"
 
 _WEIGHTED_SAMPLE_SQL = f"""
 SELECT doc_id, n_chars,
@@ -686,7 +691,7 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition cross the wire."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     priority = (
-        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).cast("double")
+        (((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)).cast("double")
         / F.col("n_chars")
     )
     return (

@@ -472,7 +472,8 @@ WITH toks AS (
   GROUP BY bigram HAVING COUNT(*) >= {_COLLOC_MIN}
 ), scored AS (
   SELECT b.bigram, b.c_ab, ua.c AS c_a, ub.c AS c_b,
-         CAST(b.c_ab * t.n AS DOUBLE) / (ua.c * ub.c) AS lift
+         (CAST(b.c_ab AS DOUBLE) * CAST(t.n AS DOUBLE))
+           / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS lift
   FROM bi b
   JOIN uni ua ON ua.token = string_split(b.bigram, ' ')[1]
   JOIN uni ub ON ub.token = string_split(b.bigram, ' ')[2]
@@ -490,8 +491,10 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     by PMI-style lift P(ab)/(P(a)P(b)) — the phrase/vocab-discovery
     pass a tokenizer-training pipeline runs (PMI with the log dropped:
     log is monotone, so ranking by the rational lift c_ab*N/(c_a*c_b)
-    is ranking by PMI — and integer-product/one-division arithmetic is
-    bit-identical across engines, same discipline as q_tfidf_topterms).
+    is ranking by PMI — and fixed-association double arithmetic is
+    bit-identical across engines, same discipline as q_tfidf_topterms;
+    the counts are cast to double BEFORE multiplying because the int64
+    products overflow at 100 TB token totals).
 
     Shape: ONE tokenize scan feeds both the unigram aggregate and the
     adjacent-pair (zip_with of the shifted array — no positional
@@ -533,9 +536,15 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_ab",
             "c_a",
             "c_b",
+            # all-double with fixed association: int64 products c_ab*n
+            # and c_a*c_b overflow at 100 TB token counts (DuckDB
+            # raises, non-ANSI Spark wraps — ADVICE r5); double ops are
+            # exactly rounded and order-fixed, so both engines still
+            # agree bit-for-bit, and values are unchanged while the
+            # products sit below 2^53
             (
-                (F.col("c_ab") * F.col("n")).cast("double")
-                / (F.col("c_a") * F.col("c_b"))
+                (F.col("c_ab").cast("double") * F.col("n").cast("double"))
+                / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
             ).alias("lift"),
         )
     )

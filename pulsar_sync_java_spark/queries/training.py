@@ -209,7 +209,7 @@ WITH t AS (
   SELECT doc_id, lang,
          len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
            AS n_tokens,
-         (doc_id * 2654435761) % 4294967296 AS h
+         ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h
   FROM documents
 ), c AS (
   SELECT doc_id, lang, n_tokens,
@@ -245,7 +245,7 @@ def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.size(tokens("text")).alias("n_tokens"),
-        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).alias("__h"),
+        (((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)).alias("__h"),
     )
     w = (
         Window.partitionBy("lang")
@@ -556,7 +556,7 @@ WITH c AS (
          CASE WHEN CAST(substr(d.source, 4) AS INT) < 10 THEN 10 ELSE 30 END AS cap,
          ROW_NUMBER() OVER (
            PARTITION BY d.source
-           ORDER BY (d.doc_id * 2654435761) % 4294967296, d.doc_id) AS rn
+           ORDER BY ((d.doc_id % 2147483648) * 2654435761) % 4294967296, d.doc_id) AS rn
   FROM documents d JOIN c ON d.source = c.source
 )
 SELECT doc_id, source, n_source_docs, CAST(cap AS INT) AS cap
@@ -600,7 +600,7 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     kept_whole = d.join(F.broadcast(under), "source")
     w = Window.partitionBy("source").orderBy(
-        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296), "doc_id"
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296), "doc_id"
     )
     kept_ranked = (
         d.join(F.broadcast(over), "source")

@@ -68,3 +68,16 @@ def test_compact_line_current_suite_fits_and_accounts():
     assert len(p["queries"]) + p.get("queries_truncated", 0) == len(t)
     if "queries_truncated" in p:
         assert p["detail"] == "BENCH_DETAIL.json"
+
+
+def test_compact_line_pathological_key_still_fits():
+    """ADVICE r5: one absurdly long query name must not break the
+    guaranteed-fit contract — the last resort is queries={} with the
+    truncation declared."""
+    t = {"q_" + "x" * 5000: 1.2345, "q_ok": 0.5}
+    line = bench._compact_line(9.9, t, 0.1)
+    assert len(line) <= 1980
+    p = json.loads(line)
+    assert p["queries"] == {}
+    assert p["queries_truncated"] == 2
+    assert p["detail"] == "BENCH_DETAIL.json"

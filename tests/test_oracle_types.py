@@ -40,3 +40,20 @@ def test_oracle_has_no_pandas_divergent_columns(duck, name):
         f"CAST(... AS BIGINT), COUNT(*) FILTER (...), or the "
         f"VARCHAR->DOUBLE decimal bridge"
     )
+
+
+def test_portable_hash_overflow_safe_for_any_int64_id(spark, duck):
+    """ADVICE r5: the multiplicative sampling hash must stay inside
+    int64 for EVERY int64 doc_id — DuckDB raises on BIGINT overflow
+    while non-ANSI Spark wraps silently, so an overflowing expression
+    silently diverges the engines past doc_id ~ 3.5e9."""
+    expr = "((doc_id % 2147483648) * 2654435761) % 4294967296"
+    for doc_id in (0, 1, 2**31 - 1, 2**31, 3_500_000_000, 2**63 - 1):
+        expected = ((doc_id % 2147483648) * 2654435761) % 4294967296
+        d = duck.execute(
+            f"SELECT {expr} FROM (SELECT CAST({doc_id} AS BIGINT) AS doc_id)"
+        ).fetchone()[0]
+        s = spark.sql(
+            f"SELECT {expr} FROM (SELECT CAST({doc_id} AS BIGINT) AS doc_id)"
+        ).collect()[0][0]
+        assert d == s == expected, (doc_id, d, s, expected)
