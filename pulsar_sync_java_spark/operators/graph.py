@@ -424,29 +424,31 @@ def tree_roots(
     - ``max_depth`` given (org charts, category trees, heap-shaped ids
       — anything with a known shallow bound): LINEAR UNROLL.  Each of
       the D rounds advances every unresolved node one parent step via a
-      join against the persisted parent table.  The state is referenced
-      ONCE per round, so the whole walk is a single lazy D-join plan —
-      no per-round caching, no extra actions (measured: the doubling
-      variant spends ~5 s/round on cache+action overhead for sub-second
-      data).
-    - ``max_depth=None`` (unknown/deep chains): POINTER DOUBLING.
-      After k self-joins every node knows its 2^k-step ancestor, so
-      ceil(log2(n)) rounds resolve even a path graph — each round's
-      state is persisted BEFORE the next references it twice, else the
-      lazy plan doubles per round.  Roots self-loop with distance 0,
-      so both regimes reach a fixed point instead of falling off the
-      chain.
+      join against the persisted parent table.  For D <= 32 the state
+      is referenced ONCE per round, so the whole walk is a single lazy
+      D-join plan — no per-round caching, no extra actions (measured:
+      the doubling variant spends ~5 s/round on cache+action overhead
+      for sub-second data).  A bound DEEPER than 32 keeps the exact
+      depth-clamped semantics but is executed in <=32-join SEGMENTS
+      with a persist+action barrier between them: whole-stage codegen
+      recurses once per chained join and a ~130-deep single plan
+      overflows the JVM planning thread's stack (measured, round 5),
+      so deep bounds trade laziness (ceil(D/32) extra actions) for a
+      plan that compiles.  Results are identical to the single-plan
+      unroll at every depth.
+    - ``max_depth=None`` (unknown/deep chains): POINTER DOUBLING to a
+      COUNT-GATED FIXPOINT.  After k self-joins every node knows its
+      2^k-step ancestor; each round counts the rows that still moved
+      and stops as soon as none did — ceil(log2(actual_depth)) rounds,
+      not ceil(log2(n)): a billion-node forest of depth 10 converges
+      in 4 rounds instead of 30.  Each round's state is persisted
+      BEFORE the next references it twice, else the lazy plan doubles
+      per round.  Roots self-loop with distance 0, so both regimes
+      reach a fixed point instead of falling off the chain.  Input
+      containing a CYCLE (not a forest) cannot converge; the loop
+      raises ``ValueError`` after the ceil(log2(n)) safety cap rather
+      than returning garbage.
     """
-    # Codegen nesting bound (measured, round 5): whole-stage codegen
-    # recurses once per chained join, and a ~130-deep unroll overflows
-    # the JVM planning thread's stack (java.lang.StackOverflowError in
-    # HashJoin codegen, intermittent by thread).  A bound deeper than
-    # _UNROLL_MAX is not "known shallow" in any useful sense — pointer
-    # doubling reaches the same fixed point in log2(depth) joins, so
-    # deep bounds route there instead of nesting codegen to death.
-    if max_depth is not None and max_depth > _UNROLL_MAX:
-        max_depth = None
-
     ch = parents.select(F.col(node).alias("node"), F.col(parent).alias("parent"))
     all_nodes = (
         ch.select("node").unionByName(ch.select(F.col("parent").alias("node"))).distinct()
@@ -460,7 +462,10 @@ def tree_roots(
 
     if max_depth is not None:
         up = ch.select(F.col("node").alias("__p_node"), F.col("parent").alias("__p_parent")).persist()
-        for _ in range(max(0, max_depth - 1)):
+        seg_cache: DataFrame | None = None
+        joins_in_seg = 0
+        total_rounds = max(0, max_depth - 1)
+        for r in range(total_rounds):
             state = (
                 state.join(up, state.anc == up.__p_node, "left")
                 .select(
@@ -469,6 +474,20 @@ def tree_roots(
                     (F.col("d") + F.when(F.col("__p_parent").isNotNull(), 1).otherwise(0)).alias("d"),
                 )
             )
+            joins_in_seg += 1
+            # segment barrier: materialize the state so the NEXT join
+            # chain starts from an InMemoryRelation instead of nesting
+            # past the codegen recursion bound (StackOverflowError in
+            # the planning thread past ~130 chained joins, measured
+            # round 5).  Never fires for max_depth <= _UNROLL_MAX + 1,
+            # so the shallow path stays one lazy plan with no actions.
+            if joins_in_seg >= _UNROLL_MAX and r < total_rounds - 1:
+                state = state.persist()
+                state.count()
+                if seg_cache is not None:
+                    seg_cache.unpersist()
+                seg_cache = state
+                joins_in_seg = 0
         out = state.select(
             "node", F.col("anc").alias("root"), F.col("d").alias("depth")
         )
@@ -480,27 +499,44 @@ def tree_roots(
             # cached tables in executor memory
             out = out.localCheckpoint()
             up.unpersist()
+            if seg_cache is not None:
+                seg_cache.unpersist()
         return out
 
     state = state.persist()
     n = state.count()
-    rounds = max(1, (max(n, 2) - 1).bit_length())
-    cached = [state]
-    for _ in range(rounds):
+    # safety cap, NOT the iteration count: a forest converges (observes
+    # a zero-moved round) within ceil(log2(n)) doubling rounds plus the
+    # one observation round; only a cycle can still be moving at the cap
+    cap = max(1, (max(n, 2) - 1).bit_length()) + 1
+    converged = False
+    for _ in range(cap):
         s, a = state.alias("s"), state.alias("a")
-        state = (
+        nxt = (
             s.join(a, F.col("s.anc") == F.col("a.node"))
             .select(
                 F.col("s.node").alias("node"),
                 F.col("a.anc").alias("anc"),
                 (F.col("s.d") + F.col("a.d")).alias("d"),
+                # the ancestor row advanced us iff it was not a root
+                # self-loop; a round where NO row advances is the
+                # fixpoint — everyone's anc is already a root
+                (F.col("a.anc") != F.col("a.node")).alias("__moved"),
             )
             .persist()
         )
-        cached.append(state)
-    state.count()
-    for df in cached[:-1]:
-        df.unpersist()
+        moved = nxt.filter(F.col("__moved")).count()
+        state.unpersist()
+        state = nxt
+        if moved == 0:
+            converged = True
+            break
+    if not converged:
+        state.unpersist()
+        raise ValueError(
+            "tree_roots: no fixpoint after ceil(log2(n))+1 pointer-doubling "
+            "rounds — the parent relation contains a cycle (not a forest)"
+        )
     out = state.select("node", F.col("anc").alias("root"), F.col("d").alias("depth"))
     if release_cache:
         out = out.localCheckpoint()

@@ -266,3 +266,138 @@ def test_shard_pack_prefix_sum_matches_naive_cumsum(spark):
         assert got == naive
 
     check()
+
+
+def test_tree_roots_deep_bound_keeps_clamped_semantics(spark):
+    """A max_depth DEEPER than the 32-join codegen bound must still mean
+    "advance at most max_depth parent steps" — executed as <=32-join
+    segments with persist barriers, NOT silently rerouted to full-root
+    pointer doubling (ADVICE r5: the reroute changed depth-clamped
+    partial ancestors into full roots without warning)."""
+    from pulsar_sync_java_spark.operators.graph import tree_roots
+
+    chain = [(i, i - 1) for i in range(1, 100)]  # 0 <- 1 <- ... <- 99
+    df = spark.createDataFrame(chain, "node long, parent long")
+
+    clamped = {
+        r["node"]: (r["root"], r["depth"])
+        for r in tree_roots(df, max_depth=40).collect()
+    }
+    # node 99 sits at depth 99; a 40-step clamp stops at ancestor 59
+    assert clamped[99] == (59, 40)
+    # nodes within the clamp resolve fully
+    assert clamped[17] == (0, 17)
+    assert clamped[40] == (0, 40)
+
+    # a bound deep enough to cover the chain resolves everything —
+    # 119 chained joins would StackOverflow the planning thread as one
+    # plan; the segment barriers must make it compile and run
+    full = {
+        r["node"]: (r["root"], r["depth"])
+        for r in tree_roots(df, max_depth=120).collect()
+    }
+    assert full == {i: (0, i) for i in range(100)}
+
+
+def test_tree_roots_fixpoint_matches_union_find_on_random_forests(spark):
+    """Property: on random forests with chains deeper than one doubling
+    round, the convergence-detected unbounded mode equals a Python
+    union-find (roots) and parent walk (depths)."""
+    from pulsar_sync_java_spark.operators.graph import tree_roots
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        edges = []
+        # several long chains plus random shallow attachments
+        for base in (1000, 2000, 3000):
+            for i in range(1, 60):
+                edges.append((base + i, base + i - 1))
+        for node in range(1, 200):
+            parent = rng.randrange(0, node)
+            if parent % 13 == 0 and parent != 0:
+                continue
+            edges.append((node, parent))
+        df = spark.createDataFrame(edges, "node long, parent long")
+        got = {
+            r["node"]: (r["root"], r["depth"])
+            for r in tree_roots(df).collect()
+        }
+
+        class _UF:
+            def __init__(self):
+                self.p = {}
+            def find(self, x):
+                r = x
+                while self.p.get(r, r) != r:
+                    r = self.p[r]
+                return r
+            def union(self, a, b):
+                self.p[self.find(a)] = self.find(b)
+
+        uf = _UF()
+        par = dict(edges)
+        for n, p in edges:
+            uf.union(n, p)
+        for n in got:
+            # root agrees with union-find representative's walk-root
+            r = uf.find(n)
+            while r in par:
+                r = par[r]
+            d, x = 0, n
+            while x in par:
+                x, d = par[x], d + 1
+            assert got[n] == (r, d), (seed, n)
+
+
+def test_tree_roots_cycle_raises(spark):
+    """A parent relation with a cycle has no fixpoint; the unbounded
+    mode must fail loudly after its safety cap, not return garbage."""
+    from pulsar_sync_java_spark.operators.graph import tree_roots
+
+    cyc = [(1, 2), (2, 3), (3, 1), (10, 1)]
+    df = spark.createDataFrame(cyc, "node long, parent long")
+    with pytest.raises(ValueError, match="cycle"):
+        tree_roots(df).collect()
+
+
+def test_tree_roots_unbounded_matches_duckdb_recursive_cte(spark, duck):
+    """Replay the genuine recursive-CTE oracle at sf0.001 against the
+    CONVERGENCE-DETECTED unbounded mode (q_tree_ancestors itself runs
+    the bounded regime, so the driver row never exercises this path)."""
+    from pyspark.sql import functions as F
+
+    from pulsar_sync_java_spark.operators.graph import tree_roots
+    from pulsar_sync_java_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents")
+    parents = d.filter(F.col("doc_id") > 0).select(
+        F.col("doc_id").alias("node"),
+        F.floor((F.col("doc_id") - 1) / 2).alias("parent"),
+    )
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in tree_roots(parents).collect()
+    }
+    want = {
+        row[0]: (row[1], row[2])
+        for row in duck.execute(
+            """
+            WITH RECURSIVE p AS (
+              SELECT doc_id AS node, (doc_id - 1) // 2 AS parent
+              FROM documents WHERE doc_id > 0
+            ), walk(node, anc, depth) AS (
+              SELECT node, parent, 1 FROM p
+              UNION ALL
+              SELECT w.node, p2.parent, w.depth + 1
+              FROM walk w JOIN p p2 ON p2.node = w.anc
+            )
+            SELECT node, anc, depth FROM walk
+            WHERE anc NOT IN (SELECT node FROM p)
+            """
+        ).fetchall()
+    }
+    # tree_roots also emits the root itself (depth 0); the CTE walk
+    # starts from children only
+    roots = {n for n, (r, _) in got.items() if got[n][1] == 0}
+    assert {n: v for n, v in got.items() if n not in roots} == want
