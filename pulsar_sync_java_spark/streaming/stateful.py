@@ -518,6 +518,20 @@ def _scd2():
         if batch is not None:
             batch = batch.sort_values(["event_time", "entry_id"])
             ts_us = batch["event_time"].astype("int64") // 1000
+            # loud guard (same discipline as stateful_grouped_udaf's
+            # state-bound raise): the sort above orders WITHIN the
+            # micro-batch only, so an event older than the open
+            # interval's start — late across a batch boundary — would
+            # silently close a negative-length interval and corrupt
+            # every later version number.  Refuse instead.
+            if open_from is not None and len(ts_us) and int(ts_us.iloc[0]) < open_from:
+                raise ValueError(
+                    f"stateful_scd2: key {user} received event_time "
+                    f"{int(ts_us.iloc[0])}us older than the open interval's "
+                    f"start {open_from}us — cross-micro-batch event-time "
+                    "ordering per key is a precondition (see docstring); "
+                    "feed an ordered-per-key source or widen batches"
+                )
             for ts, etype in zip(ts_us, batch["topic"]):
                 ts, etype = int(ts), str(etype)
                 if open_type is None:
@@ -539,11 +553,22 @@ def stateful_scd2(stream: DataFrame) -> DataFrame:
     SCD type-2 maintenance over the replication feed.  Keyed state
     holds only the OPEN validity interval (from, type, version); a
     type change CLOSES the open interval — emitted exactly once, in
-    append mode — and opens the next.  The closed-interval multiset
-    equals the batch gaps-and-islands query's non-current rows,
-    including intervals whose open and close events arrive in
-    different micro-batches (the carried open-interval state stitches
-    them; asserted across a checkpointed restart in
+    append mode — and opens the next.
+
+    PRECONDITION: events must arrive event-time-ordered per key
+    ACROSS micro-batches (the reference's per-partition ordering
+    guarantee, same contract as the other twins).  Within a
+    micro-batch the operator sorts, but an event older than the open
+    interval's start that lands in a LATER batch cannot be reordered
+    — it would close a negative-length interval — so the kernel
+    raises ``ValueError`` instead of emitting corrupted history
+    (loud-guard discipline, as in ``stateful_grouped_udaf``).
+
+    Under that precondition the closed-interval multiset equals the
+    batch gaps-and-islands query's non-current rows, including
+    intervals whose open and close events arrive in different
+    micro-batches (the carried open-interval state stitches them;
+    asserted across a checkpointed restart in
     tests/test_streaming.py).
 
     State per key is ONE row regardless of traffic — bounded by key

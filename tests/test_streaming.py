@@ -1192,3 +1192,52 @@ def test_e2e_replication_dedup_scd2_pipeline(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) > 200
+
+
+def test_stateful_scd2_rejects_cross_batch_time_regression():
+    """ADVICE r5: an event older than the open interval's start that
+    arrives in a LATER micro-batch must raise, not silently emit a
+    negative-length interval.  Drives the pandas kernel directly."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from pulsar_sync_java_spark.streaming.stateful import _scd2
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def batch(rows):
+        return [
+            pd.DataFrame(
+                {
+                    "user_id": [1] * len(rows),
+                    "topic": [t for _, t in rows],
+                    "event_time": pd.to_datetime(
+                        [ts for ts, _ in rows], unit="us"
+                    ),
+                    "entry_id": list(range(len(rows))),
+                }
+            )
+        ]
+
+    fn = _scd2()
+    state = FakeState()
+    # batch 1 opens an interval at t=1000us
+    list(fn((1,), batch([(1000, "a"), (2000, "b")]), state))
+    assert state.exists
+    # batch 2 regresses before the open interval's start (t=1500 < 2000)
+    with _pytest.raises(ValueError, match="older than the open interval"):
+        list(fn((1,), batch([(1500, "c")]), state))
+    # an in-order continuation still works
+    out = list(fn((1,), batch([(3000, "d")]), state))
+    assert out and (out[0]["valid_to_us"] >= out[0]["valid_from_us"]).all()
