@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -66,24 +68,93 @@ def _spread_count(df: DataFrame) -> int:
 _SPREAD_MODE_CONF = "spark.pulsar_sync.spread.mode"  # auto | always | never
 
 
+# The probe toggles the session-global AQE flag; a query planned
+# concurrently on another thread during the window would be planned
+# (and executed) with AQE off.  Query BUILD is single-threaded in this
+# repo, but the lock makes the probe safe for external callers too.
+_PROBE_LOCK = threading.Lock()
+# (applicationId, semanticHash of the analyzed plan) -> probed count.
+# Semantic equivalence implies equal physical partitioning for the
+# static plans we accept (scans + REPARTITION_BY_NUM), so the cache is
+# sound as long as the underlying files don't change between calls of
+# the SAME logical plan — true for every in-repo call site (each query
+# builds its plan once).  Bounded; cleared wholesale on overflow.
+_PROBE_CACHE: dict[tuple[str, int], int | None] = {}
+_PROBE_CACHE_MAX = 4096
+
+
 def _existing_partitions(df: DataFrame) -> int | None:
-    """Physical partition count of `df` as planned (file splits for a
-    parquet scan; static shuffle-partition count downstream of an
-    exchange).  Runs the planner but NO job.
+    """Physical partition count of `df` as planned, or ``None`` when
+    the count is unknowable or UNRELIABLE.  Runs the planner but NO
+    job, and only once per distinct logical plan (memoized on the
+    analyzed plan's semantic hash — the round-6 probe re-planned a
+    clone on EVERY call, which showed up as a uniform ~0.2-0.4 s
+    build-time creep across the sketch family).
+
+    Reliable counts: file splits for a scan-rooted plan, and the
+    explicit count of a REPARTITION_BY_NUM exchange (AQE never
+    coalesces those).  Any OTHER shuffle (ENSURE_REQUIREMENTS,
+    REPARTITION_BY_COL) reports its STATIC partition count here but
+    can be coalesced by AQE at runtime to far fewer — accepting
+    have=200 while the stage really runs ~1 task would revive exactly
+    the single-task pathology the explicit-count barrier exists to
+    prevent.  The probe therefore returns ``None`` for such plans and
+    the caller keeps its exchange.
 
     With AQE on, `Dataset.rdd` MATERIALIZES shuffle query stages —
     probing an exchange-containing input (e.g. `spread_by(signatures)`
     where the signatures already crossed a `spread`) would eagerly
     execute that shuffle and throw the result away.  So the probe plans
-    a fresh clone with adaptive execution off: partition counts are
+    a fresh clone with adaptive execution off (serialized behind a
+    module lock — the flag is session-global): partition counts are
     then static plan metadata and conversion submits zero jobs.
     `None` when the plan cannot be converted (defensive)."""
+    sess = df.sparkSession
+    try:
+        key = (
+            sess.sparkContext.applicationId,
+            int(df._jdf.queryExecution().analyzed().semanticHash()),
+        )
+    except Exception:
+        key = None
+    if key is not None:
+        hit = _PROBE_CACHE.get(key, _PROBE_CACHE)  # sentinel: cache itself
+        if hit is not _PROBE_CACHE:
+            return hit
+    with _PROBE_LOCK:
+        if key is not None:
+            hit = _PROBE_CACHE.get(key, _PROBE_CACHE)
+            if hit is not _PROBE_CACHE:
+                return hit
+        got = _probe_partitions_unlocked(df)
+        if key is not None:
+            if len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
+                _PROBE_CACHE.clear()
+            _PROBE_CACHE[key] = got
+        return got
+
+
+def _probe_partitions_unlocked(df: DataFrame) -> int | None:
     sess = df.sparkSession
     try:
         prev = sess.conf.get("spark.sql.adaptive.enabled", None)
         sess.conf.set("spark.sql.adaptive.enabled", "false")
         try:
-            return int(df.select("*")._jdf.rdd().getNumPartitions())
+            clone = df.select("*")
+            # executedPlan, not sparkPlan: EnsureRequirements (which
+            # inserts the coalescible ENSURE_REQUIREMENTS shuffles this
+            # check exists to catch) runs in the preparation phase,
+            # AFTER sparkPlan.  With AQE off this is still pure plan
+            # metadata — no job.
+            plan = clone._jdf.queryExecution().executedPlan().toString()
+            for line in plan.split("\n"):
+                if (
+                    "Exchange" in line
+                    and "BroadcastExchange" not in line
+                    and "REPARTITION_BY_NUM" not in line
+                ):
+                    return None  # coalescible shuffle: static count lies
+            return int(clone._jdf.rdd().getNumPartitions())
         finally:
             if prev is None:
                 sess.conf.unset("spark.sql.adaptive.enabled")
@@ -118,10 +189,14 @@ def spread(df: DataFrame, full: bool = False) -> DataFrame:
     test tables.  On a 1000-executor cluster reading 100 TB the scan
     has plenty of splits and this exchange is ~free relative to the
     projection it feeds (raw rows cross the wire once, before any
-    explode amplification).  It also acts as a per-branch
-    materialization barrier: a computed array column crosses the
-    exchange as plain data, so explode/size consumers above it cannot
-    inline (and re-evaluate) the array expression.  NOTE: it does NOT
+    explode amplification).  When the exchange is NOT gated away it
+    also acts as a per-branch materialization barrier: a computed
+    array column crosses the exchange as plain data, so explode/size
+    consumers above it cannot inline (and re-evaluate) the array
+    expression.  When the gate skips the exchange that barrier is
+    gone too — deterministic expressions may be re-evaluated by
+    multiple consumers (perf-only; `mode=always` is the recovery if
+    re-evaluation is ever measured to matter).  NOTE: it does NOT
     deduplicate work across self-join branches — measured under AQE,
     no ReusedExchange/stage-cache hit ever materializes for these
     DAGs, each branch recomputes its (column-pruned) subtree; see

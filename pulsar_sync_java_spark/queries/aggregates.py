@@ -83,15 +83,55 @@ def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_distinct")  # no oracle: sketch output is engine-specific
+_APPROX_DISTINCT_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+       COUNT(*) AS n_rows,
+       TRUE AS approx_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+# 5x the requested rsd: HLL++ error is ~Gaussian with sd=rsd, so 5
+# sigma leaves no realistic flake room while still failing loudly on a
+# broken sketch (which is off by whole multiples, not percent).
+_APPROX_DISTINCT_BOUND = 0.05
+
+
+@query("q_approx_distinct", oracle=_APPROX_DISTINCT_SQL)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the 100 TB path where exact
-    distinct would shuffle every key.  Deliberately rows-only checked
-    (sketch estimates differ across engines by design)."""
+    distinct would shuffle every key (the production operator is the
+    bare ``approx_count_distinct`` aggregate).
+
+    PARTIAL ORACLE (r6 verdict #5): the raw sketch estimate is
+    engine-specific (DuckDB's sketch differs by design), so instead of
+    hashing it this query hash-gates everything checkable — the group
+    key, the EXACT distinct count, the row count — plus ``approx_ok``,
+    Spark's own HLL estimate tested against the exact count at a 5%
+    bound (5 sigma at rsd=0.01); the oracle emits literal TRUE.  Both
+    engines' HLL/exact values are deterministic for fixed data, so the
+    row is hash-green, and a sketch regression >5% flips approx_ok and
+    fails the hash.  The exact co-aggregate exists only in this
+    verification query; it shares the one shuffle (Spark expands
+    DISTINCT + HLL into a single two-phase plan)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.count(F.lit(1)).alias("n_rows"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "distinct_parts",
+            "n_rows",
+            (
+                F.abs(F.col("_approx") - F.col("distinct_parts"))
+                <= F.col("distinct_parts") * F.lit(_APPROX_DISTINCT_BOUND)
+            ).alias("approx_ok"),
+        )
     )
 
 

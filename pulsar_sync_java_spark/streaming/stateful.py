@@ -497,6 +497,13 @@ SCD2_STATE_SCHEMA = StructType(
         StructField("open_from_us", LongType()),
         StructField("open_type", StringType()),
         StructField("version", IntegerType()),
+        # last event_time PROCESSED (>= open_from_us): the regression
+        # guard must compare against this, not open_from_us — a late
+        # event newer than the open interval's start but older than an
+        # already-processed SAME-type event (batch 1: 10A,30A keeps
+        # open_from=10; batch 2: 20B) is just as out-of-order and would
+        # silently diverge from the batch gaps-and-islands oracle.
+        StructField("last_seen_us", LongType()),
     ]
 )
 
@@ -507,9 +514,9 @@ def _scd2():
     ) -> Iterator[pd.DataFrame]:
         (user,) = key
         if state.exists:
-            open_from, open_type, version = state.get
+            open_from, open_type, version, last_seen = state.get
         else:
-            open_from, open_type, version = None, None, 0
+            open_from, open_type, version, last_seen = None, None, 0, None
         out: list[tuple] = []
         # one sort over the whole micro-batch — same chunk-spanning
         # argument as _funnel/_transitions
@@ -520,15 +527,20 @@ def _scd2():
             ts_us = batch["event_time"].astype("int64") // 1000
             # loud guard (same discipline as stateful_grouped_udaf's
             # state-bound raise): the sort above orders WITHIN the
-            # micro-batch only, so an event older than the open
-            # interval's start — late across a batch boundary — would
-            # silently close a negative-length interval and corrupt
-            # every later version number.  Refuse instead.
-            if open_from is not None and len(ts_us) and int(ts_us.iloc[0]) < open_from:
+            # micro-batch only, so an event older than ANY
+            # already-processed event — late across a batch boundary —
+            # would silently emit history diverging from the batch
+            # gaps-and-islands oracle (and, when older than open_from,
+            # a negative-length interval).  Refuse instead.
+            if (
+                last_seen is not None
+                and len(ts_us)
+                and int(ts_us.iloc[0]) < last_seen
+            ):
                 raise ValueError(
                     f"stateful_scd2: key {user} received event_time "
-                    f"{int(ts_us.iloc[0])}us older than the open interval's "
-                    f"start {open_from}us — cross-micro-batch event-time "
+                    f"{int(ts_us.iloc[0])}us older than the last processed "
+                    f"event {last_seen}us — cross-micro-batch event-time "
                     "ordering per key is a precondition (see docstring); "
                     "feed an ordered-per-key source or widen batches"
                 )
@@ -539,7 +551,8 @@ def _scd2():
                 elif etype != open_type:
                     out.append((int(user), open_type, open_from, ts, version))
                     open_from, open_type, version = ts, etype, version + 1
-            state.update((open_from, open_type, version))
+                last_seen = ts
+            state.update((open_from, open_type, version, last_seen))
         if out:
             yield pd.DataFrame(
                 out, columns=[f.name for f in SCD2_OUTPUT_SCHEMA]
@@ -558,11 +571,13 @@ def stateful_scd2(stream: DataFrame) -> DataFrame:
     PRECONDITION: events must arrive event-time-ordered per key
     ACROSS micro-batches (the reference's per-partition ordering
     guarantee, same contract as the other twins).  Within a
-    micro-batch the operator sorts, but an event older than the open
-    interval's start that lands in a LATER batch cannot be reordered
-    — it would close a negative-length interval — so the kernel
-    raises ``ValueError`` instead of emitting corrupted history
-    (loud-guard discipline, as in ``stateful_grouped_udaf``).
+    micro-batch the operator sorts, but an event older than the LAST
+    PROCESSED event that lands in a LATER batch cannot be reordered —
+    its history placement is already lost (and when it is older than
+    the open interval's start it would close a negative-length
+    interval) — so the kernel tracks the last processed event_time in
+    state and raises ``ValueError`` instead of emitting corrupted
+    history (loud-guard discipline, as in ``stateful_grouped_udaf``).
 
     Under that precondition the closed-interval multiset equals the
     batch gaps-and-islands query's non-current rows, including

@@ -543,6 +543,57 @@ class TestSpreadGate:
         finally:
             spark.conf.unset(_SPREAD_MODE_CONF)
 
+    def test_probe_unreliable_for_coalescible_shuffle(self, spark):
+        """Round-7 (ADVICE r6): a non-REPARTITION_BY_NUM exchange
+        (here ENSURE_REQUIREMENTS under a groupBy) reports its STATIC
+        shuffle-partition count in the plan, but AQE can coalesce it
+        to ~1 partition at runtime — so the probe must refuse
+        (return None) and the caller must KEEP its exchange, instead
+        of trusting have=200 and reviving the single-task pathology."""
+        from pulsar_sync_java_spark.operators.util import (
+            _existing_partitions,
+            spread,
+        )
+
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        # widen first: over a 1-split scan Catalyst elides the agg
+        # exchange entirely (single partition satisfies any
+        # distribution); over 8 partitions EnsureRequirements inserts
+        # the coalescible hashpartitioning shuffle this test targets
+        grouped = df.repartition(8).groupBy("doc_id").count()
+        assert _existing_partitions(grouped) is None
+        assert spread(grouped) is not grouped  # exchange kept
+
+    def test_probe_memoized_per_logical_plan(self, spark):
+        """Round-7 (VERDICT r6 #3): the planner probe runs at most
+        once per distinct logical plan — the round-6 version re-planned
+        a clone on EVERY spread()/spread_by() call, a uniform build-time
+        creep across the sketch family."""
+        from pulsar_sync_java_spark.operators import util
+
+        calls = []
+        orig = util._probe_partitions_unlocked
+        util._probe_partitions_unlocked = (
+            lambda d: (calls.append(1), orig(d))[1]
+        )
+        try:
+            util._PROBE_CACHE.clear()
+            df = spark.read.parquet(
+                f"{SF_DIR}/documents.parquet"
+            ).repartition(16)
+            assert util._existing_partitions(df) == 16
+            assert util._existing_partitions(df) == 16
+            assert len(calls) == 1, calls
+            # a REBUILT semantically-identical plan also hits the cache
+            df2 = spark.read.parquet(
+                f"{SF_DIR}/documents.parquet"
+            ).repartition(16)
+            assert util._existing_partitions(df2) == 16
+            assert len(calls) == 1, calls
+        finally:
+            util._probe_partitions_unlocked = orig
+            util._PROBE_CACHE.clear()
+
     def test_probe_submits_no_jobs_on_exchange_input(self, spark):
         """The parallelism probe must be plan-metadata only: under AQE
         a naive Dataset.rdd would EXECUTE the upstream shuffle of an

@@ -1236,8 +1236,23 @@ def test_stateful_scd2_rejects_cross_batch_time_regression():
     list(fn((1,), batch([(1000, "a"), (2000, "b")]), state))
     assert state.exists
     # batch 2 regresses before the open interval's start (t=1500 < 2000)
-    with _pytest.raises(ValueError, match="older than the open interval"):
+    with _pytest.raises(ValueError, match="older than the last processed"):
         list(fn((1,), batch([(1500, "c")]), state))
     # an in-order continuation still works
     out = list(fn((1,), batch([(3000, "d")]), state))
     assert out and (out[0]["valid_to_us"] >= out[0]["valid_from_us"]).all()
+
+    # ADVICE r6 (medium): a late event NEWER than open_from but OLDER
+    # than an already-processed SAME-type event must also raise —
+    # batch 1: 10A,30A keeps open_from=10; batch 2: 20B used to pass
+    # the open_from-only check and silently emit history diverging
+    # from the batch gaps-and-islands oracle.
+    state2 = FakeState()
+    list(fn((2,), batch([(10, "a"), (30, "a")]), state2))
+    assert state2.get[0] == 10 and state2.get[3] == 30  # open_from, last_seen
+    with _pytest.raises(ValueError, match="older than the last processed"):
+        list(fn((2,), batch([(20, "b")]), state2))
+    # equal-time arrival (ties allowed) and in-order continuation pass
+    out2 = list(fn((2,), batch([(30, "b"), (40, "a")]), state2))
+    assert out2 and len(out2[0]) == 2
+    assert (out2[0]["valid_to_us"] >= out2[0]["valid_from_us"]).all()
