@@ -433,6 +433,64 @@ def test_salted_join_equivalence(spark):
             assert got == want, (how, hot)
 
 
+def test_maybe_salt_decision_and_equivalence(spark):
+    """r6 verdict #4: maybe_salt turns q_skew_report's numbers into
+    the plain-vs-salted decision — and MUST be result-identical to the
+    plain join on BOTH sides of the decision."""
+    from pulsar_sync_java_spark.operators.skew import (
+        SkewReport,
+        maybe_salt,
+        skew_report,
+    )
+
+    hot = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(k, 0) for k in range(2, 30)],
+        "k long, payload long",
+    )
+    uniform = spark.createDataFrame(
+        [(k, i) for k in range(20) for i in range(5)],
+        "k long, payload long",
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (3, "b"), (99, "unmatched")], "k long, v string"
+    )
+
+    # the report reads the distribution correctly on both datasets
+    r_hot, r_uni = skew_report(hot, "k"), skew_report(uniform, "k")
+    assert r_hot.max_n == 500 and r_hot.n_rows == 528
+    assert r_hot.should_salt()  # top1_share = 500/528
+    assert r_uni.p50 == r_uni.p99 == 5.0
+    assert not r_uni.should_salt()
+
+    # result-identical to the plain join on BOTH decision branches,
+    # for inner and left-outer alike
+    for df, rep in ((hot, r_hot), (uniform, r_uni)):
+        for how in ("inner", "left"):
+            want = sorted(map(tuple, df.join(right, "k", how).collect()))
+            got = sorted(
+                map(tuple, maybe_salt(df, right, "k", rep, how=how).collect())
+            )
+            assert got == want, (rep, how)
+
+    # report=None computes its own probe; same answer
+    assert sorted(
+        map(tuple, maybe_salt(hot, right, "k").collect())
+    ) == sorted(map(tuple, hot.join(right, "k", "inner").collect()))
+
+    # threshold knobs are honored (force the uniform key to salt)
+    forced = maybe_salt(
+        uniform, right, "k", r_uni, skew_ratio_threshold=0.5
+    )
+    assert sorted(map(tuple, forced.collect())) == sorted(
+        map(tuple, uniform.join(right, "k", "inner").collect())
+    )
+
+    # empty input degenerates gracefully
+    empty = skew_report(hot.filter("k < 0"), "k")
+    assert empty == SkewReport(0, 0, 0.0, 0.0, 0)
+    assert not empty.should_salt()
+
+
 def test_portable_hash_columns_match_kernel_definition(spark):
     """The Column forms of the portable hashes (functions/text.py) must
     agree with the in-kernel hashlib definition the sketch UDFs and the
