@@ -51,6 +51,28 @@ _K = 8
 _ITERS = 2
 _DEC = "decimal(30,12)"
 
+# mini-batch sampling: the portable multiplicative hash shared with
+# q_sample_stratified (extras.py) — deterministic, engine-portable,
+# salted per iteration so successive mini-batches are independent
+_MB_PCT = 50
+
+
+def _mb_bucket(vec_id, salt: int):
+    """Portable per-iteration sample bucket in [0, 100) — Knuth's
+    2654435761 over (vec_id + salt), pre-reduced mod 2^31 so the
+    product stays exactly representable (the r6 overflow fix)."""
+    return (
+        ((vec_id + F.lit(salt)) % F.lit(2147483648))
+        * F.lit(2654435761)
+    ) % F.lit(4294967296) % F.lit(100)
+
+
+def _mb_bucket_sql(salt: int) -> str:
+    return (
+        f"(((vec_id + {salt}) % 2147483648) * 2654435761)"
+        " % 4294967296 % 100"
+    )
+
 
 def _dist2_dec(xcol, ccol):
     """Exact decimal squared distance between two double arrays.
@@ -178,6 +200,48 @@ FROM a2 JOIN (SELECT cluster, COUNT(*) AS cluster_size
 """
 
 
+def kmeans_assignments(
+    e: DataFrame, sample_pct: int = 100, seed_salt: int = 0
+) -> DataFrame:
+    """Shared Lloyd driver behind q_kmeans_assign (full-pass) and
+    q_kmeans_minibatch (sampled-update): K=8, 2 iterations, init = K
+    smallest vec_ids; returns (vec_id, cluster, cluster_size).
+
+    `sample_pct=100` is the exact full-pass algorithm — no filter is
+    planned at all, so the oracle-gated default's bytes are untouched.
+    Below 100, each Lloyd ITERATION scores and re-centers only the
+    rows whose portable per-iteration bucket (`_mb_bucket`, salted by
+    the iteration index) falls under `sample_pct`; the FINAL
+    assignment always runs over the full corpus.  That is the
+    mini-batch shape SCALE.md §4a names as the 100 TB upgrade: per
+    iteration the corpus-wide work drops from O(N·K·D) score +
+    O(N·D) update-shuffle to the same terms over N·pct rows, while
+    the broadcast-K-row assignment plan shape is IDENTICAL (plan
+    test covers both).  A cluster that loses every sampled member
+    keeps no centroid and drops out — deterministic in both engines
+    (the update join simply emits K' < K rows); with the data-ordered
+    init and real embeddings this does not occur at any test SF."""
+    cent = e.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("carr"),
+    )
+    for it in range(_ITERS):
+        batch = (
+            e
+            if sample_pct >= 100
+            else e.filter(
+                _mb_bucket(F.col("vec_id"), seed_salt + it) < sample_pct
+            )
+        )
+        assign = _assign(batch, cent)
+        cent = _update(batch, assign)
+    final = _assign(e, cent)
+    sizes = final.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return final.join(F.broadcast(sizes), "cluster").select(
+        "vec_id", "cluster", "cluster_size"
+    )
+
+
 @query("q_kmeans_assign", oracle=_KMEANS_SQL)
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means (K=8, 2 Lloyd iterations, init = K smallest vec_ids):
@@ -189,15 +253,93 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     the last step.  See module docstring for why each step is
     bit-reproducible across engines and partition orders."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = e.filter(F.col("vec_id") < _K).select(
-        F.col("vec_id").cast("int").alias("cluster"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("carr"),
-    )
-    for _ in range(_ITERS):
-        assign = _assign(e, cent)
-        cent = _update(e, assign)
-    final = _assign(e, cent)
-    sizes = final.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return final.join(F.broadcast(sizes), "cluster").select(
-        "vec_id", "cluster", "cluster_size"
-    )
+    return kmeans_assignments(e, sample_pct=100)
+
+
+_KMEANS_MB_SQL = f"""
+WITH pts AS (
+  SELECT vec_id, d.i AS dim, CAST(embedding[d.i] AS DOUBLE) AS x
+  FROM embeddings e,
+       (SELECT unnest(generate_series(1,
+          (SELECT MAX(len(embedding)) FROM embeddings))) AS i) d
+  WHERE d.i <= len(e.embedding)
+),
+c0 AS (
+  SELECT CAST(vec_id AS INT) AS cluster, dim, x AS c
+  FROM pts WHERE vec_id < {_K}
+),
+b0 AS (SELECT * FROM pts WHERE {_mb_bucket_sql(0)} < {_MB_PCT}),
+s0 AS (
+  SELECT p.vec_id, c.cluster,
+         SUM(CAST((p.x - c.c) * (p.x - c.c) AS DECIMAL(38,12))) AS dist
+  FROM b0 p JOIN c0 c ON p.dim = c.dim
+  GROUP BY p.vec_id, c.cluster
+),
+a0 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM s0) t WHERE rn = 1
+),
+c1 AS (
+  SELECT a.cluster, p.dim,
+         CAST(CAST(SUM(CAST(p.x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM b0 p JOIN a0 a ON p.vec_id = a.vec_id
+  GROUP BY a.cluster, p.dim
+),
+b1 AS (SELECT * FROM pts WHERE {_mb_bucket_sql(1)} < {_MB_PCT}),
+s1 AS (
+  SELECT p.vec_id, c.cluster,
+         SUM(CAST((p.x - c.c) * (p.x - c.c) AS DECIMAL(38,12))) AS dist
+  FROM b1 p JOIN c1 c ON p.dim = c.dim
+  GROUP BY p.vec_id, c.cluster
+),
+a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM s1) t WHERE rn = 1
+),
+c2 AS (
+  SELECT a.cluster, p.dim,
+         CAST(CAST(SUM(CAST(p.x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM b1 p JOIN a1 a ON p.vec_id = a.vec_id
+  GROUP BY a.cluster, p.dim
+),
+s2 AS (
+  SELECT p.vec_id, c.cluster,
+         SUM(CAST((p.x - c.c) * (p.x - c.c) AS DECIMAL(38,12))) AS dist
+  FROM pts p JOIN c2 c ON p.dim = c.dim
+  GROUP BY p.vec_id, c.cluster
+),
+a2 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM s2) t WHERE rn = 1
+)
+SELECT a2.vec_id, a2.cluster, CAST(n.cluster_size AS BIGINT) AS cluster_size
+FROM a2 JOIN (SELECT cluster, COUNT(*) AS cluster_size
+              FROM a2 GROUP BY cluster) n ON a2.cluster = n.cluster
+"""
+
+
+@query("q_kmeans_minibatch", oracle=_KMEANS_MB_SQL)
+def q_kmeans_minibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mini-batch k-means (r6 verdict #2; SCALE.md §4a upgrade path):
+    same K/iterations/init as q_kmeans_assign, but each Lloyd
+    iteration scores and re-centers only a deterministic 50%
+    portable-hash sample (salted per iteration), so at 100 TB the
+    per-round corpus passes shrink by the sample factor — SemDeDup
+    runs many rounds, and the full pass is only paid once, by the
+    final assignment.  Oracle: the same sampled algorithm unrolled as
+    CTEs, each update stage filtered by the bit-identical bucket
+    expression, so every sampled argmin and centroid is hash-gated
+    just like the full-pass query."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kmeans_assignments(e, sample_pct=_MB_PCT)

@@ -397,10 +397,11 @@ def test_kmeans_broadcasts_centroids_every_pass(spark, queries):
     K-row cross join / BroadcastHashJoin for the size join) — a
     SortMergeJoin anywhere would mean a Lloyd pass started shuffling
     the full embedding table against K rows."""
-    plan = plan_of(queries["q_kmeans_assign"](spark, SF_DIR))
-    assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan, plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    for q in ("q_kmeans_assign", "q_kmeans_minibatch"):
+        plan = plan_of(queries[q](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, q
+        assert "SortMergeJoin" not in plan, (q, plan)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
 def test_scd2_single_event_shuffle(spark, queries):
