@@ -395,6 +395,15 @@ def ivf_index_write(
     assigned.repartition("ivf_cell").write.mode("overwrite").partitionBy(
         "ivf_cell"
     ).parquet(path)
+    # sidecar metadata for the staleness contract (ivf_index_staleness):
+    # underscore-prefixed, so every parquet scan of `path` ignores it
+    # (Hadoop hidden-file convention) — works on object stores too
+    spark = df.sparkSession
+    trained = int(spark.read.parquet(path).count())  # footer-count only
+    spark.createDataFrame(
+        [(trained, int(n_centroids), int(iters), int(seed))],
+        "trained_rows long, n_centroids int, iters int, seed int",
+    ).write.mode("overwrite").parquet(f"{path}/_ivf_meta")
     return cents
 
 
@@ -455,6 +464,101 @@ def ivf_topk_indexed(
     probe = [int(i) for i in order[:nprobe]]
     cand = spark.read.parquet(path).where(F.col("ivf_cell").isin(probe))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+class IvfStaleness:
+    """Health report for a materialized IVF index (SCALE.md §5b
+    staleness contract; r6 verdict #6).  The coarse quantizer is
+    trained ONCE at `ivf_index_write` time; appends never retrain it
+    (residual error is absorbed by each probe's exact re-rank), so two
+    things decay as the corpus grows past the training snapshot:
+    probe COST (cells fill up — every probe scans more rows) and, if
+    the data distribution drifted, probe RECALL (new vectors crowd
+    into cells the query ranking then under-probes).  Both show up in
+    the two numbers here: total growth and worst-cell share."""
+
+    def __init__(
+        self,
+        trained_rows: int,
+        current_rows: int,
+        n_centroids: int,
+        occupied_cells: int,
+        max_cell_rows: int,
+    ):
+        self.trained_rows = trained_rows
+        self.current_rows = current_rows
+        self.n_centroids = n_centroids
+        self.occupied_cells = occupied_cells
+        self.max_cell_rows = max_cell_rows
+
+    @property
+    def growth(self) -> float:
+        return (
+            self.current_rows / self.trained_rows if self.trained_rows else 0.0
+        )
+
+    @property
+    def max_cell_share(self) -> float:
+        return (
+            self.max_cell_rows / self.current_rows if self.current_rows else 0.0
+        )
+
+    def should_rebuild(
+        self, growth_factor: float = 2.0, cell_share_factor: float = 4.0
+    ) -> bool:
+        """Rebuild (full `ivf_index_write` retrain) when the corpus
+        has grown past `growth_factor` x the training snapshot, or any
+        single cell holds more than `cell_share_factor` x the uniform
+        share (1/n_centroids) — the quantizer-misfit signal that makes
+        fixed-nprobe probes both slow (that cell dominates scan cost)
+        and recall-lossy (its residual radius outgrew the re-rank's
+        candidate budget).  Same decide-from-a-bounded-report pattern
+        as operators/skew.py:maybe_salt."""
+        return (
+            self.growth >= growth_factor
+            or self.max_cell_share >= cell_share_factor / self.n_centroids
+        )
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return (
+            f"IvfStaleness(trained={self.trained_rows}, "
+            f"current={self.current_rows}, growth={self.growth:.2f}, "
+            f"max_cell_share={self.max_cell_share:.3f})"
+        )
+
+
+def ivf_index_staleness(spark, path: str) -> IvfStaleness:
+    """Probe a materialized IVF index's staleness: reads the sidecar
+    `_ivf_meta` written at build time plus ONE footer-level aggregate
+    over the index (per-cell row counts — partition-column groupBy,
+    no vector bytes deserialized).  The maintenance loop a standing
+    100 TB ANN index runs between batches:
+
+        report = ivf_index_staleness(spark, path)
+        if report.should_rebuild():
+            cents = ivf_index_write(full_corpus, path, ...)   # retrain
+        else:
+            ivf_index_append(new_batch, path, cents)          # grow
+    """
+    meta = spark.read.parquet(f"{path}/_ivf_meta").collect()[0]
+    cells = (
+        spark.read.parquet(path)
+        .groupBy("ivf_cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("occupied"),
+            F.sum("n").alias("total"),
+            F.max("n").alias("max_n"),
+        )
+        .collect()[0]
+    )
+    return IvfStaleness(
+        trained_rows=int(meta["trained_rows"]),
+        current_rows=int(cells["total"] or 0),
+        n_centroids=int(meta["n_centroids"]),
+        occupied_cells=int(cells["occupied"]),
+        max_cell_rows=int(cells["max_n"] or 0),
+    )
 
 
 def embedding_near_pairs(

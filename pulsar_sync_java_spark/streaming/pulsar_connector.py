@@ -41,6 +41,14 @@ This module never imports the connector (it ships as a Spark package
 jar, not a Python dependency); `read_pulsar_stream` fails with an
 actionable message when the jar is absent, and everything else is pure
 option plumbing — unit-testable without a broker.
+
+EXECUTED, not just unit-tested (r7): `streaming/fake_pulsar.py`
+registers a Python DataSource under the real ``pulsar`` name, so
+tests/test_streaming.py drives this module's actual
+`format("pulsar")` read AND write paths end-to-end against
+directory-backed brokers — the engine's twin of the reference's
+dual-broker convergence test (`PulsarMessageSyncTest.java:38-64`),
+with the option names hard-validated inside the fake (drift guard).
 """
 
 from __future__ import annotations
@@ -122,11 +130,17 @@ def read_pulsar_stream(
     topics: str | list[str] | None = None,
     topics_pattern: str | None = None,
     starting_offsets: str = "earliest",
+    extra_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """`read_message_stream`'s broker-backed twin: a streaming DataFrame
     from live Pulsar topics, with the reference's consumer settings.
     Requires the connector jar on the Spark classpath
-    (`--packages {CONNECTOR_PACKAGE}:<version>`)."""
+    (`--packages {CONNECTOR_PACKAGE}:<version>`).
+
+    `extra_options` passes deployment-specific settings through
+    verbatim (auth/TLS `pulsar.client.*` keys on a real cluster; the
+    fake broker's storage root in tests — streaming/fake_pulsar.py,
+    which executes this exact code path end-to-end)."""
     opts = consumer_options(
         endpoint,
         subscription_name=subscription_name,
@@ -134,6 +148,7 @@ def read_pulsar_stream(
         topics_pattern=topics_pattern,
         starting_offsets=starting_offsets,
     )
+    opts.update(extra_options or {})
     try:
         return spark.readStream.format("pulsar").options(**opts).load()
     except Exception as e:
@@ -157,13 +172,16 @@ def write_pulsar_stream(
     endpoint: PulsarEndpoint,
     topic: str,
     checkpoint_dir: str,
+    extra_options: dict[str, str] | None = None,
 ):
     """`replicate`'s broker-backed sink twin: writeStream into a Pulsar
     topic with offsets committed to the checkpoint AFTER the broker
     acks — the same produce-then-ack at-least-once contract R16's file
-    sink implements."""
+    sink implements.  `extra_options` as in `read_pulsar_stream`."""
+    opts = producer_options(endpoint, topic)
+    opts.update(extra_options or {})
     return (
         df.writeStream.format("pulsar")
-        .options(**producer_options(endpoint, topic))
+        .options(**opts)
         .option("checkpointLocation", checkpoint_dir)
     )
