@@ -32,6 +32,7 @@ from pulsar_sync_java_spark.operators.multimodal import (
     resize_images,
 )
 from pulsar_sync_java_spark.operators.similarity import (
+    cosine_topk,
     embedding_near_pairs,
     ivf_topk,
     lsh_topk,
@@ -270,29 +271,75 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_pairs(e, threshold=0.95, num_planes=48, bands=6)
 
 
-@query("q_ann_lsh_topk")  # rows-only: approximate by design
+@query(
+    "q_ann_lsh_topk",
+    oracle="SELECT CAST(0 AS BIGINT) AS query_id, "
+    "CAST(10 AS BIGINT) AS n_approx, TRUE AS recall_ok",
+)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 for the vec_id=0 query via hyperplane signatures +
-    exact re-rank of the Hamming-ball candidates; recall vs the exact
-    q_sim_topk is asserted in tests/test_dedup_ops.py."""
+    exact re-rank of the Hamming-ball candidates.
+
+    PARTIAL ORACLE (r7, extending the r6-verdict q_approx_distinct
+    pattern): the neighbor set itself is not SQL-replayable (seeded
+    hyperplanes), so the query hash-gates what IS checkable — result
+    cardinality and an in-plan recall@10 >= 0.9 flag vs the exact
+    cosine_topk baseline; the oracle emits the expected literals.
+    Radius 9/16 (vs the 8/16 the sf0.1 multi-query test uses) because
+    this corpus is worst-case ISOTROPIC and the single vec_id=0 query
+    must clear 0.9 at sf0.001/0.01/0.1 alike (measured: 1.0/1.0/1.0 at
+    mh=9; 0.8/1.0/1.0 at mh=8) — on clustered real embeddings the same
+    recall comes at much smaller radii (see test_dedup_ops.py's
+    settings note).  Production dials stay quantified by the
+    recall-gate tests; this row pins the machinery end to end."""
     e = load_table(spark, sf_dir, "embeddings")
     row = e.filter(F.col("vec_id") == 0).select("embedding").first()
     qv = [float(x) for x in row.embedding]
-    return lsh_topk(e, qv, k=10, num_planes=16, max_hamming=6)
+    approx = lsh_topk(e, qv, k=10, num_planes=16, max_hamming=9)
+    exact = cosine_topk(e, qv, k=10)
+    hits = approx.join(exact.select("vec_id"), "vec_id", "inner")
+    return (
+        approx.agg(F.count(F.lit(1)).alias("n_approx"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            F.lit(0).cast("long").alias("query_id"),
+            "n_approx",
+            (F.col("n_hits") >= F.lit(9)).alias("recall_ok"),
+        )
+    )
 
 
-@query("q_ann_ivf_topk")  # rows-only: approximate by design
+@query(
+    "q_ann_ivf_topk",
+    oracle="SELECT CAST(0 AS BIGINT) AS query_id, "
+    "CAST(10 AS BIGINT) AS n_approx, TRUE AS recall_ok",
+)
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 for the vec_id=0 query via an IVF coarse quantizer
     (deterministic k-means, nprobe inverted lists, exact re-rank) —
-    the partition-pruning scale path next to the hyperplane-LSH one;
-    recall vs exact asserted in tests/test_dedup_ops.py."""
+    the partition-pruning scale path next to the hyperplane-LSH one.
+
+    Same partial-oracle shape as q_ann_lsh_topk: cardinality + in-plan
+    recall@10 >= 0.9 vs exact, hash-gated; nprobe 14/16 clears the
+    gate at every SF on this isotropic corpus (measured 0.9/1.0/1.0;
+    nprobe=10 gives 0.8 at sf0.001).  One Lloyd iteration: measured
+    identical recall to two at half the job count (the quantizer only
+    needs rough cells)."""
     e = load_table(spark, sf_dir, "embeddings")
     row = e.filter(F.col("vec_id") == 0).select("embedding").first()
     qv = [float(x) for x in row.embedding]
-    # one Lloyd iteration: measured identical recall to two on this
-    # corpus at half the job count (the quantizer only needs rough cells)
-    return ivf_topk(e, qv, k=10, n_centroids=16, nprobe=4, iters=1)
+    approx = ivf_topk(e, qv, k=10, n_centroids=16, nprobe=14, iters=1)
+    exact = cosine_topk(e, qv, k=10)
+    hits = approx.join(exact.select("vec_id"), "vec_id", "inner")
+    return (
+        approx.agg(F.count(F.lit(1)).alias("n_approx"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            F.lit(0).cast("long").alias("query_id"),
+            "n_approx",
+            (F.col("n_hits") >= F.lit(9)).alias("recall_ok"),
+        )
+    )
 
 
 _MULTIMODAL_SQL = """

@@ -557,6 +557,23 @@ def test_maybe_salt_decision_and_equivalence(spark):
     assert empty == SkewReport(0, 0, 0.0, 0.0, 0)
     assert not empty.should_salt()
 
+    # plan-shape: the decision is visible in the physical plan — the
+    # salted branch carries the __salt machinery (pmod over xxhash64 +
+    # the right side's explode replication), the plain branch must not
+    import io
+    from contextlib import redirect_stdout
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    salted_plan = plan_of(maybe_salt(hot, right, "k", r_hot))
+    plain_plan = plan_of(maybe_salt(uniform, right, "k", r_uni))
+    assert "pmod" in salted_plan and "xxhash64" in salted_plan
+    assert "pmod" not in plain_plan and "xxhash64" not in plain_plan
+
 
 def test_portable_hash_columns_match_kernel_definition(spark):
     """The Column forms of the portable hashes (functions/text.py) must
