@@ -247,6 +247,53 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_APPROX_PCT_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       TRUE AS p50_ok,
+       TRUE AS p90_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q_approx_percentiles", oracle=_APPROX_PCT_SQL)
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles (`percentile_approx`,
+    accuracy 10000) — the mergeable-sketch percentile path at 100 TB,
+    where the exact variant (q_percentiles) needs a per-group sort.
+
+    PARTIAL ORACLE (same pattern as q_approx_distinct / the ANN
+    queries): the sketch VALUE is engine-specific, so the query
+    hash-gates the group key, the row count, and rank-band flags —
+    each approx percentile must land inside the exact [q-1%, q+1%]
+    rank band (GK guarantees rank error <= 1/accuracy = 0.01%, so the
+    1% band leaves 100x slack yet still fails loudly on a broken
+    sketch, which is off by whole rank regions).  The exact band
+    percentiles are co-computed only in this verification query and
+    share the one two-phase aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("percentile_approx(l_extendedprice, 0.5, 10000)").alias("a50"),
+        F.expr("percentile_approx(l_extendedprice, 0.9, 10000)").alias("a90"),
+        F.expr("percentile(l_extendedprice, 0.49)").alias("lo50"),
+        F.expr("percentile(l_extendedprice, 0.51)").alias("hi50"),
+        F.expr("percentile(l_extendedprice, 0.89)").alias("lo90"),
+        F.expr("percentile(l_extendedprice, 0.91)").alias("hi90"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        ((F.col("a50") >= F.col("lo50")) & (F.col("a50") <= F.col("hi50"))).alias(
+            "p50_ok"
+        ),
+        ((F.col("a90") >= F.col("lo90")) & (F.col("a90") <= F.col("hi90"))).alias(
+            "p90_ok"
+        ),
+    )
+
+
 _TOPK_SQL = """
 SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
 FROM lineitem
