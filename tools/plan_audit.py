@@ -48,7 +48,7 @@ EXPECT = {
     "q_mix_budget": "one shuffle (partitionBy lang) into the running-sum Window + budget filter",
     "q_boilerplate": "one inverted-index shuffle for doc frequencies; boilerplate set joins back via broadcast",
     "q_embedding_neardup": "one persisted signature projection feeds banded bucketing + both join-backs (3x InMemoryTableScan); candidates from collect_list bucket agg; join-backs broadcast the tiny pair set",
-    "q_ann_ivf_topk": "ArrowEvalPython cluster assignment (never BatchEvalPython), IN-filter probe, TakeOrderedAndProject top-k — no join, no global sort",
+    "q_ann_ivf_topk": "ArrowEvalPython cluster assignment (never BatchEvalPython), IN-filter probe, TakeOrderedAndProject top-k; r7 recall-gate joins are k-row/1-row broadcast only — no SortMergeJoin, no global sort",
     "q_join_salted": "hot-key set broadcast to both branches (BroadcastHashJoin LeftSemi/LeftAnti); salt expansion is a Generate on the build side",
     "q_knn_join": "queries broadcast (BroadcastNestedLoopJoin BuildRight); MapInPandas partition-local top-k BEFORE the single hashpartitioning(query_id) ranking shuffle",
     "q_dedup_cluster": "contracted forest read from cache (InMemoryTableScan); contraction kernels MapInPandas; label resolution via BroadcastHashJoin only",
@@ -95,7 +95,7 @@ EXPECT = {
     "q_udf_roundtrip": "declared UDF surface: BatchEvalPython present BY DESIGN (row-at-a-time); hot-path twin is concat projection",
     "q_udtf_sentences": "declared UDTF surface: PythonUDTF via LATERAL BY DESIGN; hot-path twin is posexplode(split)",
     "q_sim_topk": "1-row query vector: BroadcastNestedLoopJoin (never CartesianProduct) + TakeOrderedAndProject",
-    "q_ann_lsh_topk": "signature via ArrowEvalPython kernel, bucket filter, TakeOrderedAndProject — no global sort",
+    "q_ann_lsh_topk": "signature kernel + Hamming-ball filter, TakeOrderedAndProject; r7 recall-gate joins are k-row/1-row broadcast only — no global sort",
     "q_simhash": "chunk index Generate + bucket ObjectHashAggregate; verify by bit_count — no all-pairs",
     "q_ngram_jaccard": "shingle arrays cached (InMemoryTableScan); ONE inverted-index shuffle; sizes join back broadcast",
     "q_dedup_keepers": "signatures cached; banded candidates via hash join; contraction MapInPandas; labels broadcast back",
@@ -122,6 +122,8 @@ EXPECT = {
     "q_snapshot_diff": "CDC classification: one FullOuter sort-merge join on the key + a tiny per-class aggregate; both snapshot filters pushed to the scan",
     "q_trend_ols": "ONE partial+final moments aggregate (sums-row per type through the shuffle); OLS slope/intercept are per-group constant expressions",
     "q_kmeans_assign": "every Lloyd pass joins the K-row centroid table via BROADCAST (BNLJ for the cross join, BHJ for sizes) — no SortMergeJoin anywhere; update pass is a partial+final (cluster,dim) decimal aggregate",
+    "q_kmeans_minibatch": "same broadcast-centroid Lloyd shape; each update pass additionally carries the portable sample filter INSIDE the scan stage (no extra exchange); final assignment full-corpus",
+    "q_approx_percentiles": "GK sketch + exact band percentiles fused in ONE ObjectHashAggregate pass — one shuffle of sketch state, flags are per-group constant expressions",
     "q_scd2_history": "gaps-and-islands SCD2: both windows share ONE (user_id) hashpartitioning exchange; change-point filter between them",
     "q_unigram_score": "tokenize scan -> (token) vocabulary aggregate -> token equi-join (never nested loop) -> (doc) final aggregate, partials map-side throughout",
     "q_quality_funnel": "single scan, cumulative-AND COUNT FILTER partials, one (source) exchange of count rows",
