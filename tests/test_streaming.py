@@ -518,6 +518,71 @@ def test_format_pulsar_binding_end_to_end(spark, tmp_path):
     assert os.path.exists(subscription_path(src_root, "pulsar-sync"))
 
 
+def test_format_pulsar_pattern_subscription_exactly_once(spark, tmp_path):
+    """The other half of the consumer contract through the live
+    binding: topicsPattern multi-topic subscription (the reference's
+    namespace-wide sync: one worker owns every matching topic), feeding
+    replicate_exactly_once into a keyed parquet sink — and a checkpoint
+    WIPE replay (the transport redelivers everything) still appends
+    nothing, proving the table-level exactly-once survives the
+    at-least-once fake transport."""
+    import os
+
+    from pulsar_sync_java_spark.streaming.fake_pulsar import (
+        STORAGE_ROOT_OPTION,
+        register_fake_pulsar,
+        topic_dir,
+    )
+    from pulsar_sync_java_spark.streaming.pulsar_connector import (
+        PulsarEndpoint,
+        read_pulsar_stream,
+    )
+    from pulsar_sync_java_spark.streaming.replicate import (
+        replicate_exactly_once,
+    )
+
+    register_fake_pulsar(spark)
+    root = str(tmp_path / "broker")
+    os.makedirs(root)
+    msgs = build_messages(spark)
+    # one fake-broker topic per event type, reference topic naming
+    for t in ("view", "click"):
+        msgs.filter(F.col("topic") == t).coalesce(1).write.parquet(
+            topic_dir(root, f"persistent://public/default/{t}")
+        )
+    n_expected = msgs.filter(F.col("topic").isin("view", "click")).count()
+
+    sink = str(tmp_path / "sink")
+
+    def run(ckpt):
+        stream = read_pulsar_stream(
+            spark,
+            PulsarEndpoint("broker"),
+            subscription_name="ns-sync",
+            topics_pattern=r"persistent://public/default/(view|click)",
+            extra_options={STORAGE_ROOT_OPTION: root},
+        )
+        q = (
+            replicate_exactly_once(stream, sink, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "ckpt1"))
+    out = spark.read.parquet(sink)
+    assert out.count() == n_expected
+    assert set(
+        r.topic for r in out.select("topic").distinct().collect()
+    ) == {"view", "click"}
+
+    # checkpoint wipe: a FRESH checkpoint replays the entire broker
+    # history; the keyed idempotent sink must drop every duplicate
+    run(str(tmp_path / "ckpt2"))
+    out = spark.read.parquet(sink)
+    assert out.count() == n_expected
+
+
 def test_stateful_sampler_matches_greedy_oracle(spark, message_dir):
     """applyInPandasWithState sampler == a driver-side replay of the
     reference's greedy gate + put-time eviction
