@@ -600,6 +600,41 @@ class TestSpreadGate:
             util._probe_partitions_unlocked = orig
             util._PROBE_CACHE.clear()
 
+    def test_sketch_results_invariant_across_spread_modes(self, spark, queries):
+        """The gate must be a pure PERFORMANCE decision: every
+        spread-fed sketch query returns byte-identical rows whether
+        the exchange always fires, never fires, or the gate decides
+        (auto) — i.e. on a 1-split laptop scan and a 10^5-split
+        cluster scan alike.  This is the cluster-shape equivalence
+        claim behind skipping the exchange at 100 TB."""
+        from pulsar_sync_java_spark.operators.util import _SPREAD_MODE_CONF
+
+        fam = [
+            "q_minhash_lsh",
+            "q_ngram_jaccard",
+            "q_simhash",
+            "q_containment_dedup",
+            "q_embedding_neardup",
+        ]
+        results: dict[str, dict[str, list]] = {}
+        try:
+            for mode in ("auto", "always", "never"):
+                spark.conf.set(_SPREAD_MODE_CONF, mode)
+                for name in fam:
+                    rows = sorted(
+                        map(tuple, queries[name](spark, SF_DIR).collect())
+                    )
+                    results.setdefault(name, {})[mode] = rows
+        finally:
+            spark.conf.unset(_SPREAD_MODE_CONF)
+        for name, by_mode in results.items():
+            assert by_mode["auto"] == by_mode["always"] == by_mode["never"], name
+            # non-vacuous — except q_embedding_neardup, whose exact
+            # answer at this SF is empty BY DESIGN (near-orthogonal
+            # corpus pins the no-false-positive side; see its docstring)
+            if name != "q_embedding_neardup":
+                assert len(by_mode["auto"]) > 0, name
+
     def test_probe_submits_no_jobs_on_exchange_input(self, spark):
         """The parallelism probe must be plan-metadata only: under AQE
         a naive Dataset.rdd would EXECUTE the upstream shuffle of an
