@@ -333,23 +333,52 @@ def test_pulsar_connector_option_mapping():
     assert w["service.url"] == "pulsar://broker-1:6650"
 
 
-def test_pulsar_stream_without_jar_fails_actionably(spark):
+def test_pulsar_stream_without_jar_fails_actionably():
     """Without the connector jar, read_pulsar_stream must raise the
-    actionable --packages message, not a bare ClassNotFoundException.
+    actionable --packages message, not a bare ClassNotFoundException —
+    while every OTHER load failure surfaces verbatim (masking a bad
+    URL behind --packages advice sends the operator debugging the
+    wrong thing).
 
-    ORDER-DEPENDENT: must run BEFORE any test that calls
-    register_fake_pulsar — registration of the Python `pulsar` source
-    is session-global and irreversible, after which this load
-    succeeds.  pytest runs file order, and every registering test sits
-    BELOW this one."""
+    Driven through stub sessions rather than the live one: the fake
+    broker tests register a Python source under the real `pulsar`
+    name, and that registration is session-global and irreversible —
+    a live-session jar-absent load can no longer be produced once any
+    of them has run."""
     from pulsar_sync_java_spark.streaming.pulsar_connector import (
         PulsarEndpoint,
         read_pulsar_stream,
     )
 
+    class _Reader:
+        def __init__(self, exc):
+            self._exc = exc
+
+        def format(self, _):
+            return self
+
+        def options(self, **_):
+            return self
+
+        def load(self):
+            raise self._exc
+
+    class _Spark:
+        def __init__(self, exc):
+            self.readStream = _Reader(exc)
+
+    jar_absent = Exception(
+        "[DATA_SOURCE_NOT_FOUND] Failed to find data source: pulsar."
+    )
     with pytest.raises(RuntimeError, match="--packages"):
         read_pulsar_stream(
-            spark, PulsarEndpoint("localhost"), topics="t"
+            _Spark(jar_absent), PulsarEndpoint("localhost"), topics="t"
+        )
+
+    other = ValueError("Unable to connect: bad service url")
+    with pytest.raises(ValueError, match="bad service url"):
+        read_pulsar_stream(
+            _Spark(other), PulsarEndpoint("localhost"), topics="t"
         )
 
 
