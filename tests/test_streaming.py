@@ -1521,3 +1521,78 @@ def test_stateful_scd2_rejects_cross_batch_time_regression():
     out2 = list(fn((2,), batch([(30, "b"), (40, "a")]), state2))
     assert out2 and len(out2[0]) == 2
     assert (out2[0]["valid_to_us"] >= out2[0]["valid_from_us"]).all()
+
+
+def test_stateful_retention_matches_batch_cohorts(spark, tmp_path):
+    """Streaming cohort-retention twin vs the batch q_retention_cohort
+    shape on the same events, consumed in TWO event-time-ordered
+    micro-batch runs: the emitted (user, cohort, offset) increments —
+    including offsets whose first activity lands in the second run,
+    stitched by the carried (cohort, mask) state — must aggregate to
+    exactly the batch matrix, and each increment must be emitted
+    exactly once."""
+    import glob
+    import os
+    import shutil
+
+    from pulsar_sync_java_spark.streaming.stateful import stateful_retention
+
+    msgs = build_messages(spark)
+    cut = msgs.agg(
+        F.expr("percentile(unix_micros(event_time), 0.5)")
+    ).collect()[0][0]
+    src = str(tmp_path / "src")
+    halves = [
+        msgs.where(F.unix_micros("event_time") <= cut),
+        msgs.where(F.unix_micros("event_time") > cut),
+    ]
+    for i, half in enumerate(halves):
+        staged = str(tmp_path / f"stage{i}")
+        half.coalesce(1).write.parquet(staged)
+        os.makedirs(src, exist_ok=True)
+        for f in glob.glob(staged + "/part-*.parquet"):
+            shutil.copy(f, os.path.join(src, f"batch{i}.parquet"))
+        q = (
+            stateful_retention(read_message_stream(spark, src))
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "inc"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    inc = spark.read.parquet(str(tmp_path / "inc"))
+    # exactly-once increments: one row per (user, offset)
+    assert (
+        inc.groupBy("user_id", "day_offset").count().filter("count > 1").count()
+        == 0
+    )
+    got = sorted(
+        map(
+            tuple,
+            inc.groupBy("cohort_day", "day_offset")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .collect(),
+        )
+    )
+    f = msgs.groupBy(F.col("ledger_id").alias("u")).agg(
+        F.min(F.to_date("event_time")).alias("cohort")
+    )
+    a = msgs.select(
+        F.col("ledger_id").alias("u"), F.to_date("event_time").alias("day")
+    ).distinct()
+    want = sorted(
+        map(
+            tuple,
+            a.join(f, "u")
+            .groupBy(
+                F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+                F.datediff("day", "cohort").cast("int").alias("day_offset"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 20
