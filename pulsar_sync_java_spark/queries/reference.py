@@ -314,3 +314,49 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).isNull().alias("is_current"),
         F.row_number().over(w).cast("int").alias("version"),
     )
+
+
+# ------------------------------------------------------ MERGE apply
+
+_MERGE_APPLY_SQL = """
+SELECT o_orderkey AS k,
+       o_totalprice + (CASE WHEN o_orderkey % 5 = 0 THEN 1.0 ELSE 0.0 END) AS v
+FROM orders WHERE o_orderkey % 13 <> 0
+"""
+
+
+@query("q_merge_apply", oracle=_MERGE_APPLY_SQL)
+def q_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE apply — the write side of q_snapshot_diff's change
+    derivation: diff the same old/new order-snapshot slices into an
+    insert/update/delete feed (`operators/merge.py:keyed_diff`), then
+    apply that feed back onto the OLD snapshot with
+    `merge_apply` and return the applied snapshot.
+
+    The oracle is simply the NEW snapshot itself, so the driver's hash
+    gate proves the roundtrip identity apply(diff(old, new), old) ==
+    new row-for-row — the convergence property a replication sink
+    MERGE must satisfy (the reference's additive-only special case is
+    plans/catalog_diff.py; see operators/merge.py for the lineage).
+
+    Scale shape: the diff full-outer-joins the two snapshots (one
+    shuffle each at scale); the APPLY never shuffles the base — the
+    touched-key set (CDC-batch-sized) is broadcast into a LEFT ANTI
+    probe and the upsert images are unioned on, so a 100 TB base pays
+    one scan, no exchange, no sort (plan-asserted in
+    tests/test_merge_apply.py)."""
+    from pulsar_sync_java_spark.operators.merge import keyed_diff, merge_apply
+
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v")
+    )
+    new = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 5 == 0, 1.0).otherwise(0.0)
+        ).alias("v"),
+    )
+    changes = keyed_diff(old, new, ["k"])
+    return merge_apply(old, changes, ["k"])
