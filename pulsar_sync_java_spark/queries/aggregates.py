@@ -468,3 +468,48 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+# ----------------------------------------------------- heavy hitters
+
+_HEAVY_HITTERS_SQL = """
+WITH s AS (
+  SELECT CASE WHEN o_orderkey % 4 < 2 THEN o_custkey % 8
+              ELSE o_custkey END AS k
+  FROM orders
+), c AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM s GROUP BY k
+), tot AS (SELECT CAST(SUM(n_occurrences) AS BIGINT) AS total FROM c)
+SELECT k, n_occurrences,
+       CAST(n_occurrences AS DOUBLE)
+         / CAST((SELECT total FROM tot) AS DOUBLE) AS share
+FROM c
+WHERE n_occurrences >= CEIL(0.01 * (SELECT total FROM tot))
+"""
+
+
+@query("q_heavy_hitters", oracle=_HEAVY_HITTERS_SQL)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items mining: every key holding >= 1% of all orders,
+    via the mergeable Misra-Gries sketch + exact re-verify
+    (`operators/heavy_hitters.py`).  The key plants scale-stable skew
+    on the otherwise-uniform synthetic data (the q_fk_integrity
+    planted-degradation idiom): half the rows collapse onto 8 hot
+    buckets (~6% each), the rest stay on ~1500 cold custkeys (~0.03%
+    each), so the sketch genuinely prunes at every sf.
+
+    The output is EXACT — the sketch only proposes a guaranteed
+    superset of candidates and the broadcast exact-verify pass trims
+    it — so the oracle is the plain GROUP BY + HAVING, hash-green,
+    while the engine never shuffles the full key space: P*(k+1)
+    summary rows plus O(P * |candidates|) verify partials
+    (completing the sketch family beside HLL, GK percentiles,
+    MinHash/SimHash and the bloom semi join)."""
+    from pulsar_sync_java_spark.operators.heavy_hitters import heavy_hitters
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 4 < 2, F.col("o_custkey") % 8)
+        .otherwise(F.col("o_custkey"))
+        .alias("hh_key")
+    )
+    return heavy_hitters(o, "hh_key", phi=0.01)
