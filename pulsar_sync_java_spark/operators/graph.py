@@ -542,3 +542,83 @@ def tree_roots(
         out = out.localCheckpoint()
         state.unpersist()
     return out
+
+
+def count_triangles(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
+    """Exact triangle count of an undirected simple graph, degree-
+    oriented so no join ever fans out on a hub node's full
+    neighborhood.
+
+    `edges` carries one row per undirected edge as (src, dst) longs —
+    direction and duplicates are normalized away here.  The classic
+    scale hazard is enumeration through hubs: joining raw edge lists
+    pivots C(deg, 2) wedges through every node, and a 10^6-degree hub
+    at 100 TB is 10^12 wedges.  The standard fix (node-iterator with
+    degree orientation): orient every edge from the (degree, id)-
+    SMALLER endpoint to the larger, so each node's out-degree is
+    bounded by O(sqrt(|E|)) on any graph — wedge count collapses from
+    sum(deg^2) to arboricity-bounded sum(outdeg^2) — and each triangle
+    survives as exactly ONE directed wedge a->b, b->c closed by a->c.
+
+    Shuffle budget: edge normalization, the degree aggregate + its
+    equi-joins back onto the edges (node-sized — deliberately NOT
+    broadcast-hinted; AQE converts them at small scale and they ride
+    sort-merge at 10^9 nodes), the wedge self-join on the pivot node,
+    and the closing semi-check.  `max_degree` (optional) raises loudly if any
+    ORIENTED out-degree still exceeds the bound — the skew tripwire
+    idiom (operators/fuzzy.py max_bucket).
+
+    Returns one row: (n_nodes, n_edges, n_triangles).
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    both = e.select(F.col("a").alias("node")).unionAll(
+        e.select(F.col("b").alias("node"))
+    )
+    deg = both.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    # orient by (deg, id): lo endpoint -> hi endpoint
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    ranked = e.join(da, "a").join(db, "b")
+    lo_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    if max_degree is not None:
+        hot = (
+            oriented.groupBy("lo")
+            .agg(F.count(F.lit(1)).alias("od"))
+            .filter(F.col("od") > max_degree)
+            .limit(1)
+            .collect()
+        )
+        if hot:
+            raise ValueError(
+                f"count_triangles: oriented out-degree {hot[0]['od']} of node "
+                f"{hot[0]['lo']} exceeds max_degree={max_degree} — the graph "
+                "is denser than the declared bound; raise max_degree or "
+                "pre-filter hub nodes"
+            )
+    # wedges (m, c) pivoting on lo: each unordered out-neighbor pair
+    # once, via the m < c id order
+    o1 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("m"))
+    o2 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("c"))
+    wedges = o1.join(o2, "w").filter(F.col("m") < F.col("c"))
+    closing = e.select(
+        F.least("a", "b").alias("m"), F.greatest("a", "b").alias("c")
+    ).distinct()
+    tri = wedges.join(closing, ["m", "c"], "left_semi")
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
+        .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )

@@ -114,7 +114,11 @@ def heavy_hitters(
         raise ValueError(f"phi must be in (0,1), got {phi}")
     if k is None:
         k = math.ceil(2.0 / phi)
-    summaries = mg_summaries(df, key_col, k)
+    # The P*(k+1)-row summary table is consumed twice (meta scalars
+    # now, candidate cut inside the returned plan) — persist it so the
+    # corpus sketch pass runs ONCE; the meta collect below materializes
+    # the cache, leaving execution with just the verify re-scan.
+    summaries = mg_summaries(df, key_col, k).persist()
     meta = summaries.filter(F.col("k").isNull()).agg(
         F.sum("n").alias("total"), F.sum("err").alias("err_total")
     )

@@ -814,3 +814,59 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "fk", "n_rows", "n_orphans", "orphan_rate", "sample_orphan_key"
     )
+
+
+# ---------------------------------------------------- triangle count
+
+_TRIANGLE_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0
+), e AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM li l1 JOIN li l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+), tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT (SELECT CAST(COUNT(DISTINCT node) AS BIGINT)
+          FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT n FROM tri) AS n_triangles
+"""
+
+
+@query("q_triangle_count", oracle=_TRIANGLE_SQL)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the part co-purchase graph (parts
+    sharing an order on a deterministic 1/5 order slice — the slice
+    keeps the bench-scale wedge volume ~25x below the full graph while
+    staying dense at every sf: ~325k triangles at sf0.1).
+
+    Completes the graph-analytics family (PageRank iteration,
+    connected-components contraction, recursive tree closure) with the
+    clustering/cohesion primitive.  The engine path is
+    `operators/graph.py:count_triangles`: DEGREE-ORIENTED node-
+    iterator — every edge points from its (degree, id)-smaller
+    endpoint, bounding each pivot's fan-out by O(sqrt(|E|)) regardless
+    of hub degree, so the wedge self-join never explodes on the
+    celebrity node that kills naive enumeration at 100 TB; the oracle
+    is the textbook a<b<c three-way join."""
+    from pulsar_sync_java_spark.operators.graph import count_triangles
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+    )
+    return count_triangles(pairs)

@@ -372,3 +372,66 @@ def q_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jvm.join(pnd, "l_returnflag").select(
         "l_returnflag", "n", "mad_price", "median_price"
     )
+
+
+# ----------------------------------------------------- JSON salvage
+
+_JSON_SALVAGE_SQL = """
+WITH m AS (
+  SELECT event_type,
+         CASE WHEN event_id % 23 = 0
+              THEN substr(props, 1, length(props) - 1)
+              ELSE props END AS p
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(*) FILTER (json_valid(p)) AS BIGINT) AS n_valid,
+       CAST(COUNT(*) FILTER (NOT json_valid(p)) AS BIGINT) AS n_corrupt,
+       CAST(SUM(CASE WHEN json_valid(p)
+                     THEN CAST(json_extract_string(p, '$.k') AS BIGINT)
+                END) AS BIGINT) AS sum_k_valid,
+       CAST(COUNT(*) FILTER (json_valid(p)) AS DOUBLE) / COUNT(*) AS valid_rate
+FROM m GROUP BY event_type
+"""
+
+
+@query("q_json_salvage", oracle=_JSON_SALVAGE_SQL)
+def q_json_salvage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant JSON ingestion audit — the schema-drift reality
+    of any long-lived feed: a deterministic slice of `props` payloads
+    is truncated (planted corruption, the q_fk_integrity idiom), and
+    the parse goes through Spark's REAL corrupt-record channel —
+    `from_json` in PERMISSIVE mode with `columnNameOfCorruptRecord` —
+    rather than a fragile null-check on one extracted field (which
+    cannot tell a malformed document from a valid one missing the
+    key).  Per event_type: totals, valid/corrupt splits, the exact sum
+    of the salvaged field over VALID rows only, and the valid rate.
+
+    Non-circular validation: the oracle decides validity with DuckDB's
+    independent `json_valid`, so the hash gate cross-checks two
+    unrelated JSON parsers' notions of malformed.  Scale shape: one
+    projection + one partial+final aggregate — corrupt handling adds
+    zero extra passes, and PERMISSIVE parsing quarantines bad payloads
+    per-row instead of failing the 100 TB job (the salvage contract a
+    pipeline needs when 0.001% of a feed is garbage)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = F.when(
+        F.col("event_id") % 23 == 0,
+        F.expr("substring(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(
+        p,
+        "k bigint, _corrupt_record string",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    d = ev.select("event_type", parsed.alias("j"))
+    valid = F.col("j._corrupt_record").isNull()
+    n_valid = F.count_if(valid)
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        n_valid.alias("n_valid"),
+        F.count_if(~valid).alias("n_corrupt"),
+        F.sum(F.when(valid, F.col("j.k"))).alias("sum_k_valid"),
+        (n_valid.cast("double") / F.count(F.lit(1))).alias("valid_rate"),
+    )
