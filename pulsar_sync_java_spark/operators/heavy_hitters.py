@@ -109,6 +109,13 @@ def heavy_hitters(
     heavy hitter can be pruned even before the measured-error
     tightening.  Returns (key, n_occurrences, share) with exact
     counts; share is one IEEE division of two exact longs.
+
+    Cache posture (the pagerank precedent): the persisted summary
+    table is P*(k+1) rows and plan-matched across repeated calls on
+    the same input — one bounded entry per (input, k) is the declared
+    steady state; there is deliberately no unpersist, since dropping
+    it would re-run the corpus sketch pass on the returned plan's next
+    execution.
     """
     if not 0 < phi < 1:
         raise ValueError(f"phi must be in (0,1), got {phi}")

@@ -87,6 +87,7 @@ def merge_apply(
     key_cols: list[str],
     op_col: str = "op",
     broadcast_changes: bool = True,
+    validate_ops: bool = True,
 ) -> DataFrame:
     """Apply a classified change feed to a keyed snapshot.
 
@@ -96,9 +97,27 @@ def merge_apply(
     be unique per snapshot and per feed (CDC batch semantics — the
     compacted last-image feed, not a raw event log).
 
-    Result = base rows whose key is untouched by the feed, plus the
-    insert/update images.  Column order follows `base`.
+    An op outside MERGE_OPS would otherwise be treated as touched-but-
+    not-upserted — silently DELETING the row — so by default the feed
+    is screened first (`validate_ops`: one limit(1) job over the
+    CDC-batch-sized feed, trivial next to the apply; pass False when a
+    caller already constrains the column, e.g. straight from
+    keyed_diff).
     """
+    if validate_ops:
+        bad = (
+            changes.filter(
+                F.col(op_col).isNull() | ~F.col(op_col).isin(*MERGE_OPS)
+            )
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"merge_apply: change feed contains op "
+                f"{bad[0][op_col]!r} outside {MERGE_OPS} — refusing to "
+                "apply (an unknown op would silently delete its row)"
+            )
     out_cols = [c for c in base.columns if c != op_col]
     touched = changes.filter(F.col(op_col) != "unchanged").select(
         *[F.col(k) for k in key_cols]

@@ -359,4 +359,7 @@ def q_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     changes = keyed_diff(old, new, ["k"])
-    return merge_apply(old, changes, ["k"])
+    # ops come straight from keyed_diff's CASE — constrained by
+    # construction, so skip the screening job (it would re-run the
+    # full-outer diff once just to look for an impossible op)
+    return merge_apply(old, changes, ["k"], validate_ops=False)

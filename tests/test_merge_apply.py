@@ -97,6 +97,22 @@ def test_unchanged_rows_are_noops_and_schema_mismatch_raises(spark):
         keyed_diff(old, old.select("v", "k"), ["k"])
 
 
+def test_unknown_or_null_op_refused(spark):
+    """A typo'd or null op would silently delete its row (touched but
+    never upserted) — merge_apply must refuse the feed instead."""
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    for bad_op in ["Insert", None]:
+        feed = spark.createDataFrame(
+            [(1, "x", bad_op)], "k long, v string, op string"
+        )
+        with pytest.raises(ValueError, match="refusing to apply"):
+            merge_apply(old, feed, ["k"])
+    # and the hazard the validation exists for is real: with the
+    # escape hatch engaged, the typo'd op silently deletes its row
+    feed = spark.createDataFrame([(1, "x", "Insert")], "k long, v string, op string")
+    assert rows(merge_apply(old, feed, ["k"], validate_ops=False)) == [(2, "b")]
+
+
 def test_apply_plan_never_shuffles_base(spark, tmp_path):
     """The 100 TB contract: with broadcast_changes=True the base side
     reaches the anti join scan-direct — no Exchange, no Sort anywhere
