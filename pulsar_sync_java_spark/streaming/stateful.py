@@ -30,7 +30,7 @@ from __future__ import annotations
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -731,4 +731,137 @@ def stateful_retention(stream: DataFrame) -> DataFrame:
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+# ---------------------------------------------------- heavy hitters
+
+HH_SUMMARY_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("version", LongType()),
+        StructField("k", LongType()),  # null on the per-shard meta row
+        StructField("n", LongType()),  # lower bound / meta: rows seen
+        StructField("err", LongType()),  # 0 / meta: decrement bound
+    ]
+)
+
+HH_STATE_SCHEMA = StructType(
+    [
+        StructField("keys", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("err", LongType()),
+        StructField("n", LongType()),
+        StructField("version", LongType()),
+    ]
+)
+
+
+def _hh_kernel(cap: int):
+    from collections import Counter
+
+    from pulsar_sync_java_spark.operators.heavy_hitters import _compress
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (shard,) = key
+        if state.exists:
+            keys, counts, err, n, version = state.get
+            mg = Counter(dict(zip(keys, counts)))
+        else:
+            mg, err, n, version = Counter(), 0, 0, 0
+        for pdf in pdfs:
+            vc = pdf["k"].value_counts()
+            n += int(vc.sum())
+            for kk, c in vc.items():
+                mg[int(kk)] += int(c)
+            if len(mg) > 4 * cap:
+                mg, d = _compress(mg, cap)
+                err += d
+        mg, d = _compress(mg, cap)
+        err += d
+        version += 1
+        state.update(
+            (list(map(int, mg)), [int(c) for c in mg.values()], err, n, version)
+        )
+        rows = [(int(shard), version, int(kk), int(c), 0) for kk, c in mg.items()]
+        rows.append((int(shard), version, None, n, err))
+        yield pd.DataFrame(rows, columns=[f.name for f in HH_SUMMARY_SCHEMA])
+
+    return fn
+
+
+def stateful_heavy_hitters(
+    stream: DataFrame,
+    key_col: str = "ledger_id",
+    k: int = 256,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Streaming twin of `operators/heavy_hitters.py`: an always-on
+    Misra-Gries summary of the message feed's key distribution,
+    maintained as keyed state and re-published every micro-batch.
+
+    The key space is hash-sharded so state parallelism scales with
+    `n_shards` while each key lives in EXACTLY ONE shard — the merged
+    candidate cut can therefore use the owning shard's measured error
+    alone (tighter than the batch operator's global bound).  Per shard
+    the state is one bounded struct (<= k keys/counts + 3 longs) and
+    each micro-batch emits the current summary tagged with a
+    monotonically increasing version: downstream keeps the max-version
+    rows per shard (`merge_shard_summaries`) and gets, at any moment,
+    a candidate superset of every key with frequency >= phi * rows
+    seen so far.  Counts are order-free, so unlike the SCD2/retention
+    twins this kernel needs NO cross-batch event-time precondition,
+    and replays after a checkpoint restart converge to identical
+    summaries (equivalence-tested across a two-run split in
+    tests/test_streaming.py).
+
+    At 100 TB feed scale: state is O(n_shards * k) regardless of
+    volume, each micro-batch shuffles only its own rows once (by
+    shard) and publishes n_shards * (k+1) summary rows — the exact
+    re-verify against the accumulated corpus stays a BATCH job over
+    the lakehouse copy (the operator module's verify pass), scheduled
+    as often as the freshness SLA needs."""
+    keyed = stream.select(
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        F.col(key_col).cast("long").alias("k"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _hh_kernel(k),
+        outputStructType=HH_SUMMARY_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def merge_shard_summaries(summaries: DataFrame, phi: float) -> DataFrame:
+    """Batch-side read of the published summaries: latest version per
+    shard, then the per-shard-error candidate cut.  Returns candidate
+    keys (a guaranteed superset of all keys with freq >= ceil(phi *
+    total rows seen)) with their lower-bound counts — feed them to an
+    exact count over the accumulated corpus to finish, exactly like
+    the batch operator's verify pass."""
+    latest = summaries.withColumn(
+        "__maxv",
+        F.max("version").over(Window.partitionBy("shard")),
+    ).filter(F.col("version") == F.col("__maxv"))
+    meta = latest.filter(F.col("k").isNull()).select(
+        "shard", F.col("n").alias("shard_n"), F.col("err").alias("shard_err")
+    )
+    total_row = meta.agg(F.sum("shard_n").alias("t")).collect()[0]
+    total = int(total_row["t"] or 0)
+    import math
+
+    threshold = math.ceil(phi * total)
+    return (
+        latest.filter(F.col("k").isNotNull())
+        .groupBy("shard", "k")
+        .agg(F.sum("n").alias("lb"))
+        .join(meta, "shard")
+        .filter(F.col("lb") + F.col("shard_err") >= F.lit(threshold))
+        .select("k", "lb")
     )

@@ -1596,3 +1596,98 @@ def test_stateful_retention_matches_batch_cohorts(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 20
+
+
+def test_stateful_heavy_hitters_matches_batch(spark, tmp_path):
+    """Streaming MG twin vs the batch heavy_hitters operator: feed the
+    planted-skew key stream in TWO checkpointed availableNow runs, keep
+    the latest published summary per shard, candidate-cut + exact
+    verify — the final heavy-hitter set and counts must equal both the
+    batch operator and the exact GROUP BY, and the published state must
+    stay bounded by k per shard."""
+    import glob
+    import os
+    import shutil
+
+    from pulsar_sync_java_spark.operators.heavy_hitters import heavy_hitters
+    from pulsar_sync_java_spark.streaming.stateful import (
+        merge_shard_summaries,
+        stateful_heavy_hitters,
+    )
+
+    # planted skew on the message key: half the rows collapse to 4 hot
+    # user buckets (the q_heavy_hitters idiom)
+    def skewed(df):
+        return df.withColumn(
+            "hh_key",
+            F.when(F.col("entry_id") % 2 == 0, F.col("ledger_id") % 4)
+            .otherwise(F.col("ledger_id")),
+        )
+
+    msgs = skewed(build_messages(spark))
+    src = str(tmp_path / "src")
+    halves = [
+        msgs.where(F.col("entry_id") % 3 == 0),
+        msgs.where(F.col("entry_id") % 3 != 0),
+    ]
+    phi, cap = 0.02, 32
+    for i, half in enumerate(halves):
+        staged = str(tmp_path / f"stage{i}")
+        half.coalesce(1).write.parquet(staged)
+        os.makedirs(src, exist_ok=True)
+        for f in glob.glob(staged + "/part-*.parquet"):
+            shutil.copy(f, os.path.join(src, f"batch{i}.parquet"))
+        q = (
+            stateful_heavy_hitters(
+                spark.readStream.schema(msgs.schema).parquet(src),
+                key_col="hh_key",
+                k=cap,
+                n_shards=4,
+            )
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "summ"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    summ = spark.read.parquet(str(tmp_path / "summ"))
+    # bounded state: latest summary per shard carries <= cap keys
+    latest_sizes = (
+        summ.filter("k IS NOT NULL")
+        .groupBy("shard", "version")
+        .count()
+        .groupBy("shard")
+        .agg(F.max("count").alias("mx"))
+        .collect()
+    )
+    assert latest_sizes and all(r["mx"] <= cap for r in latest_sizes)
+
+    cand = merge_shard_summaries(summ, phi)
+    corpus = msgs.select(F.col("hh_key").cast("long").alias("k"))
+    total = corpus.count()
+    import math
+
+    thr = math.ceil(phi * total)
+    got = {
+        (r["k"], r["n"])
+        for r in corpus.join(F.broadcast(cand.select("k")), "k", "left_semi")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= thr)
+        .collect()
+    }
+    exact = {
+        (r["k"], r["n"])
+        for r in corpus.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= thr)
+        .collect()
+    }
+    batch = {
+        (r["k"], r["n_occurrences"])
+        for r in heavy_hitters(corpus, "k", phi=phi).collect()
+    }
+    assert got == exact == batch and len(exact) >= 4

@@ -124,6 +124,10 @@ EXPECT = {
     "q_kmeans_assign": "every Lloyd pass joins the K-row centroid table via BROADCAST (BNLJ for the cross join, BHJ for sizes) — no SortMergeJoin anywhere; update pass is a partial+final (cluster,dim) decimal aggregate",
     "q_kmeans_minibatch": "same broadcast-centroid Lloyd shape; each update pass additionally carries the portable sample filter INSIDE the scan stage (no extra exchange); final assignment full-corpus",
     "q_approx_percentiles": "GK sketch + exact band percentiles fused in ONE ObjectHashAggregate pass — one shuffle of sketch state, flags are per-group constant expressions",
+    "q_merge_apply": "apply side never shuffles the base: touched keys BroadcastHashJoin LeftAnti onto the base scan, upsert images Union'd on; the diff's full-outer join is the only exchange pair",
+    "q_heavy_hitters": "MG summaries read from cache (InMemoryTableScan), candidate cut over P*(k+1) rows; verify pass = BroadcastHashJoin LeftSemi probe + partial+final count — corpus key space never shuffles",
+    "q_triangle_count": "degree-oriented wedge join: edge normalization + degree join + wedge self-join + closing LeftSemi; no CartesianProduct, 1-row census aggregates ride broadcasts",
+    "q_json_salvage": "one projection (from_json PERMISSIVE with corrupt-record channel) into one partial+final aggregate — corrupt handling adds zero passes",
     "q_scd2_history": "gaps-and-islands SCD2: both windows share ONE (user_id) hashpartitioning exchange; change-point filter between them",
     "q_unigram_score": "tokenize scan -> (token) vocabulary aggregate -> token equi-join (never nested loop) -> (doc) final aggregate, partials map-side throughout",
     "q_quality_funnel": "single scan, cumulative-AND COUNT FILTER partials, one (source) exchange of count rows",
