@@ -513,3 +513,65 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hh_key")
     )
     return heavy_hitters(o, "hh_key", phi=0.01)
+
+
+# ---------------------------------------------- incremental rollup
+
+_ROLLUP_INCR_SQL = f"""
+SELECT event_type,
+       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum('value')} AS sum_value,
+       {sql_dsum('value')} / COUNT(*) AS avg_value
+FROM events
+GROUP BY event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d')
+"""
+
+
+@query("q_rollup_incremental", oracle=_ROLLUP_INCR_SQL)
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a daily rollup — the materialized-
+    view discipline at 100 TB: history is NEVER re-aggregated.  The
+    events table is split into an already-rolled-up history and a new
+    batch (deterministic event_id slice); each side is reduced to
+    algebraic PARTIALS (count + exact DECIMAL sum, the mergeable
+    state), and the partials are merged by a second tiny aggregate —
+    count-sized, not row-sized.  The oracle is the DIRECT one-shot
+    aggregate over everything, so the hash gate proves the algebraic
+    merge identity merge(partial(A), partial(B)) == agg(A ∪ B) —
+    including the decimal-exact doubles, which is precisely why the
+    engine's aggregation standard is decimal accumulation
+    (functions/numeric.py): double partials would NOT merge
+    bit-identically.
+
+    Scale shape: the new batch pays one partial+final aggregate over
+    its own rows; the history side would in production be the stored
+    rollup table itself (here recomputed for the self-contained
+    oracle), and the merge shuffles only (group x 2) partial rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "value",
+        "event_id",
+    )
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("ps"),
+        )
+
+    history = partials(ev.filter(F.col("event_id") % 7 < 5))
+    batch = partials(ev.filter(F.col("event_id") % 7 >= 5))
+    merged = (
+        history.unionByName(batch)
+        .groupBy("event_type", "day")
+        .agg(F.sum("pn").alias("n_events"), F.sum("ps").alias("ms"))
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.col("ms").cast("double").alias("sum_value"),
+        (F.col("ms").cast("double") / F.col("n_events")).alias("avg_value"),
+    )
