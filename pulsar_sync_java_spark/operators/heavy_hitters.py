@@ -73,6 +73,12 @@ def _mg_partition(cap: int):
         n_rows = 0
         err = 0
         for pdf in pdfs:
+            if pdf["k"].isna().any():
+                raise ValueError(
+                    "mg_summaries: null key encountered — value_counts "
+                    "would silently drop it while an exact GROUP BY keeps "
+                    "the null group; filter or coalesce nulls upstream"
+                )
             vc = pdf["k"].value_counts()
             n_rows += int(vc.sum())
             for key, c in vc.items():

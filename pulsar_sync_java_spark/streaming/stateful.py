@@ -772,6 +772,12 @@ def _hh_kernel(cap: int):
         else:
             mg, err, n, version = Counter(), 0, 0, 0
         for pdf in pdfs:
+            if pdf["k"].isna().any():
+                raise ValueError(
+                    "stateful_heavy_hitters: null key in shard "
+                    f"{shard} — nulls would be silently dropped from the "
+                    "summary; filter or coalesce them upstream"
+                )
             vc = pdf["k"].value_counts()
             n += int(vc.sum())
             for kk, c in vc.items():

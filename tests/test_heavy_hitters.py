@@ -88,6 +88,17 @@ def test_empty_and_bad_phi(spark):
         heavy_hitters(df, "k", phi=1.5)
 
 
+def test_null_keys_refused(spark):
+    """value_counts silently drops NaN while an exact GROUP BY keeps
+    the null group — the sketch must refuse nullable keys loudly."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    df = spark.createDataFrame([(1,), (None,), (1,)], "k long")
+    with pytest.raises((Py4JJavaError, PythonException), match="null key"):
+        heavy_hitters(df, "k", phi=0.1).count()
+
+
 def test_verify_join_is_broadcast(spark):
     """Plan contract: the verify pass probes the corpus with a
     BROADCAST semi join (the corpus side must not shuffle to meet the
