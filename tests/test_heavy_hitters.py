@@ -113,3 +113,38 @@ def test_verify_join_is_broadcast(spark):
         heavy_hitters(df, "k", phi=0.05).explain("formatted")
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_mg_undercount_invariant_property():
+    """The guarantee the candidate cut rests on, under arbitrary batch
+    splits: after batched MG maintenance, every key's kept count c'
+    satisfies c_true - err <= c' <= c_true (absent keys: c_true <=
+    err), where err is the accumulated per-key decrement bound."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        keys=st.lists(st.integers(0, 25), min_size=0, max_size=400),
+        cap=st.integers(min_value=2, max_value=12),
+        chunk=st.integers(min_value=1, max_value=50),
+    )
+    def check(keys, cap, chunk):
+        mg, err = Counter(), 0
+        for i in range(0, len(keys), chunk):
+            for kk in keys[i : i + chunk]:
+                mg[kk] += 1
+            if len(mg) > 4 * cap:
+                mg, d = _compress(mg, cap)
+                err += d
+        mg, d = _compress(mg, cap)
+        err += d
+        true = Counter(keys)
+        assert len(mg) <= cap
+        for kk, c_true in true.items():
+            c_kept = mg.get(kk, 0)
+            assert c_kept <= c_true
+            assert c_kept >= c_true - err
+        assert set(mg) <= set(true)
+
+    check()
