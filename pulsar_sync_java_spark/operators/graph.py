@@ -570,12 +570,18 @@ def count_triangles(edges: DataFrame, max_degree: int | None = None) -> DataFram
 
     Returns one row: (n_nodes, n_edges, n_triangles).
     """
+    # the normalized edge table is consumed FIVE times (degrees,
+    # orientation, closing check, node/edge census) — persist it, or
+    # every consumer re-runs the upstream edge derivation (for the
+    # co-purchase graph, a fact-table self-join) from scratch; O(|E|)
+    # cache, the pagerank/dedup-cluster posture
     e = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .persist()
     )
     both = e.select(F.col("a").alias("node")).unionAll(
         e.select(F.col("b").alias("node"))
@@ -588,10 +594,12 @@ def count_triangles(edges: DataFrame, max_degree: int | None = None) -> DataFram
     lo_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
+    # both wedge legs read the oriented edges — persist so the degree
+    # join runs once, not per leg
     oriented = ranked.select(
         F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
-    )
+    ).persist()
     if max_degree is not None:
         hot = (
             oriented.groupBy("lo")
