@@ -71,9 +71,14 @@ def main() -> None:
     import statistics
 
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Diagnostic knob (BASELINE.md §C attribution protocol): run the
+    # suite in reverse alphabetical order to separate in-session
+    # accumulation (late-suite queries slow in forward order but not
+    # reverse) from host drift (uniform shift in both orders).
+    reverse = os.environ.get("SPARK_GRAFT_BENCH_ORDER", "") == "reverse"
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
-    for name in sorted(qs):
+    for name in sorted(qs, reverse=reverse):
         times, n = [], 0
         for _ in range(runs_per_query):
             t0 = time.perf_counter()
