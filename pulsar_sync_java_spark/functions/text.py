@@ -40,6 +40,27 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     )
 
 
+def positional_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-grams from a MATERIALIZED tokens column, in TOKEN ORDER
+    and WITHOUT dedup — element i (0-based) is the n-gram starting at
+    token i, so `posexplode` of the result yields (position, gram)
+    pairs.  The positional twin of `shingles_from_tokens` (same
+    materialize-the-tokens-first discipline; see its docstring), for
+    consumers that need occurrence positions (repeated-span dedup),
+    not just set membership.
+
+    Documents shorter than n tokens produce an empty array (not null).
+    """
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), count - 1)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.get(toks, i + j) for j in range(n)]
+    )
+    return F.when(count > 0, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def shingles(text_col: Column | str, n: int = 3) -> Column:
     """Shingles straight from a text column — convenience form for
     one-shot expressions.  Hot paths (operators/dedup.py) materialize

@@ -23,10 +23,14 @@ token's bucket adds nothing but noise).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pulsar_sync_java_spark.functions.text import shingles_from_tokens, tokens
+from pulsar_sync_java_spark.functions.text import (
+    positional_shingles_from_tokens,
+    shingles_from_tokens,
+    tokens,
+)
 from pulsar_sync_java_spark.operators.util import pair_structs, spread, spread_by
 
 
@@ -502,3 +506,82 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    min_df: int = 2,
+) -> DataFrame:
+    """Exact substring-level (span) dedup detection, the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" shape:
+    find, for every document, the maximal token spans that also occur in
+    other documents — the cross-document repeated passages a document-
+    level near-dup pass (MinHash/SimHash) cannot see because the hosting
+    documents are otherwise different.
+
+    Window formulation (the distributable equivalent of the paper's
+    suffix array): a span of length >= n repeats across docs iff every
+    one of its n-token windows does, so
+      1. explode positional n-grams (position, gram) per doc;
+      2. inverted index: per-gram distinct-doc frequency (df);
+      3. mark positions whose gram has df >= min_df;
+      4. merge consecutive marked positions per doc into maximal
+         islands (gaps-and-islands: pos - row_number is constant within
+         a run); a run [s, e] covers tokens [s, e + n - 1].
+
+    Emits one row per maximal span: (id_col, span_start [1-based token
+    index], span_len [tokens], n_docs) where n_docs is the MINIMUM
+    window df across the run — the number of documents guaranteed to
+    contain every window of the span (the span itself may be shared by
+    fewer docs than any single window; min-df is the conservative
+    bound, and exactly what the drop decision needs).
+
+    Scale shape: the corpus shuffles by gram twice (the distinct
+    (gram, doc) projection for df — hot grams SPREAD across partitions
+    because the first exchange keys on the pair — then the mark join),
+    and only the MARKED subset reshuffles by doc for the island merge.
+    No per-gram occurrence list is ever collected (a natural-language
+    hot 4-gram has millions of occurrences; collect_list would OOM the
+    executor — the two-pass join is the skew-proof form), and no
+    suffix structure is built (the paper's single-node suffix array is
+    replaced by the window equivalence above).
+
+    Reference analogue: none (the reference replicates payloads
+    verbatim); this extends the LLM-pipeline dedup family of SURVEY.md
+    §2.2 per the round-7 verdict (next-round task #3).
+    """
+    toks = spread(df, full=True).select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    )
+    pos = toks.select(
+        F.col(id_col),
+        F.posexplode(positional_shingles_from_tokens(F.col("__toks"), n)).alias(
+            "__p0", "__g"
+        ),
+    ).select(
+        F.col(id_col),
+        # 1-based token position (matches SQL array indexing, so the
+        # oracle needs no off-by-one shim)
+        (F.col("__p0") + 1).alias("__p"),
+        # 8-byte shuffle keys; collisions over a corpus-sized gram set
+        # are ~n²/2^64 (the shared hashed=True argument of shingle_rows)
+        F.xxhash64("__g").alias("__gh"),
+    )
+    dfreq = (
+        pos.select("__gh", id_col)
+        .distinct()
+        .groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= min_df)
+    )
+    marked = pos.join(dfreq, "__gh").select(id_col, "__p", "__nd")
+    w = Window.partitionBy(id_col).orderBy("__p")
+    isl = marked.withColumn("__isl", F.col("__p") - F.row_number().over(w))
+    return isl.groupBy(id_col, "__isl").agg(
+        F.min("__p").cast("long").alias("span_start"),
+        (F.max("__p") - F.min("__p") + n).cast("long").alias("span_len"),
+        F.min("__nd").alias("n_docs"),
+    ).select(id_col, "span_start", "span_len", "n_docs")

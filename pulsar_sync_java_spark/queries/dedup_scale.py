@@ -21,6 +21,7 @@ from pulsar_sync_java_spark.operators.dedup import (
     lsh_candidate_pairs,
     lsh_pairs_against_corpus,
     minhash_signatures,
+    repeated_spans,
     simhash64,
     simhash_near_pairs,
 )
@@ -491,3 +492,47 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_pairs_against_corpus(batch, corpus).filter(
         F.col("est_jaccard") >= 0.5
     )
+
+
+# ------------------------------------------------------ span-level dedup
+
+_SPAN_DEDUP_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, d.i AS p,
+         t[d.i] || ' ' || t[d.i+1] || ' ' || t[d.i+2] || ' ' || t[d.i+3] AS g
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 3)) AS i) d
+  WHERE len(t) >= 4
+), dfreq AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS nd FROM pos GROUP BY g
+  HAVING COUNT(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT pos.doc_id, pos.p, dfreq.nd FROM pos JOIN dfreq USING (g)
+), isl AS (
+  SELECT doc_id, p, nd,
+         p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl_id
+  FROM marked
+)
+SELECT doc_id,
+       CAST(MIN(p) AS BIGINT) AS span_start,
+       CAST(MAX(p) - MIN(p) + 4 AS BIGINT) AS span_len,
+       CAST(MIN(nd) AS BIGINT) AS n_docs
+FROM isl GROUP BY doc_id, isl_id
+"""
+
+
+@query("q_span_dedup", oracle=_SPAN_DEDUP_SQL)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level (repeated-span) dedup, the Lee et al. 2022
+    cross-document dup-passage detector: every maximal token span whose
+    4-gram windows ALL occur in >= 2 distinct documents, one row per
+    (doc, span) with its 1-based start, token length, and the minimum
+    window document-frequency (operators/dedup.py:repeated_spans — see
+    its docstring for the suffix-array -> window-equivalence argument
+    and the two-pass skew-proof plan shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    return repeated_spans(d, n=4, min_df=2)

@@ -1099,3 +1099,69 @@ def test_kmeans_assignment_invariant_under_repartition(spark):
     base = run(e)
     shuffled = run(e.repartition(13))
     assert base == shuffled and len(base) > 0
+
+
+# ------------------------------------------------------ repeated spans
+
+
+def test_repeated_spans_island_semantics(spark):
+    """Hand-checkable corpus: docs A and B share the 6-token run
+    'w x y z u v' (three overlapping 4-gram windows -> ONE maximal
+    span of length 6 in each doc), doc C shares nothing.  Verifies the
+    gaps-and-islands merge, the 1-based start positions, and that
+    unique text produces no rows."""
+    from pulsar_sync_java_spark.operators.dedup import repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 b1 w x y z u v c1 d1"),
+            (2, "w x y z u v e2 f2 g2 h2"),
+            (3, "p3 q3 r3 s3 t3 p4 q4 r4 s4 t4"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.span_start, r.span_len, r.n_docs)
+        for r in repeated_spans(docs, n=4, min_df=2).collect()
+    }
+    assert rows == {(1, 3, 6, 2), (2, 1, 6, 2)}
+
+
+def test_repeated_spans_min_window_df_is_conservative(spark):
+    """A span whose windows have different document frequencies must
+    report the MINIMUM (the guaranteed sharing count): 'k l m n o'
+    gives windows 'k l m n' (in docs 1,2,3 -> df 3) and 'l m n o'
+    (docs 1,2 -> df 2); the merged span reports n_docs=2 for docs 1,2
+    while doc 3 (holding only the first window) reports df 3 with
+    span_len 4."""
+    from pulsar_sync_java_spark.operators.dedup import repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "k l m n o z1 z2 z3"),
+            (2, "k l m n o y1 y2 y3"),
+            (3, "k l m n x1 x2 x3 x4"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.span_start, r.span_len, r.n_docs)
+        for r in repeated_spans(docs, n=4, min_df=2).collect()
+    }
+    assert rows == {(1, 1, 5, 2), (2, 1, 5, 2), (3, 1, 4, 3)}
+
+
+def test_repeated_spans_within_doc_repeat_does_not_mark(spark):
+    """min_df counts DISTINCT documents: a 4-gram repeated twice inside
+    ONE doc (and nowhere else) is not a cross-doc duplicate and must
+    produce no span."""
+    from pulsar_sync_java_spark.operators.dedup import repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "m n o p q1 m n o p q2"),
+            (2, "r s t u v w x y z a"),
+        ],
+        "doc_id long, text string",
+    )
+    assert repeated_spans(docs, n=4, min_df=2).count() == 0

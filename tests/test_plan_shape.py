@@ -651,3 +651,19 @@ class TestSpreadGate:
         assert n == 16
         jobs = sc.statusTracker().getJobIdsForGroup("spread-probe-guard")
         assert list(jobs) == [], jobs
+
+
+def test_span_dedup_no_occurrence_lists_and_marked_only_doc_shuffle(
+    spark, queries
+):
+    """q_span_dedup: the inverted index must be the two-pass COUNT form
+    — no collect_list (a hot gram's occurrence list is the executor-OOM
+    shape at corpus scale) — and the only doc_id-keyed exchange feeds
+    the island window (the marked subset), never the raw gram rows."""
+    plan = plan_of(queries["q_span_dedup"](spark, SF_DIR))
+    assert "collect_list" not in plan, plan
+    assert "CartesianProduct" not in plan
+    # exactly one doc_id-only hashpartitioning (the island window);
+    # the df aggregate keys on the gram hash (+doc for the distinct)
+    doc_parts = re.findall(r"hashpartitioning\(doc_id#\d+L, \d+\)", plan)
+    assert len(doc_parts) == 1, plan

@@ -129,6 +129,7 @@ EXPECT = {
     "q_triangle_count": "degree-oriented wedge join: edge normalization + degree join + wedge self-join + closing LeftSemi; no CartesianProduct, 1-row census aggregates ride broadcasts",
     "q_json_salvage": "one projection (from_json PERMISSIVE with corrupt-record channel) into one partial+final aggregate — corrupt handling adds zero passes",
     "q_rollup_incremental": "two slice partial aggregates unioned into a group-sized merge aggregate; history and batch each shuffle once at group granularity, merge shuffles 2x groups",
+    "q_span_dedup": "positional-gram inverted index: distinct (gram,doc) exchange -> tiny df aggregate joins back onto positions (broadcast at this sf, gram-keyed SMJ at scale); only MARKED positions shuffle by doc for the island window; no per-gram occurrence lists (collect_list is the OOM shape on hot grams)",
     "q_scd2_history": "gaps-and-islands SCD2: both windows share ONE (user_id) hashpartitioning exchange; change-point filter between them",
     "q_unigram_score": "tokenize scan -> (token) vocabulary aggregate -> token equi-join (never nested loop) -> (doc) final aggregate, partials map-side throughout",
     "q_quality_funnel": "single scan, cumulative-AND COUNT FILTER partials, one (source) exchange of count rows",
