@@ -81,3 +81,81 @@ def test_compact_line_pathological_key_still_fits():
     assert p["queries"] == {}
     assert p["queries_truncated"] == 2
     assert p["detail"] == "BENCH_DETAIL.json"
+
+
+# ----------------------------------------------- persisted-plan allowlist
+
+#: Every `.persist()` call site in the engine package, as
+#: (module-relative path, enclosing function) -> call count.  This is
+#: the cache population a full `queries()` session can accumulate
+#: (SCALE.md §9 documents each entry's justification and lifetime).
+#: A NEW operator must not silently join it: the round-7 bench-creep
+#: investigation had to rule the no-unpersist caches out as a suspect
+#: (SCALE.md §10), and that audit only stays cheap while the
+#: population is a declared, reviewed set.  If you add a persist, add
+#: it here AND to SCALE.md §9 with its release story.
+PERSIST_ALLOWLIST = {
+    ("operators/dedup.py", "_shingle_overlap"): 1,      # shared shingle arrays (session-lifetime, plan-matched)
+    ("operators/graph.py", "connected_components"): 2,  # forest iterates; intermediates released in-loop
+    ("operators/graph.py", "count_triangles"): 2,       # edge + oriented-edge tables (session-lifetime)
+    ("operators/graph.py", "pagerank"): 2,              # edges + degree join (released: nodes/ed unpersist)
+    ("operators/graph.py", "tree_roots"): 4,            # pointer-doubling states; released in-loop / on finish
+    ("operators/heavy_hitters.py", "heavy_hitters"): 1, # MG summaries (tiny: P*(k+1) rows, session-lifetime)
+    ("operators/similarity.py", "embedding_near_pairs"): 1,  # signature projection (session-lifetime)
+    ("queries/dedup_scale.py", "q_incremental_dedup"): 1,    # minhash sigs (plan-matched with the other sig users)
+    ("queries/dedup_scale.py", "q_minhash_lsh"): 1,
+    ("queries/extras.py", "q_tfidf_topterms"): 1,       # (doc, term) tf aggregate
+    ("queries/stats.py", "q_skew_report"): 1,           # per-key size aggregate (tiny)
+    ("queries/training.py", "q_corpus_materialize"): 1, # feature table = pushdown barrier (measured 13x)
+    ("queries/training.py", "q_dedup_keepers"): 1,      # minhash sigs (plan-matched)
+    ("sinks/writers.py", "idempotent_append"): 2,       # released: both unpersist in finally-shaped flow
+    ("streaming/neardup.py", "ingest_batch"): 1,        # released per micro-batch
+}
+
+
+def test_persist_population_matches_declared_allowlist():
+    """AST census of `.persist()` calls across the package (immune to
+    comments/docstrings, unlike grep) must equal PERSIST_ALLOWLIST —
+    red on any undeclared persist OR any stale allowlist entry."""
+    import ast
+    import os
+
+    import pulsar_sync_java_spark as pkg
+
+    root = os.path.dirname(os.path.abspath(pkg.__file__))
+    found: dict[tuple[str, str], int] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            rel = os.path.relpath(path, root).replace(os.sep, "/")
+            tree = ast.parse(open(path).read(), filename=path)
+
+            class V(ast.NodeVisitor):
+                def __init__(self) -> None:
+                    self.stack: list[str] = []
+
+                def visit_FunctionDef(self, n) -> None:
+                    self.stack.append(n.name)
+                    self.generic_visit(n)
+                    self.stack.pop()
+
+                visit_AsyncFunctionDef = visit_FunctionDef
+
+                def visit_Call(self, n) -> None:
+                    if (
+                        isinstance(n.func, ast.Attribute)
+                        and n.func.attr == "persist"
+                    ):
+                        key = (rel, self.stack[-1] if self.stack else "<module>")
+                        found[key] = found.get(key, 0) + 1
+                    self.generic_visit(n)
+
+            V().visit(tree)
+    assert found == PERSIST_ALLOWLIST, (
+        "persist() population changed — declare it in PERSIST_ALLOWLIST "
+        f"and SCALE.md §9 or release it.\nnew/changed: "
+        f"{ {k: v for k, v in found.items() if PERSIST_ALLOWLIST.get(k) != v} }\n"
+        f"stale: { {k: v for k, v in PERSIST_ALLOWLIST.items() if found.get(k) != v} }"
+    )
