@@ -213,15 +213,31 @@ UDAF_OUTPUT_SCHEMA = StructType(
     ]
 )
 
-UDAF_STATE_SCHEMA = StructType([StructField("vals", ArrayType(DoubleType()))])
+UDAF_STATE_SCHEMA = StructType(
+    [
+        StructField("vals", ArrayType(DoubleType())),
+        # micro-batches processed: the observe-mode version tag
+        StructField("batches", LongType()),
+    ]
+)
+
+#: observe=True output: the plain columns + the version tag (n IS the
+#: state size for this kernel — the full value list is the state)
+UDAF_OBS_SCHEMA = StructType(
+    list(UDAF_OUTPUT_SCHEMA.fields) + [StructField("version", LongType())]
+)
 
 
-def _grouped_mad(max_state_values: int):
+def _grouped_mad(max_state_values: int, observe: bool = False):
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (grp,) = key
-        vals: list[float] = list(state.get[0]) if state.exists else []
+        if state.exists:
+            prev_vals, batches = state.get
+            vals: list[float] = list(prev_vals)
+        else:
+            vals, batches = [], 0
         got_rows = False
         for pdf in pdfs:
             if len(pdf):
@@ -236,15 +252,18 @@ def _grouped_mad(max_state_values: int):
                 f"— holistic state outgrew its declared bound; raise the "
                 f"bound or switch this group to a mergeable sketch"
             )
-        state.update((vals,))
+        batches += 1
+        state.update((vals, batches))
         import numpy as np
 
         arr = np.asarray(vals, dtype="float64")
         med = float(np.median(arr))
         mad = float(np.median(np.abs(arr - med)))
+        row = (str(grp), len(vals), mad)
+        schema = UDAF_OBS_SCHEMA if observe else UDAF_OUTPUT_SCHEMA
         yield pd.DataFrame(
-            [(str(grp), len(vals), mad)],
-            columns=[f.name for f in UDAF_OUTPUT_SCHEMA],
+            [row + (batches,) if observe else row],
+            columns=[f.name for f in schema],
         )
 
     return fn
@@ -255,6 +274,7 @@ def stateful_grouped_udaf(
     key_col: str,
     value_col: str,
     max_state_values: int = 100_000,
+    observe: bool = False,
 ) -> DataFrame:
     """Streaming twin of q_grouped_udaf's GROUPED_AGG pandas UDF
     (queries/scalar.py:337): per group key, the median absolute
@@ -274,7 +294,16 @@ def stateful_grouped_udaf(
     Equivalence: emissions after all input is consumed equal the batch
     UDAF exactly — np.median on the same doubles, invariant to how the
     stream chunked them (asserted vs q_grouped_udaf's mad column in
-    tests/test_streaming.py, including across a multi-batch split)."""
+    tests/test_streaming.py, including across a multi-batch split).
+
+    ``observe=True`` appends a version column (micro-batches processed
+    per key) so the emissions double as version-tagged state-size
+    metrics — for THIS kernel the published ``n`` IS the state size
+    (the full value list is the state), which is exactly the number
+    the max_state_values raise above guards; ``udaf_state_metrics``
+    maps the observed output onto the shared metrics shape consumed by
+    ``state_metrics_summary``, making the approach-to-bound visible
+    BEFORE the stream fails."""
     return (
         stream.select(
             F.col(key_col).cast("string").alias("group_key"),
@@ -282,12 +311,27 @@ def stateful_grouped_udaf(
         )
         .groupBy("group_key")
         .applyInPandasWithState(
-            _grouped_mad(max_state_values),
-            outputStructType=UDAF_OUTPUT_SCHEMA,
+            _grouped_mad(max_state_values, observe),
+            outputStructType=UDAF_OBS_SCHEMA if observe else UDAF_OUTPUT_SCHEMA,
             stateStructType=UDAF_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def udaf_state_metrics(obs: DataFrame) -> DataFrame:
+    """Map observe-mode stateful_grouped_udaf output onto the shared
+    state-metrics shape (key, version, state_values, late_total,
+    last_seen_us) for ``state_metrics_summary``.  late_total is 0 (the
+    kernel is order-free, nothing quarantines) and last_seen_us is
+    null (values carry no event time)."""
+    return obs.select(
+        F.col("group_key").alias("key"),
+        "version",
+        F.col("n").cast("long").alias("state_values"),
+        F.lit(0).cast("long").alias("late_total"),
+        F.lit(None).cast("long").alias("last_seen_us"),
     )
 
 
@@ -504,20 +548,51 @@ SCD2_STATE_SCHEMA = StructType(
         # open_from=10; batch 2: 20B) is just as out-of-order and would
         # silently diverge from the batch gaps-and-islands oracle.
         StructField("last_seen_us", LongType()),
+        # observability counters (round-8): quarantined-event total and
+        # micro-batches processed (the metric-row version tag)
+        StructField("late_count", LongType()),
+        StructField("batches", LongType()),
+    ]
+)
+
+#: Extended output schema used when quarantine or metrics are on: the
+#: plain interval columns plus a row-kind discriminator and the
+#: observability fields.  kind='interval' rows carry the original 5
+#: columns; kind='late' rows carry the quarantined event (event_type,
+#: valid_from_us = its event time); kind='metric' rows carry one
+#: state-size/watermark snapshot per key per micro-batch, version-
+#: tagged like stateful_heavy_hitters' summaries.
+SCD2_OBS_SCHEMA = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("valid_from_us", LongType()),
+        StructField("valid_to_us", LongType()),
+        StructField("version", IntegerType()),
+        StructField("state_values", LongType()),
+        StructField("late_total", LongType()),
+        StructField("last_seen_us", LongType()),
     ]
 )
 
 
-def _scd2():
+def _scd2(late_policy: str = "raise", observe: bool = False):
+    extended = observe or late_policy == "quarantine"
+
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user,) = key
         if state.exists:
-            open_from, open_type, version, last_seen = state.get
+            open_from, open_type, version, last_seen, late_count, batches = (
+                state.get
+            )
         else:
-            open_from, open_type, version, last_seen = None, None, 0, None
+            open_from, open_type, version = None, None, 0
+            last_seen, late_count, batches = None, 0, 0
         out: list[tuple] = []
+        late_rows: list[tuple] = []
         # one sort over the whole micro-batch — same chunk-spanning
         # argument as _funnel/_transitions
         chunks = [pdf for pdf in pdfs if len(pdf)]
@@ -525,25 +600,42 @@ def _scd2():
         if batch is not None:
             batch = batch.sort_values(["event_time", "entry_id"])
             ts_us = batch["event_time"].astype("int64") // 1000
-            # loud guard (same discipline as stateful_grouped_udaf's
-            # state-bound raise): the sort above orders WITHIN the
-            # micro-batch only, so an event older than ANY
-            # already-processed event — late across a batch boundary —
+            # cross-micro-batch late events (older than the last
+            # PROCESSED event): the sort above orders WITHIN the batch
+            # only, so their history placement is already lost — they
             # would silently emit history diverging from the batch
             # gaps-and-islands oracle (and, when older than open_from,
-            # a negative-length interval).  Refuse instead.
+            # a negative-length interval).  Policy (round-7 verdict
+            # task #6): 'raise' = loud-guard refusal, the contract
+            # default; 'quarantine' = dead-letter the late rows
+            # (kind='late') and keep the stream alive — at 100 TB a
+            # single late event must not kill the pipeline.  Since the
+            # batch is sorted, the late set is exactly the prefix with
+            # ts < the carried last_seen.
             if (
                 last_seen is not None
                 and len(ts_us)
                 and int(ts_us.iloc[0]) < last_seen
             ):
-                raise ValueError(
-                    f"stateful_scd2: key {user} received event_time "
-                    f"{int(ts_us.iloc[0])}us older than the last processed "
-                    f"event {last_seen}us — cross-micro-batch event-time "
-                    "ordering per key is a precondition (see docstring); "
-                    "feed an ordered-per-key source or widen batches"
-                )
+                if late_policy == "raise":
+                    raise ValueError(
+                        f"stateful_scd2: key {user} received event_time "
+                        f"{int(ts_us.iloc[0])}us older than the last "
+                        f"processed event {last_seen}us — cross-micro-batch "
+                        "event-time ordering per key is a precondition (see "
+                        "docstring); feed an ordered-per-key source, widen "
+                        "batches, or run late_policy='quarantine'"
+                    )
+                mask = ts_us < last_seen
+                for ts, etype in zip(ts_us[mask], batch["topic"][mask]):
+                    late_rows.append(
+                        (
+                            "late", int(user), str(etype), int(ts),
+                            None, None, None, None, None,
+                        )
+                    )
+                late_count += int(mask.sum())
+                batch, ts_us = batch[~mask], ts_us[~mask]
             for ts, etype in zip(ts_us, batch["topic"]):
                 ts, etype = int(ts), str(etype)
                 if open_type is None:
@@ -552,16 +644,40 @@ def _scd2():
                     out.append((int(user), open_type, open_from, ts, version))
                     open_from, open_type, version = ts, etype, version + 1
                 last_seen = ts
-            state.update((open_from, open_type, version, last_seen))
-        if out:
-            yield pd.DataFrame(
-                out, columns=[f.name for f in SCD2_OUTPUT_SCHEMA]
+            batches += 1
+            state.update(
+                (open_from, open_type, version, last_seen, late_count, batches)
             )
+        if not extended:
+            if out:
+                yield pd.DataFrame(
+                    out, columns=[f.name for f in SCD2_OUTPUT_SCHEMA]
+                )
+            return
+        rows = [("interval", *r, None, None, None) for r in out]
+        rows.extend(late_rows)
+        if batch is not None or late_rows:
+            # version-tagged per-key state snapshot (the
+            # stateful_heavy_hitters publication pattern): downstream
+            # keeps the max-version row per key (state_metrics_summary)
+            rows.append(
+                (
+                    "metric", int(user), None, None, None, int(batches),
+                    1 if open_type is not None else 0,
+                    late_count, last_seen,
+                )
+            )
+        if rows:
+            yield pd.DataFrame(rows, columns=[f.name for f in SCD2_OBS_SCHEMA])
 
     return fn
 
 
-def stateful_scd2(stream: DataFrame) -> DataFrame:
+def stateful_scd2(
+    stream: DataFrame,
+    late_policy: str = "raise",
+    observe: bool = False,
+) -> DataFrame:
     """Streaming twin of q_scd2_history (queries/reference.py): per-key
     SCD type-2 maintenance over the replication feed.  Keyed state
     holds only the OPEN validity interval (from, type, version); a
@@ -590,19 +706,91 @@ def stateful_scd2(stream: DataFrame) -> DataFrame:
     cardinality, the same budget as the reference's per-partition
     cursor maps (PulsarPartitionSyncWorker.java cursor state).  The
     current (open) rows live in the state store, exactly where a
-    lakehouse MERGE keeps its unclosed versions."""
+    lakehouse MERGE keeps its unclosed versions.
+
+    ``late_policy='quarantine'`` downgrades the late-event raise to a
+    dead-letter side output: quarantined events are emitted as
+    kind='late' rows (and counted in the metric rows) while the
+    stream stays alive — at 100 TB a single late event must not kill
+    the pipeline; the default stays 'raise' because quarantine
+    silently DROPS the late event from history, a decision the
+    operator owner must opt into.  ``observe=True`` additionally
+    publishes one kind='metric' state-snapshot row per key per
+    micro-batch (state size, cumulative late count, last processed
+    event time), version-tagged like stateful_heavy_hitters'
+    summaries — the bounded-memory contract of ``SparseMap.java:36-53``
+    made observable, so state growth is detected BEFORE the executor
+    OOM.  Either flag switches the output to ``SCD2_OBS_SCHEMA``
+    (split it with ``split_scd2_output``); with both off the plain
+    ``SCD2_OUTPUT_SCHEMA`` behavior is bit-identical to before
+    (equivalence-tested)."""
+    if late_policy not in ("raise", "quarantine"):
+        raise ValueError(
+            f"stateful_scd2: unknown late_policy {late_policy!r} "
+            "(expected 'raise' or 'quarantine')"
+        )
+    extended = observe or late_policy == "quarantine"
     return (
         stream.selectExpr(
             "ledger_id AS user_id", "topic", "event_time", "entry_id"
         )
         .groupBy("user_id")
         .applyInPandasWithState(
-            _scd2(),
-            outputStructType=SCD2_OUTPUT_SCHEMA,
+            _scd2(late_policy, observe),
+            outputStructType=SCD2_OBS_SCHEMA if extended else SCD2_OUTPUT_SCHEMA,
             stateStructType=SCD2_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def split_scd2_output(obs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Split an extended-mode stateful_scd2 output into its three
+    channels: (closed intervals — plain SCD2_OUTPUT_SCHEMA columns,
+    quarantined late events, per-key metric snapshots).  Each is a
+    filter+project of the one stream, so a foreachBatch sink can route
+    them to the history table, the dead-letter sink, and the metrics
+    table without a second stateful pass."""
+    intervals = obs.filter(F.col("kind") == "interval").select(
+        "user_id", "event_type", "valid_from_us", "valid_to_us", "version"
+    )
+    late = obs.filter(F.col("kind") == "late").select(
+        "user_id",
+        "event_type",
+        F.col("valid_from_us").alias("event_time_us"),
+    )
+    metrics = obs.filter(F.col("kind") == "metric").select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("version").cast("long").alias("version"),
+        "state_values",
+        "late_total",
+        "last_seen_us",
+    )
+    return intervals, late, metrics
+
+
+def state_metrics_summary(metrics: DataFrame) -> DataFrame:
+    """Collapse version-tagged per-key state-metric rows (the shared
+    (key, version, state_values, late_total, last_seen_us) shape
+    emitted by split_scd2_output / udaf_state_metrics) into ONE
+    kernel-level observability row: tracked-key count, max and total
+    state values per key, total quarantined events, and the
+    min/max last-processed event time across keys.  Latest version per
+    key wins — the same max-version read as merge_shard_summaries, so
+    re-published snapshots from earlier micro-batches never double
+    count.  This row is the page a 100 TB operator actually watches:
+    state growth trends here long before an executor OOMs."""
+    latest = metrics.withColumn(
+        "__mx", F.max("version").over(Window.partitionBy("key"))
+    ).filter(F.col("version") == F.col("__mx"))
+    return latest.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("state_values").alias("max_state_values"),
+        F.sum("state_values").alias("total_state_values"),
+        F.sum("late_total").alias("total_late"),
+        F.min("last_seen_us").alias("min_last_seen_us"),
+        F.max("last_seen_us").alias("max_last_seen_us"),
     )
 
 

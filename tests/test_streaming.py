@@ -1691,3 +1691,225 @@ def test_stateful_heavy_hitters_matches_batch(spark, tmp_path):
         for r in heavy_hitters(corpus, "k", phi=phi).collect()
     }
     assert got == exact == batch and len(exact) >= 4
+
+
+# ------------------------------------------- SCD2 late policy + metrics
+
+
+def _scd2_events(spark, rows):
+    """(user, type, ts_s, entry) tuples -> the 4-column SCD2 input."""
+    return spark.createDataFrame(
+        [(u, t, ts, e) for (u, t, ts, e) in rows],
+        "ledger_id long, topic string, ts_s long, entry_id long",
+    ).select(
+        "ledger_id",
+        "topic",
+        F.timestamp_seconds(F.col("ts_s")).alias("event_time"),
+        "entry_id",
+    )
+
+
+def _run_scd2_batches(spark, tmp_path, batches, name, **kwargs):
+    """Write each batch as one file into a shared source dir and run a
+    checkpointed availableNow pass after each — the two-run restart
+    harness in miniature."""
+    import glob
+    import os
+    import shutil
+
+    from pulsar_sync_java_spark.streaming.stateful import stateful_scd2
+
+    src = str(tmp_path / f"{name}_src")
+    for i, b in enumerate(batches):
+        staged = str(tmp_path / f"{name}_stage{i}")
+        b.coalesce(1).write.parquet(staged)
+        os.makedirs(src, exist_ok=True)
+        for f in glob.glob(staged + "/part-*.parquet"):
+            shutil.copy(f, os.path.join(src, f"batch{i}.parquet"))
+        stream = spark.readStream.schema(b.schema).parquet(src)
+        q = (
+            stateful_scd2(stream, **kwargs)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / f"{name}_out"))
+            .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return spark.read.parquet(str(tmp_path / f"{name}_out"))
+
+
+def test_scd2_quarantine_equals_raise_on_clean_input(spark, tmp_path):
+    """On ordered (clean) input the quarantine+observe mode must emit
+    EXACTLY the raise mode's closed intervals — kind='interval' rows
+    with identical values, zero kind='late' rows, and metric rows
+    reporting late_total=0 — so turning observability on never changes
+    history."""
+    from pulsar_sync_java_spark.streaming.stateful import split_scd2_output
+
+    b0 = _scd2_events(
+        spark, [(1, "A", 10, 1), (1, "B", 30, 2), (2, "A", 15, 3)]
+    )
+    b1 = _scd2_events(
+        spark, [(1, "C", 50, 4), (2, "B", 40, 5), (2, "A", 60, 6)]
+    )
+    plain = _run_scd2_batches(spark, tmp_path, [b0, b1], "plain")
+    obs = _run_scd2_batches(
+        spark, tmp_path, [b0, b1], "obs",
+        late_policy="quarantine", observe=True,
+    )
+    intervals, late, metrics = split_scd2_output(obs)
+    key = lambda r: (  # noqa: E731
+        r["user_id"], r["event_type"], r["valid_from_us"],
+        r["valid_to_us"], r["version"],
+    )
+    assert sorted(map(key, intervals.collect())) == sorted(
+        map(key, plain.collect())
+    )
+    assert late.count() == 0
+    m = metrics.collect()
+    assert m and all(r["late_total"] == 0 for r in m)
+    # version tags advance per processed micro-batch per key
+    assert {(r["key"], r["version"]) for r in m} == {
+        ("1", 1), ("2", 1), ("1", 2), ("2", 2),
+    }
+
+
+def test_scd2_quarantine_dead_letters_late_events(spark, tmp_path):
+    """A cross-micro-batch late event must fail the stream under the
+    default policy but be dead-lettered (kind='late', counted in the
+    metric rows) under late_policy='quarantine' — with the surviving
+    history equal to the clean-events-only raise run."""
+    import pytest
+
+    from pulsar_sync_java_spark.streaming.stateful import split_scd2_output
+
+    b0 = _scd2_events(spark, [(1, "A", 10, 1), (1, "B", 30, 2)])
+    b1_late = _scd2_events(
+        spark, [(1, "C", 20, 3), (1, "A", 40, 4)]  # ts 20 < last_seen 30
+    )
+    with pytest.raises(Exception, match="older than the last processed"):
+        _run_scd2_batches(spark, tmp_path, [b0, b1_late], "raisemode").count()
+
+    obs = _run_scd2_batches(
+        spark, tmp_path, [b0, b1_late], "qmode",
+        late_policy="quarantine", observe=True,
+    )
+    intervals, late, metrics = split_scd2_output(obs)
+    assert [
+        (r["user_id"], r["event_type"], r["event_time_us"])
+        for r in late.collect()
+    ] == [(1, "C", 20_000_000)]
+    # history == the clean subset's history: A[10,30) then B[30,40)
+    got = sorted(
+        (r["user_id"], r["event_type"], r["valid_from_us"],
+         r["valid_to_us"], r["version"])
+        for r in intervals.collect()
+    )
+    assert got == [
+        (1, "A", 10_000_000, 30_000_000, 1),
+        (1, "B", 30_000_000, 40_000_000, 2),
+    ]
+    latest = max(metrics.collect(), key=lambda r: r["version"])
+    assert latest["late_total"] == 1 and latest["last_seen_us"] == 40_000_000
+
+
+def test_scd2_state_metrics_across_restart(spark, tmp_path):
+    """Round-7 verdict #4: the metric rows must survive a checkpointed
+    restart — versions keep increasing monotonically across the two
+    runs (state recovered, not reset) and state_metrics_summary reads
+    the fleet-level row a 100 TB operator watches."""
+    from pulsar_sync_java_spark.streaming.stateful import (
+        split_scd2_output,
+        state_metrics_summary,
+    )
+
+    msgs = build_messages(spark).where(F.col("ledger_id") < 40)
+    cut = msgs.agg(
+        F.expr("percentile(unix_micros(event_time), 0.5)")
+    ).collect()[0][0]
+    halves = [
+        msgs.where(F.unix_micros("event_time") <= cut),
+        msgs.where(F.unix_micros("event_time") > cut),
+    ]
+    obs = _run_scd2_batches(
+        spark, tmp_path,
+        [h.select("ledger_id", "topic", "event_time", "entry_id") for h in halves],
+        "restart", observe=True,
+    )
+    _ivals, _late, metrics = split_scd2_output(obs)
+    per_key = {
+        r["key"]: r["version"]
+        for r in metrics.groupBy("key").agg(
+            F.max("version").alias("version")
+        ).collect()
+    }
+    n_users = msgs.select("ledger_id").distinct().count()
+    assert len(per_key) == n_users
+    # every key that received rows in BOTH halves must show version 2
+    both = (
+        halves[0].select("ledger_id").distinct()
+        .intersect(halves[1].select("ledger_id").distinct())
+        .count()
+    )
+    assert sum(1 for v in per_key.values() if v == 2) == both
+    s = state_metrics_summary(metrics).collect()[0]
+    assert s["n_keys"] == n_users
+    assert s["max_state_values"] == 1 and s["total_late"] == 0
+    want_max = msgs.agg(F.max(F.unix_micros("event_time"))).collect()[0][0]
+    assert s["max_last_seen_us"] == want_max
+
+
+def test_udaf_observe_metrics_and_summary(spark, tmp_path):
+    """observe=True must not change the published (group_key, n, mad)
+    rows — only append the version tag — and the mapped metrics must
+    summarize to the true state envelope (state_values == values held,
+    the exact number the max_state_values raise guards)."""
+    from pulsar_sync_java_spark.streaming.stateful import (
+        stateful_grouped_udaf,
+        state_metrics_summary,
+        udaf_state_metrics,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    src = str(tmp_path / "src")
+    li.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(li.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    obs = stateful_grouped_udaf(
+        stream, "l_returnflag", "l_extendedprice", observe=True
+    )
+    q = (
+        obs.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "out"))
+    # plain-mode equivalence on the final emission per key
+    final = {}
+    for r in rows.collect():
+        if r["group_key"] not in final or r["version"] > final[r["group_key"]][0]:
+            final[r["group_key"]] = (r["version"], r["n"], r["mad"])
+    import numpy as np
+
+    for r in li.groupBy("l_returnflag").agg(
+        F.collect_list("l_extendedprice").alias("vals")
+    ).collect():
+        arr = np.asarray(r["vals"], dtype="float64")
+        med = float(np.median(arr))
+        _v, n, mad = final[r["l_returnflag"]]
+        assert n == len(arr)
+        assert mad == float(np.median(np.abs(arr - med)))
+    s = state_metrics_summary(udaf_state_metrics(rows)).collect()[0]
+    sizes = {k: v[1] for k, v in final.items()}
+    assert s["n_keys"] == len(sizes)
+    assert s["max_state_values"] == max(sizes.values())
+    assert s["total_state_values"] == sum(sizes.values())
