@@ -801,3 +801,132 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def ivf_delta_drift(
+    spark,
+    path: str,
+    delta_assigned: DataFrame,
+) -> float:
+    """Total-variation distance between the standing index's
+    cell-occupancy distribution and an incoming delta's assignment
+    distribution UNDER THE SAME stored centroids — the q_drift_tv
+    machinery (queries/stats.py) pointed at the quantizer: cells are
+    the buckets, the index vs the delta are the two slices.
+
+    This is the RECALL-side staleness signal `IvfStaleness`'s two size
+    ratios cannot see: a small delta (growth barely moves) whose
+    vectors crowd into cells the training snapshot left sparse means
+    the data distribution moved — fixed-nprobe probes will under-probe
+    exactly the cells that now matter.  TV = 0.5 * Σ|p_cell - q_cell|
+    over the union of cells, computed from exact integer counts
+    (Fraction arithmetic; one partition-column aggregate per side, no
+    vector bytes deserialized) — deterministic, like every drift
+    number in the engine.
+    """
+    from fractions import Fraction
+
+    idx = {
+        int(r["ivf_cell"]): int(r["n"])
+        for r in spark.read.parquet(path)
+        .groupBy("ivf_cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    new = {
+        int(r["__cluster"]): int(r["n"])
+        for r in delta_assigned.groupBy("__cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    ti, tn = sum(idx.values()), sum(new.values())
+    if not ti or not tn:
+        return 0.0
+    tv = Fraction(0)
+    for cell in set(idx) | set(new):
+        tv += abs(
+            Fraction(idx.get(cell, 0), ti) - Fraction(new.get(cell, 0), tn)
+        )
+    return float(tv / 2)
+
+
+def ivf_index_refresh(
+    spark,
+    path: str,
+    df_new: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rebuild_path: str | None = None,
+    growth_factor: float = 2.0,
+    cell_share_factor: float = 4.0,
+    drift_tv_threshold: float = 0.25,
+    n_centroids: int | None = None,
+    iters: int = 2,
+    seed: int = 42,
+) -> dict:
+    """One maintenance step of a standing IVF index (r7 verdict #5 —
+    the refresh pipeline composed from the lifecycle parts): decide
+    append-vs-rebuild from the staleness report AND the delta's cell
+    drift, then do it.
+
+    - **append** (the cheap steady-state path): the delta is assigned
+      against the STORED centroids and idempotently appended,
+      partition-pruned by cell (`ivf_index_append`) — delta-sized
+      cost, the index history never rewrites.
+    - **rebuild** (the periodic re-quantize): triggered when the size
+      ratios trip (`IvfStaleness.should_rebuild`: growth past
+      `growth_factor`, or a cell past `cell_share_factor`/n of the
+      corpus) OR the delta's assignment distribution sits TV >=
+      `drift_tv_threshold` away from the index's (`ivf_delta_drift`)
+      — the distribution-moved signal that degrades recall before it
+      degrades size.  The quantizer retrains over index ∪ delta into
+      `rebuild_path` (a NEW directory — never overwrite the directory
+      being read; the caller swaps the active pointer, the standard
+      versioned-index deployment), and the decision record carries the
+      fresh centroids.
+
+    Returns a decision record dict: action ('append'|'rebuild'),
+    the trigger flags, the measured numbers (growth, max_cell_share,
+    drift_tv), rows appended (append path), and active path +
+    centroids.  Deterministic end to end: deterministic quantizer
+    (seeded init), exact-integer TV, idempotent append.
+    """
+    delta_assigned = assign_clusters(spread(df_new), vec_col, centroids)
+    drift_tv = ivf_delta_drift(spark, path, delta_assigned)
+    report = ivf_index_staleness(spark, path)
+    size_stale = report.should_rebuild(growth_factor, cell_share_factor)
+    drifted = drift_tv >= drift_tv_threshold
+    record = {
+        "growth": report.growth,
+        "max_cell_share": report.max_cell_share,
+        "drift_tv": drift_tv,
+        "size_stale": size_stale,
+        "drifted": drifted,
+    }
+    if not (size_stale or drifted):
+        appended = ivf_index_append(df_new, path, centroids, id_col, vec_col)
+        return {
+            **record,
+            "action": "append",
+            "appended": appended,
+            "path": path,
+            "centroids": centroids,
+        }
+    target = rebuild_path or f"{path}_rebuilt"
+    full = (
+        spark.read.parquet(path)
+        .select(id_col, vec_col)
+        .unionByName(df_new.select(id_col, vec_col))
+        # re-delivered delta rows must not double-weight the quantizer
+        .dropDuplicates([id_col])
+    )
+    k = n_centroids if n_centroids is not None else report.n_centroids
+    cents = ivf_index_write(full, target, id_col, vec_col, k, iters, seed)
+    return {
+        **record,
+        "action": "rebuild",
+        "appended": 0,
+        "path": target,
+        "centroids": cents,
+    }
