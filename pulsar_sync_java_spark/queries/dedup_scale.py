@@ -2,12 +2,14 @@
 north star) — the `queries()` surface over operators/dedup.py,
 operators/similarity.py, operators/multimodal.py.
 
-Oracle-checked wherever cross-engine determinism is achievable:
-n-gram Jaccard (inverted index), multimodal metadata, and — via the
-portable md5-based hash mode — MinHash/LSH and SimHash, whose
-signatures the DuckDB oracle replays bit-for-bit.  Only the two ANN
-queries remain rows-only (approximate by design); their recall is
-property-tested against exact ground truth in tests/test_dedup_ops.py.
+Oracle-checked everywhere: n-gram Jaccard / containment / repeated
+spans (inverted indexes), multimodal metadata, and — via the portable
+md5-based hash mode — MinHash/LSH and SimHash, whose signatures the
+DuckDB oracle replays bit-for-bit.  The two ANN queries (approximate
+by design) carry PARTIAL oracles since r7 — cardinality hashed plus an
+in-plan recall@10 >= 0.9 flag vs the exact co-computed baseline — with
+production dials additionally property-tested against exact ground
+truth in tests/test_dedup_ops.py.
 """
 
 from __future__ import annotations

@@ -1032,6 +1032,28 @@ def stateful_heavy_hitters(
     )
 
 
+def hh_state_metrics(summaries: DataFrame) -> DataFrame:
+    """Map stateful_heavy_hitters' published summaries onto the shared
+    state-metrics shape for ``state_metrics_summary`` — the summaries
+    are ALREADY version-tagged per-shard state snapshots, so the
+    adapter just reshapes: key = shard, state_values = summary entries
+    held (the bounded <= k keys/counts struct the kernel carries),
+    late_total = 0 (order-free kernel, nothing quarantines),
+    last_seen_us = null (counts carry no event time).  With this, all
+    three observed kernels (SCD2, grouped UDAF, heavy hitters) publish
+    into one summary page."""
+    per_version = summaries.filter(F.col("k").isNotNull()).groupBy(
+        "shard", "version"
+    ).agg(F.count(F.lit(1)).alias("state_values"))
+    return per_version.select(
+        F.col("shard").cast("string").alias("key"),
+        "version",
+        "state_values",
+        F.lit(0).cast("long").alias("late_total"),
+        F.lit(None).cast("long").alias("last_seen_us"),
+    )
+
+
 def merge_shard_summaries(summaries: DataFrame, phi: float) -> DataFrame:
     """Batch-side read of the published summaries: latest version per
     shard, then the per-shard-error candidate cut.  Returns candidate

@@ -1913,3 +1913,47 @@ def test_udaf_observe_metrics_and_summary(spark, tmp_path):
     assert s["n_keys"] == len(sizes)
     assert s["max_state_values"] == max(sizes.values())
     assert s["total_state_values"] == sum(sizes.values())
+
+
+def test_hh_state_metrics_feeds_shared_summary(spark, tmp_path):
+    """hh_state_metrics maps the version-tagged MG summaries onto the
+    shared metrics shape: the kernel-level summary row must report one
+    key per shard, max/total state bounded by k, and the per-shard
+    latest-version rows must win over earlier re-publications."""
+    from pulsar_sync_java_spark.streaming.stateful import (
+        hh_state_metrics,
+        state_metrics_summary,
+        stateful_heavy_hitters,
+    )
+
+    msgs = build_messages(spark)
+    src = str(tmp_path / "src")
+    msgs.repartition(2).write.parquet(src)
+    cap, shards = 16, 4
+    q = (
+        stateful_heavy_hitters(
+            spark.readStream.schema(msgs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            key_col="ledger_id",
+            k=cap,
+            n_shards=shards,
+        )
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "summ"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    summ = spark.read.parquet(str(tmp_path / "summ"))
+    metrics = hh_state_metrics(summ)
+    # multiple versions exist (2 files -> 2 micro-batches), so the
+    # summary must pick latest-per-shard, not sum across versions
+    assert metrics.groupBy("key").count().agg(F.max("count")).collect()[0][0] > 1
+    s = state_metrics_summary(metrics).collect()[0]
+    assert s["n_keys"] == shards
+    assert s["max_state_values"] <= cap
+    assert s["total_state_values"] <= cap * shards
+    assert s["total_late"] == 0
