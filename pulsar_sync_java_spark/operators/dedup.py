@@ -585,3 +585,67 @@ def repeated_spans(
         (F.max("__p") - F.min("__p") + n).cast("long").alias("span_len"),
         F.min("__nd").alias("n_docs"),
     ).select(id_col, "span_start", "span_len", "n_docs")
+
+
+def scrub_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    min_df: int = 2,
+    min_span: int = 6,
+) -> DataFrame:
+    """The REMOVAL half of Lee et al. 2022 span dedup (`repeated_spans`
+    is the detection half): rewrite every document with the tokens of
+    its substantial repeated spans (length >= `min_span`) dropped,
+    emitting (id_col, n_tokens, n_removed, scrubbed_text) for every
+    document — the rows a tokenizer consumes after dup-passage
+    removal.
+
+    Policy: covered tokens are removed from EVERY hosting document
+    (the conservative both-copies variant; the paper's keep-one-copy
+    policy is a keeper choice layered on top, exactly what
+    q_dedup_keepers does for whole documents).  `min_span` > the gram
+    size keeps incidental single-window matches — noise on a small
+    vocabulary — out of the scrub, the scaled-down analogue of the
+    paper's 50-token threshold.
+
+    Scale shape: the corpus is NEVER re-exploded for the scrub — the
+    span table (already aggregate-sized) flattens into one covered-
+    positions array per affected doc, equi-joins back on the doc key
+    (broadcast at test scale, plain hash join at 100 TB), and the
+    rewrite is a zero-shuffle positional `filter` lambda over the
+    materialized token array.  Docs with no spans pass through with
+    n_removed = 0.
+    """
+    spans = repeated_spans(df, id_col, text_col, n, min_df).filter(
+        F.col("span_len") >= min_span
+    )
+    cov = spans.groupBy(id_col).agg(
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(
+                    F.sequence(
+                        F.col("span_start"),
+                        F.col("span_start") + F.col("span_len") - 1,
+                    )
+                )
+            )
+        ).alias("__cov")
+    )
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    j = toks.join(cov, id_col, "left").select(
+        F.col(id_col),
+        "__toks",
+        F.coalesce(F.col("__cov"), F.array().cast("array<long>")).alias("__cov"),
+    )
+    kept = F.filter(
+        "__toks",
+        lambda x, i: ~F.array_contains(F.col("__cov"), (i + 1).cast("long")),
+    )
+    return j.select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size("__cov").cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("scrubbed_text"),
+    )

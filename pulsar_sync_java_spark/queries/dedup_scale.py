@@ -24,6 +24,7 @@ from pulsar_sync_java_spark.operators.dedup import (
     lsh_pairs_against_corpus,
     minhash_signatures,
     repeated_spans,
+    scrub_repeated_spans,
     simhash64,
     simhash_near_pairs,
 )
@@ -538,3 +539,57 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the two-pass skew-proof plan shape)."""
     d = load_table(spark, sf_dir, "documents")
     return repeated_spans(d, n=4, min_df=2)
+
+
+_SPAN_SCRUB_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, d.i AS p,
+         t[d.i] || ' ' || t[d.i+1] || ' ' || t[d.i+2] || ' ' || t[d.i+3] AS g
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 3)) AS i) d
+  WHERE len(t) >= 4
+), dfreq AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS nd FROM pos GROUP BY g
+  HAVING COUNT(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT pos.doc_id, pos.p FROM pos JOIN dfreq USING (g)
+), isl AS (
+  SELECT doc_id, p,
+         p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl_id
+  FROM marked
+), spans AS (
+  SELECT doc_id, MIN(p) AS s, MAX(p) - MIN(p) + 4 AS l
+  FROM isl GROUP BY doc_id, isl_id
+  HAVING MAX(p) - MIN(p) + 4 >= 6
+), cov AS (
+  SELECT doc_id, list_sort(list_distinct(flatten(
+           list(generate_series(s, s + l - 1))))) AS cps
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(COALESCE(c.cps, [])) AS BIGINT) AS n_removed,
+       COALESCE(array_to_string(
+         list_where(t.t,
+           list_transform(generate_series(1, len(t.t)),
+                          i -> NOT list_contains(COALESCE(c.cps, []), i))),
+         ' '), '') AS scrubbed_text
+FROM toks t LEFT JOIN cov c USING (doc_id)
+"""
+
+
+@query("q_span_scrub", oracle=_SPAN_SCRUB_SQL)
+def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of span-level dedup: every document rewritten
+    with its substantial repeated spans (>= 6 tokens, from the same
+    4-gram/df>=2 detector as q_span_dedup) scrubbed — one row per doc
+    with original/removed token counts and the scrubbed text a
+    tokenizer would consume (operators/dedup.py:scrub_repeated_spans;
+    see its docstring for the both-copies policy and the
+    never-re-explode-the-corpus plan shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    return scrub_repeated_spans(d, n=4, min_df=2, min_span=6)

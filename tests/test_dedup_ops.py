@@ -1243,3 +1243,35 @@ def test_ivf_refresh_pipeline_append_then_rebuild(spark, tmp_path):
     assert step2b["action"] == "rebuild"
     assert step2b["centroids"] == step2["centroids"]
     assert abs(step2b["drift_tv"] - step2["drift_tv"]) == 0.0
+
+
+def test_scrub_repeated_spans_semantics(spark):
+    """Removal-half semantics: the shared 6-token run is scrubbed from
+    BOTH hosting docs (both-copies policy), a short (< min_span) match
+    survives, untouched docs pass through verbatim, and a fully-covered
+    doc scrubs to the empty string."""
+    from pulsar_sync_java_spark.operators.dedup import scrub_repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 b1 w x y z u v c1 d1"),   # span at tokens 3-8
+            (2, "w x y z u v e2 f2 g2 h2"),   # span at tokens 1-6
+            (3, "p q r s t3 u3 v3 w3 x3"),    # shares only 4-gram 'p q r s'
+            (4, "p q r s t4 u4 v4 w4 x4"),    #   -> span_len 4 < min_span 6
+            (5, "j k l m n o"),               # fully covered ...
+            (6, "j k l m n o"),               # ... in both copies
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.scrubbed_text)
+        for r in scrub_repeated_spans(docs, n=4, min_df=2, min_span=6).collect()
+    }
+    assert got == {
+        1: (10, 6, "a1 b1 c1 d1"),
+        2: (10, 6, "e2 f2 g2 h2"),
+        3: (9, 0, "p q r s t3 u3 v3 w3 x3"),
+        4: (9, 0, "p q r s t4 u4 v4 w4 x4"),
+        5: (6, 6, ""),
+        6: (6, 6, ""),
+    }
