@@ -1275,3 +1275,68 @@ def test_scrub_repeated_spans_semantics(spark):
         5: (6, 6, ""),
         6: (6, 6, ""),
     }
+
+
+def test_repeated_spans_matches_bruteforce(spark):
+    """Property test against an INDEPENDENT reference: a naive
+    all-pairs substring scan (no inverted index, no SQL window
+    machinery — tuple lookups in plain Python) must produce the same
+    maximal spans on random tiny-vocab corpora, where 4-gram collisions
+    are forced and island boundaries land everywhere."""
+    from collections import defaultdict
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pulsar_sync_java_spark.operators.dedup import repeated_spans
+
+    vocab = ["a", "b", "c"]
+
+    def brute(docs: list[list[str]]):
+        win: dict[tuple, set] = defaultdict(set)
+        for did, toks in enumerate(docs):
+            for i in range(len(toks) - 3):
+                win[tuple(toks[i : i + 4])].add(did)
+        expected = set()
+        for did, toks in enumerate(docs):
+            marks = [
+                (i + 1, len(win[tuple(toks[i : i + 4])]))
+                for i in range(len(toks) - 3)
+                if len(win[tuple(toks[i : i + 4])]) >= 2
+            ]
+            run: list[tuple] = []
+            for p, nd in marks:
+                if run and p == run[-1][0] + 1:
+                    run.append((p, nd))
+                else:
+                    if run:
+                        expected.add(_span(did, run))
+                    run = [(p, nd)]
+            if run:
+                expected.add(_span(did, run))
+        return expected
+
+    def _span(did, run):
+        ps = [p for p, _ in run]
+        return (did, ps[0], ps[-1] - ps[0] + 4, min(nd for _, nd in run))
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=14),
+            min_size=2,
+            max_size=5,
+        )
+    )
+    def check(docs):
+        df = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.doc_id, r.span_start, r.span_len, r.n_docs)
+            for r in repeated_spans(df, n=4, min_df=2).collect()
+        }
+        assert got == brute(docs)
+
+    check()
