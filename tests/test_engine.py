@@ -373,3 +373,65 @@ def test_full_system_catalog_then_data_plane_convergence(spark, tmp_path):
         assert (
             got.select("ledger_id", "entry_id").distinct().count() == want
         ), t
+
+
+def test_cli_main_ticks_and_converges(spark, tmp_path, capsys):
+    """`python -m pulsar_sync_java_spark SRC DST --ticks 2` — the
+    working CLI the reference's broken `PulsarSyncStarter.main` never
+    provided: tick 1 applies the full catalog/cursor diff, tick 2 is
+    the all-zero idempotent pass, each reported as one JSON line."""
+    import json
+
+    from pulsar_sync_java_spark.__main__ import main
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    msgs = build_messages(spark)
+    msgs.repartition(2).write.parquet(os.path.join(src, "messages"))
+    _write_catalog(
+        spark,
+        src,
+        [("public",)],
+        [("public", "default", "{}")],
+        [("public", "default", "view", 2, {"owner": "sync"})],
+        [
+            (r.topic, r.partition, r.cursor, r.ts, r.event_id)
+            for r in msgs.filter(
+                (F.col("topic") == "view") & (F.col("partition") == 0)
+            )
+            .groupBy("topic")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col("event_time").alias("ts"),
+                        F.col("entry_id").alias("event_id"),
+                    ),
+                    F.struct("event_time", "entry_id"),
+                ).alias("s")
+            )
+            .select(
+                "topic",
+                F.lit(0).alias("partition"),
+                F.lit("sub-a").alias("cursor"),
+                F.col("s.ts").alias("ts"),
+                F.col("s.event_id").alias("event_id"),
+            )
+            .collect()
+        ],
+    )
+    _write_catalog(spark, dst, [], [], [], [])
+    os.makedirs(os.path.join(dst, "messages"), exist_ok=True)
+
+    rc = main([src, dst, "--ticks", "2"])
+    assert rc == 0
+    lines = [
+        json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+        if l.startswith("{")
+    ]
+    assert len(lines) == 2
+    t0, t1 = lines
+    assert t0["tick"] == 0 and t0["tenants"] == 1 and t0["topics"] == 1
+    assert t0["cursors"] == 1
+    # second tick: converged — every apply count zero
+    assert t1["tick"] == 1
+    assert all(v == 0 for k, v in t1.items() if k != "tick"), t1
