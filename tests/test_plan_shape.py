@@ -667,3 +667,14 @@ def test_span_dedup_no_occurrence_lists_and_marked_only_doc_shuffle(
     # the df aggregate keys on the gram hash (+doc for the distinct)
     doc_parts = re.findall(r"hashpartitioning\(doc_id#\d+L, \d+\)", plan)
     assert len(doc_parts) == 1, plan
+
+
+def test_span_scrub_never_reexplodes_the_corpus(spark, queries):
+    """q_span_scrub: exactly the detection subtree's TWO posexplode
+    Generates — the scrub itself must be a positional filter lambda
+    over the token array plus one doc-keyed join, never a third
+    corpus explosion (the collect_list present is the aggregate-sized
+    covered-positions flatten, keyed per affected doc)."""
+    plan = plan_of(queries["q_span_scrub"](spark, SF_DIR))
+    assert len(re.findall(r"\) Generate", plan)) == 2, plan
+    assert "CartesianProduct" not in plan
