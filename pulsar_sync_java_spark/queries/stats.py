@@ -540,3 +540,79 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("key").alias("hot_key"), F.col("n").alias("hot_n"))
     )
     return summary.crossJoin(F.broadcast(top))
+
+
+# -------------------------------------------------- series similarity
+
+_TS_SIM_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         SUM(CAST(CAST(value AS DECIMAL(13,6)) * 1000000 AS BIGINT)) AS m
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), ref AS (
+  SELECT d, m AS rm FROM daily WHERE user_id = 1
+), sse AS (
+  SELECT a.user_id, COUNT(*) AS n_common,
+         SUM(CAST(a.m - r.rm AS DECIMAL(19,0))
+             * CAST(a.m - r.rm AS DECIMAL(19,0))) AS s
+  FROM daily a JOIN ref r ON a.d = r.d
+  WHERE a.user_id <> 1
+  GROUP BY a.user_id HAVING COUNT(*) >= 3
+)
+SELECT user_id,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(CAST(s AS VARCHAR) AS DOUBLE) AS sse_micro2,
+       CAST(CAST(s AS VARCHAR) AS DOUBLE) / n_common AS msd_micro2
+FROM sse
+ORDER BY msd_micro2 ASC, user_id ASC LIMIT 10
+"""
+
+
+@query("q_ts_similarity", oracle=_TS_SIM_SQL)
+def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the PAPERS.md distributed-
+    series-search family): the 10 users whose daily-spend series sit
+    closest to reference user 1's, by mean squared difference over
+    their shared days (>= 3 required).  Every series point is an EXACT
+    micro-unit integer (the 2-decimal values scale to integers
+    losslessly), the squared-difference sum is an exact DECIMAL(38,0)
+    aggregate, and only the final per-user division runs in IEEE
+    doubles — the module's standard moment discipline, so the metric
+    hash-matches DuckDB bit-for-bit (the oracle bridges its
+    decimal->double cast through VARCHAR, see module docstring).
+
+    Scale shape: ONE corpus shuffle builds the (user, day) series
+    table; the reference series (one user's ~30 rows) broadcasts onto
+    it; the per-candidate aggregate is series-sized; TakeOrdered
+    finishes top-k without a global sort.  At 100 TB the series table
+    is the materialized rollup a hypertable keeps anyway — the search
+    itself never rescans raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    micro = F.col("value").cast("decimal(13,6)") * F.lit(1_000_000)
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.sum(micro.cast("long")).alias("m"))
+    ref = daily.filter(F.col("user_id") == 1).select(
+        "d", F.col("m").alias("rm")
+    )
+    diff = (F.col("m") - F.col("rm")).cast("decimal(19,0)")
+    per = (
+        daily.filter(F.col("user_id") != 1)
+        .join(F.broadcast(ref), "d")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(diff * diff).alias("s"),
+        )
+        .filter(F.col("n_common") >= 3)
+    )
+    return (
+        per.select(
+            "user_id",
+            "n_common",
+            F.col("s").cast("double").alias("sse_micro2"),
+            (F.col("s").cast("double") / F.col("n_common")).alias("msd_micro2"),
+        )
+        .orderBy(F.col("msd_micro2").asc(), F.col("user_id").asc())
+        .limit(10)
+    )
