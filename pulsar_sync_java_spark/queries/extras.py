@@ -394,6 +394,69 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOMBSTONE_SQL = (
+    "SELECT cluster_id,\n"
+    "       CAST(COUNT(*) AS BIGINT) AS n_members,\n"
+    "       CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_deleted,\n"
+    "       MIN(CASE WHEN doc_id % 7 <> 0 THEN doc_id END) AS new_keeper,\n"
+    "       (MIN(CASE WHEN doc_id % 7 <> 0 THEN doc_id END)"
+    " IS DISTINCT FROM cluster_id) AS keeper_changed\n"
+    "FROM (" + _CLUSTER_SQL + ") labels\n"
+    "GROUP BY cluster_id\n"
+    "HAVING SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) >= 1\n"
+)
+
+
+@query("q_tombstone_rekeep", oracle=_TOMBSTONE_SQL)
+def q_tombstone_rekeep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion propagation through derived dedup state (the GDPR /
+    right-to-be-forgotten maintenance step): given a tombstone set
+    (planted: doc_id % 7 == 0 — parameter of the operator, a predicate
+    or keyed delete feed in production), emit every dup cluster the
+    deletions touch with its surviving-member count and the RE-ELECTED
+    keeper (min surviving member; null = the whole cluster is purged),
+    plus whether the keeper actually changed — the rows a lakehouse
+    MERGE needs to retarget q_dedup_keepers' decisions without
+    recomputing them corpus-wide.
+
+    Scale shape: the cluster labels are the same spanning-forest
+    contraction as q_dedup_cluster (plan-matched shared shingle
+    projection); the maintenance itself is ONE label-sized aggregate
+    with the affected-only filter applied at the group level — deleted
+    singletons (docs in no cluster) carry no derived state and need
+    only the base-table delete, which operators/merge.py:merge_apply
+    already covers.  Nothing here rescans the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = jaccard_pairs(d, threshold=0.5, max_bucket=1000).select(
+        "doc_a", "doc_b"
+    )
+    labels = connected_components(edges, src="doc_a", dst="doc_b")
+    mem = labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") % 7 == 0).alias("__del"),
+    )
+    per = (
+        mem.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("__del").cast("long")).alias("n_deleted"),
+            F.min(F.when(~F.col("__del"), F.col("doc_id"))).alias("new_keeper"),
+        )
+        .filter(F.col("n_deleted") >= 1)
+    )
+    return per.select(
+        "cluster_id",
+        "n_members",
+        "n_deleted",
+        "new_keeper",
+        (~F.col("new_keeper").eqNullSafe(F.col("cluster_id"))).alias(
+            "keeper_changed"
+        ),
+    )
+
+
 _KNN_SQL = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
