@@ -455,3 +455,37 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt_ts(pick("ts")).alias("p_ts"),
         pick("value").alias("p_value"),
     )
+
+
+_STAR_SQL = f"""
+SELECT n.n_name AS nation,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM customer c
+JOIN orders o    ON o.o_custkey = c.c_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+                AND s.s_nationkey = c.c_nationkey
+JOIN nation n    ON n.n_nationkey = s.s_nationkey
+JOIN region r    ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate <  DATE '1998-01-01'
+GROUP BY n.n_name
+"""
+
+
+@query("q_star_join", oracle=_STAR_SQL)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the 6-table star the optimizer has to
+    REORDER: local-supplier revenue by nation for one region and a
+    2-year window, with the supplier⋈customer same-nation predicate
+    that makes naive left-deep order quadratic.  Declared through the
+    SQL front-end so Catalyst owns join order: the two facts join
+    first (orderkey), the three dims broadcast onto the result, and
+    the region filter prunes nations BEFORE any fact row is touched —
+    the plan every warehouse engine is judged on.  Exact-decimal
+    revenue (dsum discipline)."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_STAR_SQL)

@@ -61,3 +61,33 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses (e.g. 'docs longer than 1.2x the mean')."""
     _with_views(spark, sf_dir, "part")
     return spark.sql(_SCALAR_SQL)
+
+
+_CORRELATED_SQL = """
+SELECT l.l_partkey,
+       CAST(COUNT(*) AS BIGINT) AS n_small,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+         AS small_revenue
+FROM lineitem l
+WHERE l.l_quantity < (
+        SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+GROUP BY l.l_partkey
+"""
+
+
+@query("q_correlated_subquery", oracle=_CORRELATED_SQL)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — the CORRELATED scalar subquery (per-part
+    average quantity threshold) Catalyst must DECORRELATE into an
+    aggregate + join; a naive per-row re-execution is O(rows x
+    groups).  Declared through the SQL front-end so the rewrite
+    itself is the thing under test; the oracle runs the identical
+    text, so the hash gate proves the decorrelated plan computes the
+    textbook semantics.  AVG(integer quantity) divides exact integer
+    sums by a count — deterministic in both engines — and the
+    comparison is on exact values, so no float-order hazard; revenue
+    goes through the exact-decimal sum."""
+    _with_views(spark, sf_dir, "lineitem")
+    return spark.sql(_CORRELATED_SQL)
