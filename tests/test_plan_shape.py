@@ -678,3 +678,24 @@ def test_span_scrub_never_reexplodes_the_corpus(spark, queries):
     plan = plan_of(queries["q_span_scrub"](spark, SF_DIR))
     assert len(re.findall(r"\) Generate", plan)) == 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_star_join_broadcasts_dims(spark, queries):
+    """q_star_join: Catalyst must broadcast the dimension sides —
+    never a CartesianProduct, and at least the three pure dims
+    (supplier, nation, region) arrive as BroadcastHashJoin."""
+    plan = plan_of(queries["q_star_join"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 3, plan
+
+
+def test_correlated_subquery_is_decorrelated(spark, queries):
+    """q_correlated_subquery: the correlated scalar subquery must
+    rewrite to ONE per-part aggregate joined back — exactly two
+    lineitem scans (probe + average), never a per-row re-execution
+    (which would surface as a scalar-subquery node per row)."""
+    plan = plan_of(queries["q_correlated_subquery"](spark, SF_DIR))
+    # formatted plans print each node twice (tree + detail section)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 2, plan
+    assert re.search(r"Join", plan), plan
+    assert "CartesianProduct" not in plan
