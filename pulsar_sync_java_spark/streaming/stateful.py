@@ -1081,3 +1081,115 @@ def merge_shard_summaries(summaries: DataFrame, phi: float) -> DataFrame:
         .filter(F.col("lb") + F.col("shard_err") >= F.lit(threshold))
         .select("k", "lb")
     )
+
+
+# ----------------------------------------------- timer-closed sessions
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("closed_by", StringType()),  # 'gap' | 'timer'
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _session_closer(gap_s: int):
+    gap_us = gap_s * _US
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        cols = [f.name for f in SESSION_OUTPUT_SCHEMA]
+        if state.hasTimedOut:
+            # watermark passed last_event + gap with no new rows: the
+            # idle session is CLOSED BY TIMER and its state evicted —
+            # SparseMap.java:36-53's time-based eviction, driven by
+            # the stream's own event-time progress instead of put()
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(int(user), start, last, n, "timer")], columns=cols
+            )
+            return
+        start, last, n = state.get if state.exists else (None, None, 0)
+        out: list[tuple] = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["event_time", "entry_id"]
+            )
+            ts_us = batch["event_time"].astype("int64") // 1000
+            for ts in ts_us:
+                ts = int(ts)
+                if last is not None and ts - last >= gap_us:
+                    out.append((int(user), start, last, n, "gap"))
+                    start, n = None, 0
+                if start is None:
+                    start = ts
+                last, n = ts, n + 1
+            state.update((start, last, n))
+            # (re)arm the idle timer: fires when the EVENT-TIME
+            # watermark passes the session's last event + gap; a later
+            # batch for this key re-arms (replaces) it
+            state.setTimeoutTimestamp(last // 1000 + gap_s * 1000)
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return fn
+
+
+def stateful_sessionize(
+    stream: DataFrame,
+    gap_s: int = 1800,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Watermark-TIMER sessionization — the streaming twin of
+    q_window_session's gaps-and-islands, and the one keyed-state
+    mechanism the other kernels don't exercise: EVENT-TIME TIMEOUTS
+    (`GroupStateTimeout.EventTimeTimeout` + `setTimeoutTimestamp`).
+
+    A session closes two ways: a new event for the key arriving >=
+    `gap_s` after the last one (closed_by='gap' — the ordinary path,
+    which also spans micro-batches through the carried state), or the
+    stream's event-time watermark passing last_event + gap with no new
+    rows (closed_by='timer') — which is how an IDLE key's session ever
+    closes at all, and how its state is EVICTED.  Without the timer,
+    idle keys leak state forever; this is the reference's
+    `SparseMap.java:36-53` TTL eviction expressed as watermark-driven
+    state cleanup (SURVEY.md §1.3), with the eviction clock being the
+    feed's own event-time progress, not the executor's wall clock.
+
+    Equivalence (asserted in tests/test_streaming.py): over ordered-
+    per-key delivery, every emitted session — by either close path —
+    equals the batch gaps-and-islands session for the same rows;
+    sessions whose close the final watermark never proves stay open in
+    state (the streaming-vs-bounded tail, same contract as
+    attribution_stream's outer rows).  State per key is ONE 3-long
+    struct; total state is bounded by ACTIVE keys, not ever-seen keys —
+    the timer is what turns "bounded by key cardinality" into "bounded
+    by concurrent activity", the number that matters at 100 TB.
+    """
+    return (
+        stream.selectExpr("ledger_id AS user_id", "event_time", "entry_id")
+        .withWatermark("event_time", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_closer(gap_s),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

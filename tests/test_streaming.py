@@ -2061,3 +2061,88 @@ def test_progress_live_readout_and_input_accounting(spark, tmp_path):
         s["watermark"] and s["watermark"] > "1970-01-01T00:00:01" for s in summaries
     )
     assert max(s["state_rows_total"] for s in summaries) >= 1
+
+
+def test_stateful_sessionize_gap_and_timer_close(spark, tmp_path):
+    """Event-time-timeout sessionization across a checkpointed two-run
+    restart: a session interrupted by a >= gap successor closes by
+    'gap' (stitched across batches through carried state), an IDLE
+    key's session closes by 'timer' once the watermark passes
+    last + gap (and its state is evicted), and a session the final
+    watermark cannot prove closed stays open — with every emitted
+    session equal to the batch gaps-and-islands formulation."""
+    import glob
+    import os
+    import shutil
+
+    from pulsar_sync_java_spark.streaming.stateful import stateful_sessionize
+
+    def events(rows):
+        return spark.createDataFrame(
+            rows, "ledger_id long, ts_s long, entry_id long"
+        ).select(
+            "ledger_id",
+            F.timestamp_seconds(F.col("ts_s")).alias("event_time"),
+            "entry_id",
+        )
+
+    b0 = events([(1, 100, 1), (1, 200, 2), (1, 300, 3), (2, 150, 4), (2, 250, 5)])
+    b1 = events([(1, 50_000, 6)])
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, b in enumerate([b0, b1]):
+        staged = str(tmp_path / f"stage{i}")
+        b.coalesce(1).write.parquet(staged)
+        for f in glob.glob(staged + "/part-*.parquet"):
+            shutil.copy(f, os.path.join(src, f"batch{i}.parquet"))
+        stream = spark.readStream.schema(
+            "ledger_id long, event_time timestamp, entry_id long"
+        ).parquet(src)
+        q = (
+            stateful_sessionize(stream, gap_s=600)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events): r.closed_by
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    US = 1_000_000
+    assert got == {
+        (1, 100 * US, 300 * US, 3): "gap",     # closed by the 50000s successor
+        (2, 150 * US, 250 * US, 2): "timer",   # idle key, watermark-evicted
+    }
+    # the 50000s session is real in the batch formulation but its close
+    # is unproven at the final watermark (49990 < 50600) -> stays open
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ledger_id").orderBy("event_time", "entry_id")
+    all_ev = events(
+        [(1, 100, 1), (1, 200, 2), (1, 300, 3), (2, 150, 4), (2, 250, 5), (1, 50_000, 6)]
+    )
+    newsess = (
+        F.col("event_time").cast("long")
+        - F.lag(F.col("event_time").cast("long")).over(w)
+        >= 600
+    )
+    sess = (
+        all_ev.withColumn("ns", F.coalesce(newsess.cast("int"), F.lit(1)))
+        .withColumn("sid", F.sum("ns").over(w))
+        .groupBy("ledger_id", "sid")
+        .agg(
+            F.min(F.unix_micros("event_time")).alias("s"),
+            F.max(F.unix_micros("event_time")).alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    batch_sessions = {
+        (r.ledger_id, r.s, r.e, r.n) for r in sess.collect()
+    }
+    assert set(got) <= batch_sessions
+    assert (1, 50_000 * US, 50_000 * US, 1) in batch_sessions  # the open tail
