@@ -593,3 +593,58 @@ def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     never-re-explode-the-corpus plan shape)."""
     d = load_table(spark, sf_dir, "documents")
     return scrub_repeated_spans(d, n=4, min_df=2, min_span=6)
+
+
+# ---------------------------------------------------- sketch mergeability
+
+_MINHASH_MERGE_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), dims AS (
+  SELECT unnest(generate_series(1, (SELECT MAX(len(t)) FROM toks))) AS i
+), sh AS (
+  SELECT DISTINCT lang, t[d.i] || ' ' || t[d.i+1] || ' ' || t[d.i+2] AS shingle
+  FROM toks, dims d WHERE d.i <= len(t) - 2
+), hs AS (
+  SELECT lang, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh
+), fam AS (
+  SELECT i,
+         ((i + 1) * 2654435761) % 2147483647 AS a,
+         ((i + 1) * 97531) % 2147483647 AS b
+  FROM (SELECT unnest(range(64)) AS i)
+)
+SELECT lang, CAST(f.i AS INT) AS i,
+       MIN((f.a * h + f.b) % 2147483647) AS s
+FROM hs CROSS JOIN fam f
+GROUP BY lang, f.i
+"""
+
+
+@query("q_minhash_merge", oracle=_MINHASH_MERGE_SQL)
+def q_minhash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY as an identity-oracle query (the
+    rollup_incremental pattern applied to MinHash): the engine computes
+    each language's corpus-level signature by elementwise-MIN MERGING
+    the per-document signatures; the oracle computes the signature of
+    the language's shingle-set UNION directly.  Hash-green means
+    min(minhash(A), minhash(B)) == minhash(A ∪ B) bit-for-bit — the
+    algebraic law that lets 100 TB of per-partition (or per-day)
+    signature partials collapse to corpus signatures through ordinary
+    mergeable aggregation, without ever reshuffling documents.
+
+    Plan: per-doc signatures are the standard zero-shuffle Arrow kernel
+    (operators/dedup.py:minhash_signatures, portable mode); the merge
+    is one posexplode + (lang, i) MIN aggregate — group count is
+    languages x 64, so the shuffle carries signature entries, never
+    shingles."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=64, portable=True).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    return (
+        sigs.select("lang", F.posexplode("signature").alias("i", "s"))
+        .groupBy("lang", "i")
+        .agg(F.min("s").alias("s"))
+    )

@@ -134,6 +134,7 @@ EXPECT = {
     "q_ts_similarity": "one (user, day) rollup shuffle; reference series broadcasts (BroadcastHashJoin); per-candidate aggregate over series rows only; TakeOrderedAndProject finishes top-k without a global sort",
     "q_tombstone_rekeep": "same contraction-label subtree as q_dedup_cluster (plan-matched shingle cache shared); the maintenance step itself is ONE label-sized aggregate — the corpus is never rescanned for deletion propagation",
     "q_star_join": "Catalyst-reordered 6-table star: dims broadcast (BroadcastHashJoin), region filter prunes nations before fact rows, no CartesianProduct; at test sf even the fact-fact join broadcasts (filtered orders), at scale it is the one SMJ",
+    "q_minhash_merge": "zero-shuffle per-doc Arrow signatures; ONE (lang, i) MIN aggregate whose shuffle carries signature entries, never shingles — the merge side of the sketch-mergeability identity",
     "q_correlated_subquery": "correlated scalar subquery DECORRELATED: one per-part aggregate joined back (never per-row re-execution); partial+final agg under the join",
     "q_scd2_history": "gaps-and-islands SCD2: both windows share ONE (user_id) hashpartitioning exchange; change-point filter between them",
     "q_unigram_score": "tokenize scan -> (token) vocabulary aggregate -> token equi-join (never nested loop) -> (doc) final aggregate, partials map-side throughout",
