@@ -616,3 +616,147 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("msd_micro2").asc(), F.col("user_id").asc())
         .limit(10)
     )
+
+
+# ------------------------------------------------------- KS drift
+
+# Two-sample Kolmogorov-Smirnov: D = max over the pooled values of
+# |F_a(v) - F_b(v)|.  Cross-multiplied to integers like q_drift_tv's
+# TV numerator: D_num = max |c_a(v)*n_b - c_b(v)*n_a| with c_* the
+# cumulative counts, one final double division.  The cumulative counts
+# come from a TWO-LEVEL prefix sum (the q_shard_pack discipline): a
+# 32-bucket value histogram gives per-bucket base offsets through a
+# tiny per-type window, and the within-bucket window is partitioned by
+# (type, bucket) — no per-type global sort ever happens, so the plan
+# survives a corpus where one event type dominates.
+_KS_SQL = """
+WITH g AS (
+  SELECT event_type,
+         CAST(least(floor(value / 16), 31) AS INT) AS bucket,
+         value,
+         SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS a_i,
+         SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS b_i
+  FROM events GROUP BY 1, 2, 3
+), btot AS (
+  SELECT event_type, bucket, SUM(a_i) AS ba, SUM(b_i) AS bb
+  FROM g GROUP BY 1, 2
+), base AS (
+  SELECT event_type, bucket,
+         COALESCE(SUM(ba) OVER (PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base_a,
+         COALESCE(SUM(bb) OVER (PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base_b
+  FROM btot
+), tot AS (
+  SELECT event_type, CAST(SUM(a_i) AS BIGINT) AS n_a,
+         CAST(SUM(b_i) AS BIGINT) AS n_b
+  FROM g GROUP BY 1
+), c AS (
+  SELECT g.event_type,
+         base.base_a + SUM(g.a_i) OVER (PARTITION BY g.event_type, g.bucket
+           ORDER BY g.value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_a,
+         base.base_b + SUM(g.b_i) OVER (PARTITION BY g.event_type, g.bucket
+           ORDER BY g.value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_b
+  FROM g JOIN base ON g.event_type = base.event_type AND g.bucket = base.bucket
+)
+SELECT c.event_type, t.n_a, t.n_b,
+       CAST(MAX(abs(CAST(c.c_a AS DECIMAL(38,0)) * t.n_b
+                    - CAST(c.c_b AS DECIMAL(38,0)) * t.n_a)) AS DOUBLE)
+         / (CAST(t.n_a AS DOUBLE) * t.n_b) AS ks_stat,
+       (CAST(MAX(abs(CAST(c.c_a AS DECIMAL(38,0)) * t.n_b
+                     - CAST(c.c_b AS DECIMAL(38,0)) * t.n_a)) AS DOUBLE)
+          / (CAST(t.n_a AS DOUBLE) * t.n_b))
+         * (CAST(MAX(abs(CAST(c.c_a AS DECIMAL(38,0)) * t.n_b
+                         - CAST(c.c_b AS DECIMAL(38,0)) * t.n_a)) AS DOUBLE)
+              / (CAST(t.n_a AS DOUBLE) * t.n_b))
+         * (CAST(t.n_a AS DOUBLE) * t.n_b)
+         > 1.8496 * (t.n_a + t.n_b) AS drifted
+FROM c JOIN tot t ON c.event_type = t.event_type
+GROUP BY c.event_type, t.n_a, t.n_b
+"""
+
+
+@query("q_ks_drift", oracle=_KS_SQL)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic per event type
+    between the user-parity A/B slices — the UNBINNED companion to
+    q_drift_tv: KS sees any CDF separation, including shifts that land
+    inside one of TV's fixed buckets.
+
+    Scale shape (the reason this is not just `max over a sorted
+    stream`): a naive KS sorts each type's values in one task.  Here
+    cumulative counts come from a two-level distributed prefix sum —
+    (type, bucket, value) count rows (dedup'd, so ties across slices
+    are one row), per-bucket totals through a <=32-row-per-type window,
+    within-bucket cumsums through a (type, bucket)-partitioned window —
+    so every window partition is bounded and the raw scan shuffles
+    once, as counts.  Exactness: D's numerator is max over integer
+    cross-products accumulated in DECIMAL; one final double division.
+    """
+    e = load_table(spark, sf_dir, "events")
+    # g is the dedup'd (type, bucket, value) count table — the corpus
+    # reduced to its distinct-value histogram.  It feeds three branches
+    # (cumsums, bucket totals, slice totals); persisting it pins the
+    # corpus to ONE scan + ONE count shuffle instead of three
+    # (declared in tests/test_bench_contract.py PERSIST_ALLOWLIST).
+    g = (
+        e.select(
+            "event_type",
+            F.least(F.floor(F.col("value") / 16), F.lit(31))
+            .cast("int")
+            .alias("bucket"),
+            "value",
+            (F.col("user_id") % 2).alias("slice"),
+        )
+        .groupBy("event_type", "bucket", "value")
+        .agg(
+            F.sum(F.when(F.col("slice") == 0, 1).otherwise(0)).alias("a_i"),
+            F.sum(F.when(F.col("slice") == 1, 1).otherwise(0)).alias("b_i"),
+        )
+        .persist()
+    )
+    btot = g.groupBy("event_type", "bucket").agg(
+        F.sum("a_i").alias("ba"), F.sum("b_i").alias("bb")
+    )
+    w_excl = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = btot.select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.sum("ba").over(w_excl), F.lit(0)).alias("base_a"),
+        F.coalesce(F.sum("bb").over(w_excl), F.lit(0)).alias("base_b"),
+    )
+    tot = btot.groupBy("event_type").agg(
+        F.sum("ba").cast("long").alias("n_a"),
+        F.sum("bb").cast("long").alias("n_b"),
+    )
+    w_in = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = g.join(F.broadcast(base), ["event_type", "bucket"]).select(
+        "event_type",
+        (F.col("base_a") + F.sum("a_i").over(w_in)).alias("c_a"),
+        (F.col("base_b") + F.sum("b_i").over(w_in)).alias("c_b"),
+    )
+    d_num = F.max(
+        F.abs(
+            F.col("c_a").cast("decimal(38,0)") * F.col("n_b")
+            - F.col("c_b").cast("decimal(38,0)") * F.col("n_a")
+        )
+    ).cast("double")
+    nm = F.col("n_a").cast("double") * F.col("n_b")
+    ks = d_num / nm
+    # alpha=0.05 two-sample KS decision: D > 1.36*sqrt((n_a+n_b)/(n_a*n_b)),
+    # squared to avoid sqrt: D*D*n_a*n_b > 1.8496*(n_a+n_b) — the same
+    # IEEE expression tree on both engines, so the boolean hashes.
+    drifted = ks * ks * nm > F.lit(1.8496) * (F.col("n_a") + F.col("n_b"))
+    return (
+        c.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "n_a", "n_b")
+        .agg(ks.alias("ks_stat"), drifted.alias("drifted"))
+    )

@@ -688,3 +688,92 @@ def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# ------------------------------------------------------- z-order layout
+
+# Morton/Z-order bit interleave, spelled in portable integer arithmetic
+# ((x >> i) & 1 on BIGINT behaves identically in Spark and DuckDB), so
+# the curve value — and therefore the file assignment — replays
+# bit-for-bit in the oracle.
+_ZBITS = 8
+
+
+def _z_terms_sql(x: str, y: str) -> str:
+    return " + ".join(
+        f"(({x} >> {i}) & 1) * {4 ** i} + (({y} >> {i}) & 1) * {2 * 4 ** i}"
+        for i in range(_ZBITS)
+    )
+
+
+_ZORDER_SQL = f"""
+WITH bounds AS (
+  SELECT MAX(l_partkey) + 1 AS pk_n, MAX(l_suppkey) + 1 AS sk_n
+  FROM lineitem
+), pts AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(l_partkey * 256 // pk_n AS BIGINT) AS x,
+         CAST(l_suppkey * 256 // sk_n AS BIGINT) AS y
+  FROM lineitem, bounds
+), z AS (
+  SELECT l_partkey, l_suppkey,
+         {_z_terms_sql('x', 'y')} AS zval
+  FROM pts
+)
+SELECT CAST(zval // 1024 AS INT) AS file_id,
+       COUNT(*) AS n_rows,
+       MIN(l_partkey) AS min_partkey, MAX(l_partkey) AS max_partkey,
+       MIN(l_suppkey) AS min_suppkey, MAX(l_suppkey) AS max_suppkey,
+       MAX(l_partkey) - MIN(l_partkey) + 1 AS partkey_span,
+       MAX(l_suppkey) - MIN(l_suppkey) + 1 AS suppkey_span
+FROM z GROUP BY 1
+"""
+
+
+@query("q_zorder_layout", oracle=_ZORDER_SQL)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) file-layout planner over the lineitem
+    fact's two hot filter keys: normalize each key to 8 bits against
+    its observed domain, interleave the bits, cut the curve into 64
+    files, and report each file's min/max key RANGES — exactly the
+    per-file statistics a lakehouse data-skipping index keeps.  A
+    single-key sort minimizes one span and leaves the other at full
+    width; the Z-curve keeps BOTH spans narrow, which is why
+    multi-dimensional clustering beats linear sort for two-filter
+    workloads at 100 TB.
+
+    Plan: pass 1 is a one-row domain-bounds aggregate broadcast onto
+    the scan (the q_gap_fill spine pattern — a real z-order writer
+    computes bounds first); pass 2 is zero-join: the interleave is 16
+    integer shift/mask terms inside whole-stage codegen feeding ONE
+    partial+final hash aggregate over 64 file groups.  At scale
+    file_id is the repartition-by-range write key; here the query
+    surfaces the layout quality (the spans) the optimizer would skip
+    on."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        (F.max("l_partkey") + 1).alias("pk_n"),
+        (F.max("l_suppkey") + 1).alias("sk_n"),
+    )
+    pts = li.select("l_partkey", "l_suppkey").crossJoin(F.broadcast(bounds))
+    x = F.expr("CAST(l_partkey * 256 DIV pk_n AS BIGINT)")
+    y = F.expr("CAST(l_suppkey * 256 DIV sk_n AS BIGINT)")
+    zval = None
+    for i in range(_ZBITS):
+        term = F.shiftright(x, i).bitwiseAND(F.lit(1)) * F.lit(4 ** i) + (
+            F.shiftright(y, i).bitwiseAND(F.lit(1)) * F.lit(2 * 4 ** i)
+        )
+        zval = term if zval is None else zval + term
+    return (
+        pts.select("l_partkey", "l_suppkey", zval.alias("zval"))
+        .groupBy(F.expr("CAST(zval DIV 1024 AS INT)").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_partkey"),
+            F.max("l_partkey").alias("max_partkey"),
+            F.min("l_suppkey").alias("min_suppkey"),
+            F.max("l_suppkey").alias("max_suppkey"),
+            (F.max("l_partkey") - F.min("l_partkey") + 1).alias("partkey_span"),
+            (F.max("l_suppkey") - F.min("l_suppkey") + 1).alias("suppkey_span"),
+        )
+    )

@@ -212,3 +212,77 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("revenue_30d"),
         F.count(F.lit(1)).over(w).alias("n_orders_30d"),
     )
+
+
+# --------------------------------------------- rolling exact quantiles
+
+# Median/p90 are HOLISTIC aggregates: no bounded mergeable partial
+# exists, so a rolling version must materialize its frame.  The frame
+# here is BOUNDED (last 10 events per user), which is what makes this
+# scale-legal: each row carries <= 10 values regardless of corpus size,
+# and the window key (user_id) is high-cardinality, so the single
+# shuffle is key-parallel.  An UNBOUNDED rolling median would be the
+# anti-pattern (per-key state growing with history) — that family is
+# served by q_approx_percentiles' mergeable GK sketch instead.
+#
+# Index arithmetic is pure-integer ((k+1)//2 etc.), and the even-count
+# median (a+b)/2.0 is one IEEE op on two parquet-exact doubles — both
+# engines evaluate the identical expression tree, so the hash gates.
+_ROLLQ_SQL = """
+WITH f AS (
+  SELECT user_id, event_id, value,
+         list_sort(list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS frame
+  FROM events
+)
+SELECT user_id, event_id, value,
+       CAST(len(frame) AS INT) AS n_frame,
+       (frame[(len(frame) + 1) // 2] + frame[(len(frame) + 2) // 2]) / 2.0
+         AS roll_median,
+       frame[(9 * len(frame) + 9) // 10] AS roll_p90
+FROM f
+"""
+
+
+@query("q_rolling_quantile", oracle=_ROLLQ_SQL)
+def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median + p90 of each user's last 10 event values —
+    the per-entity SLO/spend envelope a monitoring pipeline keeps next
+    to the global sketch percentiles (q_approx_percentiles).
+
+    Plan: ONE (user_id) shuffle feeding a collect_list window over the
+    bounded 10-row frame, then zero-shuffle array expressions
+    (array_sort + element_at with integer-only index arithmetic).
+    Ordering inside the frame is the total order (ts, event_id), so
+    frame contents — and therefore the quantiles — are deterministic
+    under timestamp ties."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    frame = F.array_sort(F.collect_list("value").over(w))
+    out = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        frame.alias("frame"),
+    ).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.size("frame").cast("int").alias("n_frame"),
+        (
+            (
+                F.element_at("frame", ((F.size("frame") + 1) / 2).cast("int"))
+                + F.element_at("frame", ((F.size("frame") + 2) / 2).cast("int"))
+            )
+            / F.lit(2.0)
+        ).alias("roll_median"),
+        F.element_at(
+            "frame", ((F.size("frame") * 9 + 9) / 10).cast("int")
+        ).alias("roll_p90"),
+    )
+    return out

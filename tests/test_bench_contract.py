@@ -105,6 +105,7 @@ PERSIST_ALLOWLIST = {
     ("queries/dedup_scale.py", "q_incremental_dedup"): 1,    # minhash sigs (plan-matched with the other sig users)
     ("queries/dedup_scale.py", "q_minhash_lsh"): 1,
     ("queries/extras.py", "q_tfidf_topterms"): 1,       # (doc, term) tf aggregate
+    ("queries/stats.py", "q_ks_drift"): 1,              # distinct-value count table (aggregate-sized)
     ("queries/stats.py", "q_skew_report"): 1,           # per-key size aggregate (tiny)
     ("queries/training.py", "q_corpus_materialize"): 1, # feature table = pushdown barrier (measured 13x)
     ("queries/training.py", "q_dedup_keepers"): 1,      # minhash sigs (plan-matched)

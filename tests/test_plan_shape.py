@@ -699,3 +699,45 @@ def test_correlated_subquery_is_decorrelated(spark, queries):
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 2, plan
     assert re.search(r"Join", plan), plan
     assert "CartesianProduct" not in plan
+
+
+def test_ks_drift_single_corpus_scan_no_per_type_sort(spark, queries):
+    """q_ks_drift's two-level prefix sum: the events corpus is scanned
+    ONCE into the persisted count table (every branch reads
+    InMemoryTableScan), and the within-bucket cumulative window is
+    partitioned by (type, bucket) — never a per-type global sort over
+    raw values."""
+    plan = plan_of(queries["q_ks_drift"](spark, SF_DIR))
+    # one real parquet scan (repeats in the plan text are the same
+    # InMemoryRelation subtree re-displayed per reader)
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) == 1, scan_ids
+    assert "InMemoryTableScan" in plan
+    # the big window partitions by bucket too: its Sort orders on
+    # (event_type, bucket, value) — a per-type-only sort would omit bucket
+    assert re.search(
+        r"Arguments: \[event_type#\d+ ASC NULLS FIRST, bucket#\d+ ASC NULLS"
+        r" FIRST, value#\d+ ASC NULLS FIRST\]",
+        plan,
+    ), "within-bucket window must sort by (type, bucket, value)"
+
+
+def test_rolling_quantile_one_exchange_zero_join(spark, queries):
+    """q_rolling_quantile: ONE (user_id) window shuffle; the quantile
+    extraction is array expressions in the same stage — no joins, no
+    second exchange, no global sort."""
+    plan = plan_of(queries["q_rolling_quantile"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+
+
+def test_zorder_layout_bounds_broadcast_single_agg(spark, queries):
+    """q_zorder_layout: the one-row domain-bounds aggregate broadcasts
+    onto the fact scan (BroadcastNestedLoopJoin, never a shuffled
+    join), and the layout summary is one partial+final hash aggregate."""
+    plan = plan_of(queries["q_zorder_layout"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # bounds agg + file agg = exactly two shuffle exchanges
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan

@@ -146,6 +146,9 @@ EXPECT = {
     "q_sample_weighted": "per-row rational priority, global top-K via TakeOrderedAndProject — zero exchanges, no global sort",
     "q_gap_fill": "generated (type x hour) spine from broadcast bounds -> ONE left equi-join -> per-series LOCF window; the hourly aggregate is partial+final",
     "q_shard_pack": "two-level distributed prefix sum: the only SinglePartition exchange carries (bucket, bucket_chars) aggregate rows — never doc rows; offsets broadcast back; per-bucket window partitioned",
+    "q_ks_drift": "two-level KS prefix sum: ONE (type,bucket,value) count aggregate persisted (InMemoryTableScan feeds all three branches); per-type base window over <=32 bucket rows; within-bucket window partitioned by (type,bucket) — no per-type global sort; D numerator in decimal",
+    "q_rolling_quantile": "ONE (user_id) window exchange; bounded 10-row collect_list frame; quantile extraction is zero-shuffle array expressions (array_sort + element_at) in the same stage",
+    "q_zorder_layout": "one-row bounds aggregate broadcast onto the scan (BroadcastNestedLoopJoin build-right); 16-term integer interleave inside WholeStageCodegen; ONE partial+final hash aggregate over 64 file groups",
 }
 
 _SECTION = """\
