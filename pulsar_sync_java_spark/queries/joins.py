@@ -489,3 +489,88 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_STAR_SQL)
+
+
+# ------------------------------------------- incremental join view
+
+# IVM for JOIN views (the join-side twin of q_rollup_incremental's
+# aggregate IVM): with A = A_old ⊎ ΔA and B = B_old ⊎ ΔB, the view
+# delta is the DISJOINT union  ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB — history
+# is never re-joined against itself.  The oracle computes the same
+# delta the expensive way (new view state MINUS old view state, both
+# from scratch), so a hash-green row proves the delta algebra exactly,
+# including the decimal-exact revenue subtraction.
+_JOIN_INCR_SQL = """
+WITH pairs AS (
+  SELECT o.o_orderkey, o.o_orderpriority, l.l_linenumber, l.l_returnflag,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)) AS r
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), newv AS (
+  SELECT o_orderpriority, l_returnflag, COUNT(*) AS n, SUM(r) AS s
+  FROM pairs GROUP BY 1, 2
+), oldv AS (
+  SELECT o_orderpriority, l_returnflag, COUNT(*) AS n, SUM(r) AS s
+  FROM pairs WHERE o_orderkey % 11 <> 5 AND l_linenumber < 5
+  GROUP BY 1, 2
+)
+SELECT n.o_orderpriority, n.l_returnflag,
+       CAST(n.n - COALESCE(o.n, 0) AS BIGINT) AS d_pairs,
+       CAST(CAST(n.s - COALESCE(o.s, CAST(0 AS DECIMAL(38,6))) AS VARCHAR)
+            AS DOUBLE) AS d_revenue
+FROM newv n LEFT JOIN oldv o
+  ON n.o_orderpriority = o.o_orderpriority
+ AND n.l_returnflag = o.l_returnflag
+WHERE n.n - COALESCE(o.n, 0) > 0
+"""
+
+
+@query("q_join_incremental", oracle=_JOIN_INCR_SQL)
+def q_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view: a revenue-per-
+    (priority, returnflag) view over orders ⋈ lineitem receives a
+    batch of new orders (ΔA = o_orderkey%11==5) and late lineitems
+    (ΔB = l_linenumber>=5); the query emits the view INCREMENT.
+
+    Scale shape — the reason IVM exists: the increment is the disjoint
+    union ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB, and the DELTA side of every
+    term broadcasts (a micro-batch is always small), so each history
+    side is scanned once and NEVER shuffled for a join — maintenance
+    cost is O(history scan + delta), not O(history join history).  The
+    oracle recomputes both view states from scratch and subtracts
+    (decimal-exact), so the hash gate proves delta ∪-algebra ==
+    state difference bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(38,6)")
+        .alias("r"),
+    )
+    d_a = o.filter(F.col("o_orderkey") % 11 == 5)
+    old_a = o.filter(F.col("o_orderkey") % 11 != 5)
+    d_b = l.filter(F.col("l_linenumber") >= 5)
+    old_b = l.filter(F.col("l_linenumber") < 5)
+    on = F.col("o_orderkey") == F.col("l_orderkey")
+    delta_pairs = (
+        F.broadcast(d_a)
+        .join(old_b, on)
+        .unionByName(old_a.join(F.broadcast(d_b), on))
+        .unionByName(F.broadcast(d_a).join(d_b, on))
+    )
+    return (
+        delta_pairs.groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("d_pairs"),
+            F.sum("r").alias("s"),
+        )
+        .select(
+            "o_orderpriority",
+            "l_returnflag",
+            "d_pairs",
+            F.col("s").cast("double").alias("d_revenue"),
+        )
+    )

@@ -741,3 +741,16 @@ def test_zorder_layout_bounds_broadcast_single_agg(spark, queries):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     # bounds agg + file agg = exactly two shuffle exchanges
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
+
+
+def test_join_incremental_deltas_broadcast_history_never_shuffled(
+    spark, queries
+):
+    """q_join_incremental: every delta term is a BroadcastHashJoin
+    (the micro-batch side builds), so no history row is ever hash-
+    partitioned for a join — the ONLY exchange is the final group-
+    sized aggregate."""
+    plan = plan_of(queries["q_join_incremental"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 3, plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan

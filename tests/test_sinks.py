@@ -416,3 +416,32 @@ def test_compact_zorder_keeps_hive_layout(spark, tmp_path):
     assert back.count() == 2048
     assert set(back.columns) == {"part", "x", "y"}
     assert back.groupBy("part").count().count() == 2
+
+
+def test_partitioned_layout_enables_dynamic_partition_pruning(
+    spark, facts, tmp_path
+):
+    """The hive-partitioned layout write_partitioned produces must let
+    Catalyst prune partitions at RUNTIME from a join's dim-side filter
+    (dynamic partition pruning) — at 100 TB this is the difference
+    between scanning one day and scanning the whole fact table when the
+    date predicate only exists on the dimension."""
+    import io
+    from contextlib import redirect_stdout
+
+    out = str(tmp_path / "tdpp")
+    write_partitioned(facts, out, ["day"])
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [(d, "keep" if d == 3 else "drop") for d in range(7)],
+        "day_key long, tag string",
+    )
+    joined = fact.join(dim.filter(F.col("tag") == "keep"),
+                       fact.day == F.col("day_key"))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the pruning is real: only day=3 rows are read/returned
+    assert joined.count() == facts.filter(F.col("day") == 3).count()
