@@ -44,6 +44,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pulsar_sync_java_spark.functions.numeric import dec_arr_sum
+from pulsar_sync_java_spark.operators.graph import connected_components
 from pulsar_sync_java_spark.queries import query
 from pulsar_sync_java_spark.sources.tables import load_table
 
@@ -129,8 +131,9 @@ def _update(e: DataFrame, assign: DataFrame) -> DataFrame:
     )
 
 
-_KMEANS_SQL = f"""
-WITH pts AS (
+# the Lloyd-iteration CTE chain (pts .. a2) — shared by the plain
+# kmeans oracle and q_semantic_dedup's composed oracle
+_KMEANS_CTES = f"""pts AS (
   SELECT vec_id, d.i AS dim, CAST(embedding[d.i] AS DOUBLE) AS x
   FROM embeddings e,
        (SELECT unnest(generate_series(1,
@@ -193,11 +196,15 @@ a2 AS (
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY dist ASC, cluster ASC) AS rn
     FROM s2) t WHERE rn = 1
-)
+)"""
+
+_KMEANS_SQL = (
+    "WITH " + _KMEANS_CTES + """
 SELECT a2.vec_id, a2.cluster, CAST(n.cluster_size AS BIGINT) AS cluster_size
 FROM a2 JOIN (SELECT cluster, COUNT(*) AS cluster_size
               FROM a2 GROUP BY cluster) n ON a2.cluster = n.cluster
 """
+)
 
 
 def kmeans_assignments(
@@ -343,3 +350,119 @@ def q_kmeans_minibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     just like the full-pass query."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return kmeans_assignments(e, sample_pct=_MB_PCT)
+
+
+# --------------------------------------------------- semantic dedup
+
+# SemDeDup (Abbas et al. 2023) end-to-end: k-means buckets the
+# embedding space, exact cosine runs ONLY within clusters (the recipe's
+# entire point — candidate pairs bounded by cluster populations, never
+# corpus all-pairs), and connected components turn the pair set into
+# keep/drop groups.  The oracle replays the identical Lloyd iterations
+# (shared _KMEANS_CTES), the identical decimal-exact cosine, and a
+# recursive-CTE closure — composing the q_kmeans_assign and
+# q_dedup_cluster gates into one hash-checked pipeline.
+_SEMDEDUP_SQL = (
+    "WITH RECURSIVE " + _KMEANS_CTES + """,
+norms AS (
+  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS nx
+  FROM pts GROUP BY vec_id
+),
+cand AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT c.va, c.vb,
+         CAST(SUM(CAST(xa.x * xb.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM cand c
+  JOIN pts xa ON xa.vec_id = c.va
+  JOIN pts xb ON xb.vec_id = c.vb AND xb.dim = xa.dim
+  GROUP BY c.va, c.vb
+),
+sim AS (
+  SELECT d.va, d.vb
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.va
+  JOIN norms nb ON nb.vec_id = d.vb
+  WHERE d.dot / (sqrt(na.nx) * sqrt(nb.nx)) >= 0.35
+),
+edges AS (
+  SELECT va AS a, vb AS b FROM sim UNION SELECT vb, va FROM sim
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND e.b <> r.a
+),
+labels AS (
+  SELECT a AS vec_id, LEAST(a, MIN(b)) AS lbl FROM reach GROUP BY a
+)
+SELECT k.vec_id, k.cluster,
+       COALESCE(l.lbl, k.vec_id) AS sem_group,
+       COALESCE(l.lbl, k.vec_id) <> k.vec_id AS is_dup
+FROM a2 k LEFT JOIN labels l ON l.vec_id = k.vec_id
+"""
+)
+
+
+@query("q_semantic_dedup", oracle=_SEMDEDUP_SQL)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end: cluster the embedding space with the gated
+    k-means (K=8, 2 Lloyd iterations), compute exact cosine ONLY
+    between same-cluster vectors, and connected-component the >= 0.35
+    pairs into semantic dup groups — every vector labeled with its
+    group (min vec_id) and whether it would be dropped (non-keeper).
+
+    Scale shape — why this beats both all-pairs and pure LSH for
+    semantic dedup: the quadratic term is bounded per CLUSTER (at
+    100 TB you raise K until clusters fit the pair budget; SemDeDup
+    uses K ~ sqrt(N)), the per-pair cosine reuses per-vector norms
+    computed once in the clustered projection (exact decimal fold ->
+    double), and the closure is the same spanning-forest contraction
+    as q_dedup_cluster.  Determinism: every Lloyd argmin and every
+    cosine is the decimal-exact discipline of its parent query, so the
+    composed pipeline stays hash-gateable end to end."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assign = kmeans_assignments(e, sample_pct=100).select("vec_id", "cluster")
+    proj = e.join(assign, "vec_id").select(
+        "cluster",
+        "vec_id",
+        "embedding",
+        dec_arr_sum(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+        ).alias("nx"),
+    )
+    a = proj.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nx").alias("nxa"),
+    )
+    b = proj.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nx").alias("nxb"),
+    )
+    pairs = a.join(b, ["cluster"]).filter(F.col("va") < F.col("vb"))
+    dot = dec_arr_sum(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double"))
+    )
+    sim = pairs.select(
+        "va",
+        "vb",
+        (dot / (F.sqrt("nxa") * F.sqrt("nxb"))).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= 0.35)
+    labels = connected_components(sim, src="va", dst="vb")
+    return (
+        assign.join(labels, assign.vec_id == labels.id, "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(F.col("label"), F.col("vec_id")).alias("sem_group"),
+            (
+                F.coalesce(F.col("label"), F.col("vec_id")) != F.col("vec_id")
+            ).alias("is_dup"),
+        )
+    )

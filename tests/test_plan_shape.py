@@ -754,3 +754,16 @@ def test_join_incremental_deltas_broadcast_history_never_shuffled(
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 3, plan
     assert "SortMergeJoin" not in plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+
+
+def test_semantic_dedup_pairs_are_cluster_keyed_never_allpairs(
+    spark, queries
+):
+    """q_semantic_dedup: the candidate-pair join must be an EQUI-join
+    on the cluster id (the SemDeDup bound) — never an unkeyed
+    all-pairs product; centroid scoring stays broadcast."""
+    plan = plan_of(queries["q_semantic_dedup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"keys(?: \[\d+\])?: \[cluster#\d+\]", plan), (
+        "pair join must key on cluster"
+    )
