@@ -1,0 +1,127 @@
+"""Independent-reference property tests for the round-8 additions:
+each check recomputes the result with a BRUTE-FORCE Python/pandas
+implementation that shares NO formulation with either the engine or
+the DuckDB oracle (those two share the window/CTE shape, so a shared
+blind spot is conceivable; a third implementation is not)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pandas as pd
+import pytest
+
+from pulsar_sync_java_spark.queries import all_queries
+from tests.conftest import SF_DIR
+
+_QUERIES = all_queries()
+
+
+@pytest.fixture(scope="module")
+def events_pdf():
+    return pd.read_parquet(f"{SF_DIR}/events.parquet")
+
+
+def test_ks_drift_matches_bruteforce_sorted_cdf(spark, events_pdf):
+    """The two-level prefix-sum KS must equal the textbook sorted-CDF
+    maximum computed with exact integer arithmetic."""
+    rows = {
+        r["event_type"]: r
+        for r in _QUERIES["q_ks_drift"](spark, SF_DIR).collect()
+    }
+    for etype, g in events_pdf.groupby("event_type"):
+        a = sorted(g.loc[g.user_id % 2 == 0, "value"].tolist())
+        b = sorted(g.loc[g.user_id % 2 == 1, "value"].tolist())
+        n_a, n_b = len(a), len(b)
+        pooled = sorted(set(a) | set(b))
+        import bisect
+
+        d_num = max(
+            abs(
+                bisect.bisect_right(a, v) * n_b
+                - bisect.bisect_right(b, v) * n_a
+            )
+            for v in pooled
+        )
+        r = rows[etype]
+        assert (r["n_a"], r["n_b"]) == (n_a, n_b)
+        assert r["ks_stat"] == d_num / (n_a * n_b), etype
+
+
+def test_rolling_quantile_matches_bruteforce_frames(spark, events_pdf):
+    """Every row's median/p90 must equal the sorted-slice computation
+    over the explicitly materialized last-10 frame."""
+    got = {
+        r["event_id"]: r
+        for r in _QUERIES["q_rolling_quantile"](spark, SF_DIR).collect()
+    }
+    df = events_pdf.sort_values(["user_id", "ts", "event_id"])
+    for _, g in df.groupby("user_id"):
+        vals = g["value"].tolist()
+        ids = g["event_id"].tolist()
+        for i, eid in enumerate(ids):
+            frame = sorted(vals[max(0, i - 9) : i + 1])
+            k = len(frame)
+            med = (frame[(k + 1) // 2 - 1] + frame[(k + 2) // 2 - 1]) / 2.0
+            p90 = frame[(9 * k + 9) // 10 - 1]
+            r = got[eid]
+            assert r["n_frame"] == k
+            assert r["roll_median"] == med, eid
+            assert r["roll_p90"] == p90, eid
+
+
+def test_zorder_layout_matches_python_morton(spark):
+    """Re-derive every row's z-value and file with an independent
+    Python bit loop; per-file aggregates must match exactly."""
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[
+        ["l_partkey", "l_suppkey"]
+    ]
+    pk_n = int(li.l_partkey.max()) + 1
+    sk_n = int(li.l_suppkey.max()) + 1
+
+    def z(pk: int, sk: int) -> int:
+        x = pk * 256 // pk_n
+        y = sk * 256 // sk_n
+        out = 0
+        for i in range(8):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    agg: dict[int, list] = defaultdict(lambda: [0, 10**9, -1, 10**9, -1])
+    for pk, sk in li.itertuples(index=False, name=None):
+        f = z(int(pk), int(sk)) // 1024
+        a = agg[f]
+        a[0] += 1
+        a[1], a[2] = min(a[1], pk), max(a[2], pk)
+        a[3], a[4] = min(a[3], sk), max(a[4], sk)
+    rows = _QUERIES["q_zorder_layout"](spark, SF_DIR).collect()
+    assert {r["file_id"] for r in rows} == set(agg)
+    for r in rows:
+        n, mnp, mxp, mns, mxs = agg[r["file_id"]]
+        assert (
+            r["n_rows"],
+            r["min_partkey"],
+            r["max_partkey"],
+            r["min_suppkey"],
+            r["max_suppkey"],
+        ) == (n, mnp, mxp, mns, mxs), r
+
+
+def test_semantic_dedup_group_invariants(spark):
+    """Structural invariants beyond the oracle hash: a group's label is
+    its minimum member; is_dup <=> non-keeper; groups never span
+    k-means clusters (pairs are cluster-local by construction)."""
+    rows = _QUERIES["q_semantic_dedup"](spark, SF_DIR).collect()
+    assert len(rows) == len({r["vec_id"] for r in rows})
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["sem_group"]].append(r)
+        assert r["is_dup"] == (r["vec_id"] != r["sem_group"])
+    n_dup_groups = 0
+    for lbl, members in groups.items():
+        assert lbl == min(m["vec_id"] for m in members)
+        assert len({m["cluster"] for m in members}) == 1, lbl
+        if len(members) > 1:
+            n_dup_groups += 1
+    assert n_dup_groups > 0  # the threshold is non-vacuous on this data
