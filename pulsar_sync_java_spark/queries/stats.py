@@ -760,3 +760,111 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "n_a", "n_b")
         .agg(ks.alias("ks_stat"), drifted.alias("drifted"))
     )
+
+
+# ------------------------------------------------- disorder profile
+
+# How late do events arrive relative to the stream's running maximum
+# event time?  This is THE statistic that chooses a watermark delay:
+# `withWatermark(d)` drops exactly the rows this profile counts as
+# later than d.  The synthetic feed is generated in event-time order,
+# so ARRIVAL order is simulated with the engine's portable
+# multiplicative hash (the q_sample_stratified device): arrival key
+# h = (event_id * 2654435761) mod 2^32 — a deterministic permutation
+# both engines replay bit-for-bit, standing in for network shuffle.
+# Lateness of a row = running_max(event time over arrivals so far)
+# - its own event time, in whole seconds (exact integer micros).
+#
+# The ORACLE is deliberately the naive formulation — one running-max
+# window per type over the full arrival order — while the engine
+# computes the same running max with a two-level distributed prefix
+# MAX (64 arrival-range buckets, exclusive prefix over the tiny bucket
+# table, within-bucket windows), so the hash gate also proves the
+# prefix-max decomposition.
+_DISORDER_SQL = """
+WITH arr AS (
+  SELECT event_type, event_id, epoch_us(ts) AS us,
+         (event_id * 2654435761) % 4294967296 AS h
+  FROM events
+), lat AS (
+  SELECT event_type,
+         (MAX(us) OVER (PARTITION BY event_type ORDER BY h, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - us) // 1000000 AS late_s
+  FROM arr
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN late_s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_order,
+       CAST(SUM(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1h,
+       CAST(SUM(CASE WHEN late_s > 86400 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1d,
+       CAST(MAX(late_s) AS BIGINT) AS max_late_s,
+       CAST(SUM(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS late_1h_pct
+FROM lat GROUP BY event_type
+"""
+
+
+@query("q_disorder_profile", oracle=_DISORDER_SQL)
+def q_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder profile per event type over the (simulated,
+    hash-permuted) arrival order: counts of rows arriving behind the
+    running max event time by 0 / >1 h / >1 day, plus the worst
+    lateness — the measurement a pipeline takes BEFORE picking
+    `withWatermark`'s delay, because the watermark silently drops
+    exactly the rows counted here.
+
+    Scale shape: a running max over arrival order is the classic
+    single-reducer trap; here it is a two-level distributed prefix MAX
+    (the q_ks_drift / q_shard_pack discipline) — per-(type,
+    arrival-range bucket) maxima with 64 buckets cut from the hash
+    range, an exclusive prefix over the tiny bucket table, and
+    within-bucket running-max windows partitioned by (type, bucket) —
+    so every window partition is bounded.  Lateness stays in exact
+    integer micros until the final DIV."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr("(event_id * 2654435761) % 4294967296").alias("h"),
+    )
+    e = e.withColumn("bucket", (F.col("h") / (1 << 26)).cast("long"))
+    bmax = e.groupBy("event_type", "bucket").agg(F.max("us").alias("bm"))
+    w_excl = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = bmax.select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.max("bm").over(w_excl), F.lit(0)).alias("base_us"),
+    )
+    w_in = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("h", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lat = e.join(F.broadcast(base), ["event_type", "bucket"]).select(
+        "event_type",
+        (
+            (
+                F.greatest(F.col("base_us"), F.max("us").over(w_in))
+                - F.col("us")
+            )
+            / 1_000_000
+        )
+        .cast("long")
+        .alias("late_s"),
+    )
+    return lat.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("late_s") == 0, 1).otherwise(0)).alias("n_in_order"),
+        F.sum(F.when(F.col("late_s") > 3600, 1).otherwise(0)).alias("n_late_1h"),
+        F.sum(F.when(F.col("late_s") > 86400, 1).otherwise(0)).alias("n_late_1d"),
+        F.max("late_s").alias("max_late_s"),
+        (
+            F.sum(F.when(F.col("late_s") > 3600, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("late_1h_pct"),
+    )

@@ -767,3 +767,17 @@ def test_semantic_dedup_pairs_are_cluster_keyed_never_allpairs(
     assert re.search(r"keys(?: \[\d+\])?: \[cluster#\d+\]", plan), (
         "pair join must key on cluster"
     )
+
+
+def test_disorder_profile_prefix_max_is_bucket_partitioned(spark, queries):
+    """q_disorder_profile: the running-max window must partition by
+    (type, arrival bucket) — its Sort orders on (type, bucket, h,
+    event_id) — and bucket base offsets arrive by broadcast, so no
+    per-type global sort exists."""
+    plan = plan_of(queries["q_disorder_profile"](spark, SF_DIR))
+    assert re.search(
+        r"Arguments: \[event_type#\d+ ASC NULLS FIRST, bucket#\d+L? ASC NULLS"
+        r" FIRST, h#\d+L? ASC NULLS FIRST, event_id#\d+L? ASC NULLS FIRST\]",
+        plan,
+    ), "within-bucket window must sort by (type, bucket, h, event_id)"
+    assert "BroadcastHashJoin" in plan
