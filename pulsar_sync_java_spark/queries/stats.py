@@ -868,3 +868,60 @@ def q_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("late_1h_pct"),
     )
+
+
+# ------------------------------------------- join-size estimation
+
+# The CBO statistic: for an equi-join, |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k)
+# over the key histogram — EXACT when the histogram is exact and no
+# other predicate applies.  The engine computes the prediction from
+# two per-key count aggregates (never materializing a single joined
+# row); the oracle COUNTs the actual join — an identity oracle, so a
+# hash-green row proves the estimator formula itself.
+_JOINCARD_SQL = """
+WITH a AS (SELECT * FROM events WHERE user_id % 2 = 0),
+b AS (SELECT * FROM events WHERE user_id % 2 = 1)
+SELECT a.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_keys
+FROM a JOIN b ON a.user_id = b.user_id
+GROUP BY a.event_type
+"""
+
+
+@query("q_join_cardinality", oracle=_JOINCARD_SQL)
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from key statistics — the number a
+    cost-based optimizer (and q_skew_report's capacity planning)
+    needs BEFORE running a join: the exact pair count of the A-slice ⋈
+    B-slice user join, per A-side event type, computed WITHOUT
+    materializing one joined row.
+
+    Engine shape: each side reduces to a per-key count table
+    ((user, type) on A, (user) on B — aggregate-sized), the two count
+    tables join on the key, and Σ cnt_a·cnt_b per type gives the
+    prediction; total work is two count aggregates plus a key-sized
+    join, independent of the join's output size (which is the whole
+    point — the real join here is ~50x bigger than its inputs).  The
+    oracle RUNS the real join and counts, so the gate proves
+    prediction == truth, the exact-histogram identity the estimator
+    rests on."""
+    e = load_table(spark, sf_dir, "events")
+    a = (
+        e.filter(F.col("user_id") % 2 == 0)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt_a"))
+    )
+    b = (
+        e.filter(F.col("user_id") % 2 == 1)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt_b"))
+    )
+    return (
+        a.join(b, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("n_pairs"),
+            F.countDistinct("user_id").alias("n_keys"),
+        )
+    )

@@ -781,3 +781,15 @@ def test_disorder_profile_prefix_max_is_bucket_partitioned(spark, queries):
         plan,
     ), "within-bucket window must sort by (type, bucket, h, event_id)"
     assert "BroadcastHashJoin" in plan
+
+
+def test_join_cardinality_joins_count_tables_not_rows(spark, queries):
+    """q_join_cardinality: the key join must consume the two per-key
+    COUNT tables (cnt_a/cnt_b columns), never raw event rows — the
+    estimator's cost must be independent of the predicted join's
+    output size."""
+    plan = plan_of(queries["q_join_cardinality"](spark, SF_DIR))
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 2
+    join_line = re.search(r"Join condition.*|Left keys.*", plan)
+    assert join_line is not None
+    assert "cnt_a#" in plan and "cnt_b#" in plan
