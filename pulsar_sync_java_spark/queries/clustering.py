@@ -424,7 +424,17 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine is the decimal-exact discipline of its parent query, so the
     composed pipeline stays hash-gateable end to end."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    assign = kmeans_assignments(e, sample_pct=100).select("vec_id", "cluster")
+    # the (vec_id, cluster) assignment table feeds three consumers
+    # (both sides of the pair self-join + the final output join);
+    # without the persist each consumer re-runs the whole Lloyd chain
+    # (declared in tests/test_bench_contract.py PERSIST_ALLOWLIST —
+    # narrow 2-column rows, the SemDeDup working set a production run
+    # materializes anyway)
+    assign = (
+        kmeans_assignments(e, sample_pct=100)
+        .select("vec_id", "cluster")
+        .persist()
+    )
     proj = e.join(assign, "vec_id").select(
         "cluster",
         "vec_id",

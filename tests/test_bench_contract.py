@@ -102,6 +102,7 @@ PERSIST_ALLOWLIST = {
     ("operators/graph.py", "tree_roots"): 4,            # pointer-doubling states; released in-loop / on finish
     ("operators/heavy_hitters.py", "heavy_hitters"): 1, # MG summaries (tiny: P*(k+1) rows, session-lifetime)
     ("operators/similarity.py", "embedding_near_pairs"): 1,  # signature projection (session-lifetime)
+    ("queries/clustering.py", "q_semantic_dedup"): 1,   # (vec_id, cluster) assignment table (narrow, 3 consumers)
     ("queries/dedup_scale.py", "q_incremental_dedup"): 1,    # minhash sigs (plan-matched with the other sig users)
     ("queries/dedup_scale.py", "q_minhash_lsh"): 1,
     ("queries/extras.py", "q_tfidf_topterms"): 1,       # (doc, term) tf aggregate
