@@ -933,3 +933,79 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return count_triangles(pairs)
+
+
+# --------------------------------------------------------- k-hop BFS
+
+# Frontier-expansion traversal — the graph pattern the census/ranking/
+# closure operators don't exercise: per-level join + anti-join against
+# the visited set, depth-bounded so the whole walk is ONE lazy plan
+# (the q_tree_ancestors bounded-unroll discipline).  The oracle is the
+# depth-bounded recursive CTE with a MIN(dist) collapse — recursive
+# UNION semantics dedup (node, dist) states, so it terminates.
+_BFS_SQL = """
+WITH RECURSIVE li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0
+), sym AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM li l1 JOIN li l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey
+), reach(node, dist) AS (
+  SELECT (SELECT MIN(a) FROM sym), 0
+  UNION
+  SELECT e.b, r.dist + 1
+  FROM reach r JOIN sym e ON e.a = r.node
+  WHERE r.dist < 3
+)
+SELECT CAST(node AS BIGINT) AS part_id,
+       CAST(MIN(dist) AS INT) AS dist
+FROM reach GROUP BY node
+"""
+
+
+@query("q_bfs_khop", oracle=_BFS_SQL)
+def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS from the minimum node of the part co-purchase graph
+    (the q_triangle_count slice): every part reachable within 3 hops,
+    labeled with its exact hop distance — the k-hop neighborhood /
+    blast-radius query (impact analysis, fraud rings, related-item
+    retrieval).
+
+    Scale shape: per level, ONE frontier ⋈ edges equi-join plus one
+    anti-join against the visited set — each level's shuffle carries
+    the frontier and its neighborhood, never all paths (the recursive
+    CTE the oracle runs enumerates (node, dist) states; the engine's
+    BFS layering computes the same MIN-dist labels without state
+    explosion).  Depth is a bound, not an iteration-to-fixpoint:
+    unbounded reachability belongs to connected_components.  The
+    symmetric edge table is built once and persisted
+    (PERSIST_ALLOWLIST) because all three expansion levels probe it."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    x, y = li.alias("x"), li.alias("y")
+    sym = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") != F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+        .persist()
+    )
+    visited = sym.agg(F.min("a").alias("node")).withColumn("dist", F.lit(0))
+    frontier = visited
+    for k in range(1, 4):
+        nxt = (
+            frontier.join(sym, frontier.node == sym.a)
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(k))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited.select(
+        F.col("node").cast("long").alias("part_id"),
+        F.col("dist").cast("int").alias("dist"),
+    )

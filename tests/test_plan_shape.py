@@ -793,3 +793,19 @@ def test_join_cardinality_joins_count_tables_not_rows(spark, queries):
     join_line = re.search(r"Join condition.*|Left keys.*", plan)
     assert join_line is not None
     assert "cnt_a#" in plan and "cnt_b#" in plan
+
+
+def test_bfs_khop_expands_from_persisted_edges_with_antijoins(
+    spark, queries
+):
+    """q_bfs_khop: all three expansion levels read the symmetric edge
+    table from cache (InMemoryTableScan), each level anti-joins the
+    visited set (LeftAnti), and the whole walk is one lazy plan with
+    no CartesianProduct."""
+    plan = plan_of(queries["q_bfs_khop"](spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    # one LeftAnti per expansion level (subtree re-display inflates the
+    # raw count; unique node ids don't survive the text format, so
+    # assert the floor)
+    assert plan.count("LeftAnti") >= 3, plan
+    assert "CartesianProduct" not in plan
