@@ -50,7 +50,6 @@ from pulsar_sync_java_spark.plans.catalog_diff import (
     TENANT_KEY,
     TOPIC_KEY,
     diff_catalogs,
-    missing,
 )
 from pulsar_sync_java_spark.plans.cursor_translate import (
     pending_creates,

@@ -17,7 +17,6 @@ Two paths (BASELINE.json north star):
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import Column, DataFrame

@@ -19,7 +19,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pulsar_sync_java_spark.queries import query
-from pulsar_sync_java_spark.queries.reference import fmt_ts
 from pulsar_sync_java_spark.sources.tables import load_table
 
 _SCAN_PROJECT_SQL = """
