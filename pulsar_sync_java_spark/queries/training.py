@@ -777,3 +777,76 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("l_suppkey") - F.min("l_suppkey") + 1).alias("suppkey_span"),
         )
     )
+
+
+# ------------------------------------------------- overlap chunking
+
+# Context-window chunking with overlap — the pretraining/RAG shaping
+# op that complements q_pack_sequences: packing concatenates SHORT
+# docs up to the window; chunking splits LONG docs into windows with a
+# stride so no boundary context is lost.  chunk i covers tokens
+# [i*stride, i*stride + size); chunks exist while their start is
+# inside the doc.  The chunk text itself is emitted as an md5 (both
+# engines agree on md5-of-joined-tokens), keeping the oracle hash
+# payload small.
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48  # 16-token overlap
+
+_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), starts AS (
+  SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, {_CHUNK_STRIDE})) AS s
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(s / {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(s + 1 AS INT) AS start_token,
+       CAST(len(t[s + 1 : s + {_CHUNK_SIZE}]) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(t[s + 1 : s + {_CHUNK_SIZE}], ' ')) AS chunk_md5
+FROM starts
+"""
+
+
+@query("q_chunk_overlap", oracle=_CHUNK_SQL)
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context-window chunker: every document split into
+    64-token windows advancing by 48 (16-token overlap), one row per
+    chunk with its 1-based start, actual token count (the tail chunk
+    is shorter) and the md5 of the chunk text.
+
+    Scale shape: pure per-doc generator work — tokenize once, ONE
+    Generate (explode of the stride sequence) and zero-shuffle array
+    slicing inside the same stage; no joins, no aggregation, nothing
+    driver-side.  Output size is corpus tokens / stride rows — the
+    chunker a RAG indexer or long-doc pretraining pipeline runs before
+    embedding/packing."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("t")
+    )
+    size, stride = _CHUNK_SIZE, _CHUNK_STRIDE
+    chunks = (
+        d.filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(0), F.size("t") - 1, F.lit(stride))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            (F.col("s") / stride).cast("int").alias("chunk_idx"),
+            (F.col("s") + 1).cast("int").alias("start_token"),
+            F.slice(F.col("t"), F.col("s") + 1, size).alias("chunk"),
+        )
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "start_token",
+        F.size("chunk").cast("int").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", "chunk")).alias("chunk_md5"),
+    )

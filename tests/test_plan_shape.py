@@ -809,3 +809,14 @@ def test_bfs_khop_expands_from_persisted_edges_with_antijoins(
     # assert the floor)
     assert plan.count("LeftAnti") >= 3, plan
     assert "CartesianProduct" not in plan
+
+
+def test_chunk_overlap_is_generator_only(spark, queries):
+    """q_chunk_overlap: one scan, one Generate (the stride explode),
+    zero exchanges, no joins — the chunker must be embarrassingly
+    parallel per-doc work."""
+    plan = plan_of(queries["q_chunk_overlap"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Generate" in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0, plan
+    assert "Join" not in plan

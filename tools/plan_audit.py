@@ -154,6 +154,7 @@ EXPECT = {
     "q_disorder_profile": "two-level distributed prefix MAX over arrival order: (type, bucket) maxima aggregate, tiny exclusive-prefix window, within-bucket running-max windows partitioned by (type, bucket) with base offsets broadcast — never a per-type global sort",
     "q_join_cardinality": "estimator never materializes the join: two per-key count aggregates feed a key-sized equi-join (cnt_a x cnt_b products), cost independent of the predicted output size",
     "q_bfs_khop": "bounded frontier expansion in ONE lazy plan: per level an equi-join on the persisted symmetric edge table (InMemoryTableScan) + LeftAnti against visited; no iteration-to-fixpoint, no CartesianProduct",
+    "q_chunk_overlap": "embarrassingly parallel chunker: one scan, one Generate (stride explode), zero-shuffle array slicing + md5 in the same stage — no exchanges at all",
 }
 
 _SECTION = """\
