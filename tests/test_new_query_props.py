@@ -125,3 +125,63 @@ def test_semantic_dedup_group_invariants(spark):
         if len(members) > 1:
             n_dup_groups += 1
     assert n_dup_groups > 0  # the threshold is non-vacuous on this data
+
+
+def test_chunk_overlap_matches_python_slicer(spark):
+    """Re-chunk every document with a plain Python loop (boundaries,
+    counts, md5s) and compare row-for-row."""
+    import hashlib
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[["doc_id", "text"]]
+    expect = {}
+    for doc_id, text in docs.itertuples(index=False, name=None):
+        toks = [t for t in (text or "").split() if t]
+        for s in range(0, len(toks), 48):
+            chunk = toks[s : s + 64]
+            expect[(doc_id, s // 48)] = (
+                s + 1,
+                len(chunk),
+                hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+            )
+    rows = _QUERIES["q_chunk_overlap"](spark, SF_DIR).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert expect[(r["doc_id"], r["chunk_idx"])] == (
+            r["start_token"],
+            r["n_chunk_tokens"],
+            r["chunk_md5"],
+        ), r
+
+
+def test_bfs_khop_matches_python_bfs(spark):
+    """Rebuild the co-purchase graph in Python, run a textbook queue
+    BFS from the min node, and compare the <=3-hop distance labels."""
+    from collections import deque
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ]
+    li = li[li.l_orderkey % 5 == 0]
+    adj = defaultdict(set)
+    for _, grp in li.groupby("l_orderkey"):
+        parts = sorted(set(grp.l_partkey))
+        for i, a in enumerate(parts):
+            for b in parts[i + 1 :]:
+                adj[a].add(b)
+                adj[b].add(a)
+    src = min(adj)
+    dist = {src: 0}
+    q = deque([src])
+    while q:
+        u = q.popleft()
+        if dist[u] >= 3:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    got = {
+        r["part_id"]: r["dist"]
+        for r in _QUERIES["q_bfs_khop"](spark, SF_DIR).collect()
+    }
+    assert got == dist
