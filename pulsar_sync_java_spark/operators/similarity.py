@@ -412,6 +412,7 @@ def ivf_index_append(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> int:
     """Incrementally grow a materialized IVF index (`ivf_index_write`)
     with new vectors — the index LIFECYCLE step a streaming corpus
@@ -427,12 +428,18 @@ def ivf_index_append(
     Returns rows appended.  Retrain/rebalance (centroid drift after
     the corpus grows far past the training sample) is a full
     `ivf_index_write` rebuild — the standard IVF maintenance model.
+
+    `assigned` lets a caller that already ran `assign_clusters` over
+    this exact batch (the refresh pipeline's drift check) hand the
+    (rows + __cluster) frame in, skipping the second assignment pass
+    — the per-row k x d distance kernel is the expensive half of an
+    append.
     """
     from pulsar_sync_java_spark.sinks.writers import idempotent_append
 
-    assigned = assign_clusters(spread(df_new), vec_col, centroids).withColumnRenamed(
-        "__cluster", "ivf_cell"
-    )
+    if assigned is None:
+        assigned = assign_clusters(spread(df_new), vec_col, centroids)
+    assigned = assigned.withColumnRenamed("__cluster", "ivf_cell")
     return idempotent_append(
         assigned, path, keys=[id_col], partition_col="ivf_cell"
     )
@@ -904,7 +911,11 @@ def ivf_index_refresh(
         "drifted": drifted,
     }
     if not (size_stale or drifted):
-        appended = ivf_index_append(df_new, path, centroids, id_col, vec_col)
+        # the drift check already paid the delta's assignment pass —
+        # hand it to the append rather than re-running the k x d kernel
+        appended = ivf_index_append(
+            df_new, path, centroids, id_col, vec_col, assigned=delta_assigned
+        )
         return {
             **record,
             "action": "append",
@@ -913,12 +924,22 @@ def ivf_index_refresh(
             "centroids": centroids,
         }
     target = rebuild_path or f"{path}_rebuilt"
+    # DELTA WINS, deterministically: a delta row updating an existing
+    # id replaces the stored row (anti-join drops the stored copy), and
+    # ids duplicated INSIDE the delta collapse to their array-minimum
+    # embedding (arrays are orderable) — dropDuplicates([id]) here
+    # would keep an arbitrary copy and break the documented
+    # deterministic-rebuild contract.
+    delta_u = (
+        df_new.select(id_col, vec_col)
+        .groupBy(id_col)
+        .agg(F.min(vec_col).alias(vec_col))
+    )
     full = (
         spark.read.parquet(path)
         .select(id_col, vec_col)
-        .unionByName(df_new.select(id_col, vec_col))
-        # re-delivered delta rows must not double-weight the quantizer
-        .dropDuplicates([id_col])
+        .join(delta_u.select(id_col), id_col, "left_anti")
+        .unionByName(delta_u)
     )
     k = n_centroids if n_centroids is not None else report.n_centroids
     cents = ivf_index_write(full, target, id_col, vec_col, k, iters, seed)

@@ -499,8 +499,10 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------ span-level dedup
 
-_SPAN_DEDUP_SQL = """
-WITH toks AS (
+# Detection CTE chain shared by BOTH span oracles (the _MINHASH_CTES /
+# _KMEANS_CTES discipline): the scrub oracle must scrub exactly the
+# spans the detector detects, so the chain exists once.
+_SPAN_DETECT_CTES = """toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
   FROM documents
@@ -519,13 +521,17 @@ WITH toks AS (
   SELECT doc_id, p, nd,
          p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl_id
   FROM marked
-)
+)"""
+
+_SPAN_DEDUP_SQL = (
+    "WITH " + _SPAN_DETECT_CTES + """
 SELECT doc_id,
        CAST(MIN(p) AS BIGINT) AS span_start,
        CAST(MAX(p) - MIN(p) + 4 AS BIGINT) AS span_len,
        CAST(MIN(nd) AS BIGINT) AS n_docs
 FROM isl GROUP BY doc_id, isl_id
 """
+)
 
 
 @query("q_span_dedup", oracle=_SPAN_DEDUP_SQL)
@@ -541,27 +547,8 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_spans(d, n=4, min_df=2)
 
 
-_SPAN_SCRUB_SQL = """
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
-  FROM documents
-), pos AS (
-  SELECT doc_id, d.i AS p,
-         t[d.i] || ' ' || t[d.i+1] || ' ' || t[d.i+2] || ' ' || t[d.i+3] AS g
-  FROM toks,
-       LATERAL (SELECT unnest(generate_series(1, len(t) - 3)) AS i) d
-  WHERE len(t) >= 4
-), dfreq AS (
-  SELECT g, COUNT(DISTINCT doc_id) AS nd FROM pos GROUP BY g
-  HAVING COUNT(DISTINCT doc_id) >= 2
-), marked AS (
-  SELECT pos.doc_id, pos.p FROM pos JOIN dfreq USING (g)
-), isl AS (
-  SELECT doc_id, p,
-         p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl_id
-  FROM marked
-), spans AS (
+_SPAN_SCRUB_SQL = (
+    "WITH " + _SPAN_DETECT_CTES + """, spans AS (
   SELECT doc_id, MIN(p) AS s, MAX(p) - MIN(p) + 4 AS l
   FROM isl GROUP BY doc_id, isl_id
   HAVING MAX(p) - MIN(p) + 4 >= 6
@@ -580,6 +567,7 @@ SELECT t.doc_id,
          ' '), '') AS scrubbed_text
 FROM toks t LEFT JOIN cov c USING (doc_id)
 """
+)
 
 
 @query("q_span_scrub", oracle=_SPAN_SCRUB_SQL)

@@ -414,7 +414,8 @@ def q_tombstone_rekeep(spark: SparkSession, sf_dir: str) -> DataFrame:
     right-to-be-forgotten maintenance step): given a tombstone set
     (planted: doc_id % 7 == 0 — parameter of the operator, a predicate
     or keyed delete feed in production), emit every dup cluster the
-    deletions touch with its surviving-member count and the RE-ELECTED
+    deletions touch with its TOTAL member count, its deleted-member
+    count (survivors = n_members - n_deleted) and the RE-ELECTED
     keeper (min surviving member; null = the whole cluster is purged),
     plus whether the keeper actually changed — the rows a lakehouse
     MERGE needs to retarget q_dedup_keepers' decisions without

@@ -770,7 +770,9 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # later than d.  The synthetic feed is generated in event-time order,
 # so ARRIVAL order is simulated with the engine's portable
 # multiplicative hash (the q_sample_stratified device): arrival key
-# h = (event_id * 2654435761) mod 2^32 — a deterministic permutation
+# h = ((event_id mod 2^31) * 2654435761) mod 2^32 — pre-reduced mod
+# 2^31 like every sibling use so the int64 product can never overflow
+# (the r6 overflow fix) — a deterministic permutation
 # both engines replay bit-for-bit, standing in for network shuffle.
 # Lateness of a row = running_max(event time over arrivals so far)
 # - its own event time, in whole seconds (exact integer micros).
@@ -784,7 +786,7 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DISORDER_SQL = """
 WITH arr AS (
   SELECT event_type, event_id, epoch_us(ts) AS us,
-         (event_id * 2654435761) % 4294967296 AS h
+         ((event_id % 2147483648) * 2654435761) % 4294967296 AS h
   FROM events
 ), lat AS (
   SELECT event_type,
@@ -826,7 +828,7 @@ def q_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "event_id",
         F.expr("unix_micros(ts)").alias("us"),
-        F.expr("(event_id * 2654435761) % 4294967296").alias("h"),
+        F.expr("((event_id % 2147483648) * 2654435761) % 4294967296").alias("h"),
     )
     e = e.withColumn("bucket", (F.col("h") / (1 << 26)).cast("long"))
     bmax = e.groupBy("event_type", "bucket").agg(F.max("us").alias("bm"))

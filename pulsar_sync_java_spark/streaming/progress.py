@@ -77,13 +77,47 @@ def progress_summary(progress: dict | None) -> dict[str, Any]:
 
 
 def drops_by_watermark(query) -> int:
-    """Total late rows DROPPED across every completed micro-batch of a
+    """Late rows DROPPED across the RETAINED progress window of a
     (possibly finished) streaming query — sums `recentProgress`, so it
     works after ``availableNow`` termination too.  A non-zero return on
     a feed believed ordered is the investigate-now signal: some
     upstream partition is delivering behind the watermark horizon and
-    its rows are silently missing from every windowed result."""
+    its rows are silently missing from every windowed result.
+
+    BOUNDED WINDOW, by Spark design: `recentProgress` retains only the
+    last `spark.sql.streaming.numRecentProgressUpdates` batches
+    (default 100), so on a long-running query this is the drop count
+    of the recent window, NOT a lifetime total — fine for the alarm
+    (any non-zero window is actionable), wrong for accounting.  For a
+    lifetime total, accumulate per batch as batches complete:
+    `CumulativeDropCounter` below, or persist `progress_summary` rows
+    (each carries its batch_id) and sum the deduplicated log."""
     return sum(
         progress_summary(p)["dropped_by_watermark"]
         for p in (query.recentProgress or [])
     )
+
+
+class CumulativeDropCounter:
+    """Lifetime watermark-drop accounting that survives the
+    `recentProgress` retention cap: feed it every progress dict as (or
+    after) batches complete — re-feeding an already-counted batch is a
+    no-op (batch_id keyed), so polling `recentProgress` periodically
+    and bulk-feeding it is safe even when polls overlap."""
+
+    def __init__(self) -> None:
+        self._seen: set[int] = set()
+        self.total = 0
+
+    def feed(self, progress: dict | None) -> int:
+        s = progress_summary(progress)
+        bid = s["batch_id"]
+        if bid is not None and bid not in self._seen:
+            self._seen.add(bid)
+            self.total += s["dropped_by_watermark"]
+        return self.total
+
+    def feed_recent(self, query) -> int:
+        for p in query.recentProgress or []:
+            self.feed(p)
+        return self.total

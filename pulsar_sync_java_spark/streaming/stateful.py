@@ -1131,6 +1131,26 @@ def _session_closer(gap_s: int):
                 ["event_time", "entry_id"]
             )
             ts_us = batch["event_time"].astype("int64") // 1000
+            # Cross-batch disorder guard (the stateful_scd2 discipline):
+            # an event older than the carried `last` — late within the
+            # watermark delay but behind this key's state — could merge
+            # or re-split already-carried sessions, which no carry-one-
+            # interval kernel can replay correctly.  Silently clamping
+            # would emit sessions that diverge from the batch gaps-and-
+            # islands oracle (e.g. a negative-length session), so the
+            # contract violation is LOUD instead.
+            first = int(ts_us.iloc[0])
+            if last is not None and first < last:
+                raise ValueError(
+                    f"stateful_sessionize: event-time regression for key "
+                    f"{user}: event at {first}us behind carried state at "
+                    f"{last}us. The kernel requires per-key event-time "
+                    f"order across micro-batches (per-partition ordered "
+                    f"source, SURVEY.md R13); widen the micro-batch or "
+                    f"pre-sort the feed, or dead-letter late rows before "
+                    f"this operator (see stateful_scd2's "
+                    f"late_policy='quarantine')."
+                )
             for ts in ts_us:
                 ts = int(ts)
                 if last is not None and ts - last >= gap_us:
@@ -1173,7 +1193,12 @@ def stateful_sessionize(
 
     Equivalence (asserted in tests/test_streaming.py): over ordered-
     per-key delivery, every emitted session — by either close path —
-    equals the batch gaps-and-islands session for the same rows;
+    equals the batch gaps-and-islands session for the same rows; an
+    event arriving BEHIND its key's carried state (late within the
+    watermark delay, but out of per-key order across micro-batches)
+    fails the stream loudly rather than silently merging/splitting
+    carried sessions — the same raise-by-default contract as
+    stateful_scd2's late-event guard;
     sessions whose close the final watermark never proves stay open in
     state (the streaming-vs-bounded tail, same contract as
     attribution_stream's outer rows).  State per key is ONE 3-long

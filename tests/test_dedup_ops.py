@@ -1245,6 +1245,49 @@ def test_ivf_refresh_pipeline_append_then_rebuild(spark, tmp_path):
     assert abs(step2b["drift_tv"] - step2["drift_tv"]) == 0.0
 
 
+def test_ivf_refresh_rebuild_update_rows_delta_wins(spark, tmp_path):
+    """A rebuild whose delta UPDATES an existing vec_id must replace
+    the stored row deterministically (delta wins) — dropDuplicates on
+    the union kept an arbitrary copy, so the retrained centroids could
+    differ run to run."""
+    from pulsar_sync_java_spark.operators.similarity import (
+        ivf_index_refresh,
+        ivf_index_write,
+    )
+    from pulsar_sync_java_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf")
+    cents = ivf_index_write(e, path, n_centroids=8, iters=1)
+
+    # delta: UPDATED embeddings for existing ids (shifted so the drift
+    # trigger forces the rebuild path)
+    delta = e.filter(F.col("vec_id") < 50).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(3.0)).alias("embedding"),
+    )
+    step = ivf_index_refresh(
+        spark, path, delta, cents, rebuild_path=str(tmp_path / "v2")
+    )
+    assert step["action"] == "rebuild", step
+    rebuilt = spark.read.parquet(step["path"])
+    # no duplicated ids, corpus size unchanged (updates, not inserts)
+    assert rebuilt.count() == e.count()
+    assert rebuilt.select("vec_id").distinct().count() == e.count()
+    # the updated ids carry the DELTA embedding, bit-for-bit
+    want = {r.vec_id: list(r.embedding) for r in delta.collect()}
+    got = {
+        r.vec_id: list(r.embedding)
+        for r in rebuilt.filter(F.col("vec_id") < 50).collect()
+    }
+    assert got == want
+    # and the rebuild re-derives identically on a second run
+    step2 = ivf_index_refresh(
+        spark, path, delta, cents, rebuild_path=str(tmp_path / "v3")
+    )
+    assert step2["centroids"] == step["centroids"]
+
+
 def test_scrub_repeated_spans_semantics(spark):
     """Removal-half semantics: the shared 6-token run is scrubbed from
     BOTH hosting docs (both-copies policy), a short (< min_span) match

@@ -2146,3 +2146,87 @@ def test_stateful_sessionize_gap_and_timer_close(spark, tmp_path):
     }
     assert set(got) <= batch_sessions
     assert (1, 50_000 * US, 50_000 * US, 1) in batch_sessions  # the open tail
+
+
+def test_stateful_sessionize_rejects_cross_batch_regression(spark, tmp_path):
+    """An event older than its key's carried state (late within the
+    watermark delay but behind per-key order) must FAIL the stream
+    with the remediation message — a silent clamp could emit sessions
+    diverging from the batch oracle (even negative-length ones)."""
+    import glob
+    import os
+    import shutil
+
+    import pytest
+
+    from pulsar_sync_java_spark.streaming.stateful import stateful_sessionize
+
+    def events(rows):
+        return spark.createDataFrame(
+            rows, "ledger_id long, ts_s long, entry_id long"
+        ).select(
+            "ledger_id",
+            F.timestamp_seconds(F.col("ts_s")).alias("event_time"),
+            "entry_id",
+        )
+
+    # batch 0 carries state last=1000s; watermark = 1000s - 10s = 990s.
+    # batch 1's 995s event survives the watermark but regresses the
+    # carried state -> loud failure, not a corrupt session.
+    b0 = events([(1, 1000, 1)])
+    b1 = events([(1, 995, 2)])
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with pytest.raises(Exception, match="event-time regression"):
+        for i, b in enumerate([b0, b1]):
+            staged = str(tmp_path / f"stage{i}")
+            b.coalesce(1).write.parquet(staged)
+            for f in glob.glob(staged + "/part-*.parquet"):
+                shutil.copy(f, os.path.join(src, f"batch{i}.parquet"))
+            stream = spark.readStream.schema(
+                "ledger_id long, event_time timestamp, entry_id long"
+            ).parquet(src)
+            q = (
+                stateful_sessionize(stream, gap_s=600)
+                .writeStream.format("parquet")
+                .option("path", str(tmp_path / "out"))
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(120)
+            except Exception:
+                raise
+            exc = q.exception()
+            if exc is not None:
+                raise exc
+
+
+def test_cumulative_drop_counter_dedups_batches():
+    """CumulativeDropCounter must survive overlapping recentProgress
+    polls: re-fed batches count once, new batches accumulate — the
+    lifetime total the capped recentProgress buffer cannot provide."""
+    from pulsar_sync_java_spark.streaming.progress import (
+        CumulativeDropCounter,
+    )
+
+    def prog(bid, dropped):
+        return {
+            "batchId": bid,
+            "numInputRows": 10,
+            "stateOperators": [
+                {"operatorName": "x", "numRowsDroppedByWatermark": dropped}
+            ],
+            "eventTime": {},
+        }
+
+    c = CumulativeDropCounter()
+    assert c.feed(prog(0, 3)) == 3
+    assert c.feed(prog(1, 2)) == 5
+    # overlapping poll re-delivers batches 0-1 plus new batch 2
+    for p in [prog(0, 3), prog(1, 2), prog(2, 4)]:
+        c.feed(p)
+    assert c.total == 9
+    assert c.feed(None) == 9  # pre-first-batch poll is a no-op
