@@ -510,7 +510,9 @@ WITH pairs AS (
   FROM pairs GROUP BY 1, 2
 ), oldv AS (
   SELECT o_orderpriority, l_returnflag, COUNT(*) AS n, SUM(r) AS s
-  FROM pairs WHERE o_orderkey % 11 <> 5 AND l_linenumber < 5
+  FROM pairs
+  WHERE o_orderkey % 11 <> 5
+    AND NOT (l_linenumber >= 5 AND o_orderkey % 19 = 3)
   GROUP BY 1, 2
 )
 SELECT n.o_orderpriority, n.l_returnflag,
@@ -529,16 +531,23 @@ def q_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental maintenance of a JOIN view: a revenue-per-
     (priority, returnflag) view over orders ⋈ lineitem receives a
     batch of new orders (ΔA = o_orderkey%11==5) and late lineitems
-    (ΔB = l_linenumber>=5); the query emits the view INCREMENT.
+    (ΔB = l_linenumber>=5 AND l_orderkey%19==3 — a bounded ~1.5%
+    order-slice stand-in for a micro-batch; the r8 ADVICE fix: the
+    earlier ΔB = all l_linenumber>=5 was a constant ~2/7 of the fact
+    table, which no forced broadcast survives at scale); the query
+    emits the view INCREMENT.
 
     Scale shape — the reason IVM exists: the increment is the disjoint
     union ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB, and the DELTA side of every
-    term broadcasts (a micro-batch is always small), so each history
-    side is scanned once and NEVER shuffled for a join — maintenance
-    cost is O(history scan + delta), not O(history join history).  The
-    oracle recomputes both view states from scratch and subtracts
-    (decimal-exact), so the hash gate proves delta ∪-algebra ==
-    state difference bit-for-bit."""
+    term broadcasts (in production the delta IS a micro-batch of
+    bounded absolute size; the modulus slice only simulates that on
+    static test data), so each history side is scanned once and NEVER
+    shuffled for a join — maintenance cost is O(history scan + delta),
+    not O(history join history).  A delta too big to broadcast belongs
+    on the other side of the trade: drop the hint and let AQE pick the
+    shuffle join.  The oracle recomputes both view states from scratch
+    and subtracts (decimal-exact), so the hash gate proves delta
+    ∪-algebra == state difference bit-for-bit."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
@@ -552,8 +561,9 @@ def q_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d_a = o.filter(F.col("o_orderkey") % 11 == 5)
     old_a = o.filter(F.col("o_orderkey") % 11 != 5)
-    d_b = l.filter(F.col("l_linenumber") >= 5)
-    old_b = l.filter(F.col("l_linenumber") < 5)
+    is_d_b = (F.col("l_linenumber") >= 5) & (F.col("l_orderkey") % 19 == 3)
+    d_b = l.filter(is_d_b)
+    old_b = l.filter(~is_d_b)
     on = F.col("o_orderkey") == F.col("l_orderkey")
     delta_pairs = (
         F.broadcast(d_a)

@@ -632,7 +632,7 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KS_SQL = """
 WITH g AS (
   SELECT event_type,
-         CAST(least(floor(value / 16), 31) AS INT) AS bucket,
+         CAST(greatest(least(floor(value / 16), 31), 0) AS INT) AS bucket,
          value,
          SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS a_i,
          SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS b_i
@@ -702,7 +702,10 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (
         e.select(
             "event_type",
-            F.least(F.floor(F.col("value") / 16), F.lit(31))
+            # clamp BOTH ends (r8 ADVICE): a negative value must land in
+            # bucket 0, not an unbounded negative id that would void the
+            # <=32-rows-per-type bound on the base prefix window
+            F.greatest(F.least(F.floor(F.col("value") / 16), F.lit(31)), F.lit(0))
             .cast("int")
             .alias("bucket"),
             "value",
@@ -837,10 +840,14 @@ def q_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # the empty-prefix base must be a true identity for MAX, not 0:
+    # a pre-epoch event time (negative unix_micros) in a partition's
+    # first populated bucket would otherwise be clamped up by the
+    # greatest() below and overstate the running max (r8 ADVICE)
     base = bmax.select(
         "event_type",
         "bucket",
-        F.coalesce(F.max("bm").over(w_excl), F.lit(0)).alias("base_us"),
+        F.coalesce(F.max("bm").over(w_excl), F.lit(-(1 << 62))).alias("base_us"),
     )
     w_in = (
         Window.partitionBy("event_type", "bucket")

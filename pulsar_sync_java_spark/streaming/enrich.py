@@ -11,10 +11,21 @@ LISTING when the query starts: Spark's stream-static join re-executes
 the static subplan per micro-batch, but against the snapshot of files
 resolved at planning, so a dimension overwritten mid-stream keeps
 enriching with stale rows (and a vanished file fails the task).  The
-robust production pattern is `foreachBatch`: each micro-batch re-reads
-the dimension path — fresh listing, fresh footers — broadcast-joins it
+production pattern is `foreachBatch`: each micro-batch re-reads the
+dimension path — fresh listing, fresh footers — broadcast-joins it
 onto the batch, and appends through the keyed idempotent sink so
 checkpoint replays stay exactly-once.
+
+STALENESS, not atomicity (r8 ADVICE): the per-batch re-read bounds
+staleness to one micro-batch, but a plain `mode('overwrite')` parquet
+rewrite is NOT atomic — an overwrite landing between a batch's file
+listing and the join's execution can still hit vanished part files and
+fail that task (Spark retries the batch; exactly-once holds via the
+keyed sink, but the failure is real).  Publishers of `dim_path` should
+use a versioned-directory swap — write `dim_v{N+1}` completely, then
+flip a small pointer (symlink / manifest file / table-format commit) —
+so every listing resolves an immutable directory; or use an ACID table
+format, which is exactly this protocol productized.
 
 Scale posture: the dim is re-read once per micro-batch (a metadata
 listing + pruned column scan of a broadcast-sized table — the same

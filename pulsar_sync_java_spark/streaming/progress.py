@@ -45,6 +45,7 @@ def progress_summary(progress: dict | None) -> dict[str, Any]:
     if progress is None:
         return {
             "batch_id": None,
+            "run_id": None,
             "num_input_rows": 0,
             "state_rows_total": 0,
             "state_memory_bytes": 0,
@@ -67,6 +68,7 @@ def progress_summary(progress: dict | None) -> dict[str, Any]:
         )
     return {
         "batch_id": progress.get("batchId"),
+        "run_id": progress.get("runId"),
         "num_input_rows": int(progress.get("numInputRows") or 0),
         "state_rows_total": sum(o["state_rows"] for o in ops),
         "state_memory_bytes": sum(o["memory_bytes"] for o in ops),
@@ -102,19 +104,39 @@ class CumulativeDropCounter:
     """Lifetime watermark-drop accounting that survives the
     `recentProgress` retention cap: feed it every progress dict as (or
     after) batches complete — re-feeding an already-counted batch is a
-    no-op (batch_id keyed), so polling `recentProgress` periodically
-    and bulk-feeding it is safe even when polls overlap."""
+    no-op, so polling `recentProgress` periodically and bulk-feeding
+    it is safe even when polls overlap.
+
+    Dedup key is (run_id, batch_id), NOT batch_id alone (r8 ADVICE):
+    batch ids restart at 0 after a checkpoint wipe and collide across
+    queries, so a bare-batch_id key would silently skip or conflate
+    drops when one counter outlives a run or is shared.  Each run's
+    batches are tracked as a contiguous high-water mark plus a bounded
+    out-of-order residue, so memory stays O(runs + reorder window)
+    over an arbitrarily long stream."""
 
     def __init__(self) -> None:
-        self._seen: set[int] = set()
+        # run_id -> [max contiguous batch id counted, residue set of
+        # counted ids above that mark]; the residue drains into the
+        # mark as gaps fill, bounding memory to the reorder window.
+        self._runs: dict[str, list] = {}
         self.total = 0
 
     def feed(self, progress: dict | None) -> int:
         s = progress_summary(progress)
         bid = s["batch_id"]
-        if bid is not None and bid not in self._seen:
-            self._seen.add(bid)
-            self.total += s["dropped_by_watermark"]
+        if bid is None:
+            return self.total
+        run = str(s["run_id"])
+        mark, residue = self._runs.setdefault(run, [-1, set()])
+        if bid <= mark or bid in residue:
+            return self.total
+        residue.add(bid)
+        self.total += s["dropped_by_watermark"]
+        while mark + 1 in residue:
+            mark += 1
+            residue.discard(mark)
+        self._runs[run][0] = mark
         return self.total
 
     def feed_recent(self, query) -> int:

@@ -2230,3 +2230,17 @@ def test_cumulative_drop_counter_dedups_batches():
         c.feed(p)
     assert c.total == 9
     assert c.feed(None) == 9  # pre-first-batch poll is a no-op
+
+    # checkpoint wipe / restart: batch ids restart at 0 under a NEW
+    # runId — those are different batches and must count again, not be
+    # dedup-skipped (r8 ADVICE: key on (run_id, batch_id))
+    def prog2(bid, dropped):
+        p = prog(bid, dropped)
+        p["runId"] = "run-2"
+        return p
+
+    assert c.feed(prog2(0, 7)) == 16
+    assert c.feed(prog2(0, 7)) == 16  # re-poll of the new run dedups
+    # memory stays bounded: contiguous batch ids collapse into the
+    # per-run high-water mark, leaving no residue
+    assert all(len(residue) == 0 for _, residue in c._runs.values())
