@@ -575,3 +575,83 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ms").cast("double").alias("sum_value"),
         (F.col("ms").cast("double") / F.col("n_events")).alias("avg_value"),
     )
+
+
+# ------------------------------------------------ HLL sketch merge
+
+# Merge-invariance bound: the sketch estimate must sit within 10% of
+# the exact count (lgConfigK=12 -> ~1.6% relative standard error; 5+
+# sigma of slack, so only a BROKEN sketch — off by whole multiples —
+# can flip the flag) and, bit-for-bit, must not depend on how the rows
+# were split into partials.
+_HLL_BOUND = 0.10
+
+_HLL_MERGE_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS merge_ok,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type
+"""
+
+
+@query("q_hll_merge", oracle=_HLL_MERGE_SQL)
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch MERGEABILITY as an identity-oracle query — the
+    q_minhash_merge twin for cardinality (r8 verdict #1): per-slice
+    ``hll_sketch_agg`` partials collapsed with ``hll_union_agg`` must
+    yield the SAME estimate under two different row-splits (8-way by
+    event_id, 4-way by user_id) AND as the unsplit sketch.  That is
+    the algebraic law (register-wise MAX is associative/commutative/
+    idempotent, and the estimator is a pure function of the merged
+    register state) that lets per-partition / per-day sketch partials
+    roll up to corpus cardinalities at 100 TB through ordinary
+    mergeable aggregation — no re-shuffling of raw keys, ever.
+
+    PARTIAL ORACLE (the q_approx_distinct pattern): the raw estimate
+    is engine-specific, so the hash gate covers the group key, the
+    EXACT distinct count, `merge_ok` (all three sketch estimates
+    bit-identical) and `approx_ok` (estimate within 10% of exact);
+    the oracle emits literal TRUE for the flags.  Both engines'
+    values are deterministic for fixed data, so a sketch or merge
+    regression flips a flag and fails the hash.
+
+    Plan: three sketch aggregates + one exact-distinct expand over ONE
+    events scan per branch; every shuffle carries sketches (<= 4 KiB
+    each at lgConfigK=12) or count partials, never raw user ids —
+    group count is |event_type| x slices, so the whole query is
+    aggregate-sized after the map side."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+
+    def merged_est(slice_col, name):
+        partials = e.groupBy(
+            "event_type", slice_col.alias("_sl")
+        ).agg(F.hll_sketch_agg("user_id").alias("_sk"))
+        return partials.groupBy("event_type").agg(
+            F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias(name)
+        )
+
+    a = merged_est(F.col("event_id") % 8, "_est_a")
+    b = merged_est(F.col("user_id") % 4, "_est_b")
+    direct = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("_est_d"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    return (
+        direct.join(a, "event_type")
+        .join(b, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                (F.col("_est_a") == F.col("_est_d"))
+                & (F.col("_est_b") == F.col("_est_d"))
+            ).alias("merge_ok"),
+            (
+                F.abs(F.col("_est_d") - F.col("n_exact"))
+                <= F.col("n_exact") * F.lit(_HLL_BOUND)
+            ).alias("approx_ok"),
+        )
+    )

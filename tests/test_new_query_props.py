@@ -1,4 +1,4 @@
-"""Independent-reference property tests for the round-8 additions:
+"""Independent-reference property tests for the round-8/9 additions:
 each check recomputes the result with a BRUTE-FORCE Python/pandas
 implementation that shares NO formulation with either the engine or
 the DuckDB oracle (those two share the window/CTE shape, so a shared
@@ -185,3 +185,43 @@ def test_bfs_khop_matches_python_bfs(spark):
         for r in _QUERIES["q_bfs_khop"](spark, SF_DIR).collect()
     }
     assert got == dist
+
+
+def test_hll_union_split_invariance_property(spark):
+    """The law q_hll_merge's merge_ok flag rests on, under ARBITRARY
+    row splits: estimate(hll_union over per-slice sketches) must be
+    bit-identical to the unsplit sketch's estimate, for any values and
+    any assignment of rows to slices (register-wise MAX is
+    associative/commutative/idempotent and the estimator is a pure
+    function of the merged register state).  Small example budget:
+    each example is a Spark round-trip (the sketch lives JVM-side, so
+    there is no pure-Python replica to hammer like the MG test)."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        vals=st.lists(st.integers(-(10**9), 10**9), min_size=1, max_size=250),
+        nsplits=st.integers(1, 7),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(vals, nsplits, seed):
+        rng = random.Random(seed)
+        df = spark.createDataFrame(
+            [(v, rng.randrange(nsplits)) for v in vals], "v long, sl int"
+        )
+        merged = (
+            df.groupBy("sl")
+            .agg(F.hll_sketch_agg("v").alias("sk"))
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+            .collect()[0]["e"]
+        )
+        direct = df.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("e")
+        ).collect()[0]["e"]
+        assert merged == direct, (merged, direct, len(vals), nsplits)
+
+    check()

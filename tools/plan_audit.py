@@ -67,6 +67,7 @@ EXPECT = {
     "q_time_rollup_multi": "multi-granularity rollup via Expand, one scan, one agg pair — not a UNION of rescans",
     "q_distinct_count": "two DISTINCT aggs via ONE Expand + two-phase agg — one logical shuffle, no join of separate counts",
     "q_approx_distinct": "HLL++ sketch: partial+final HashAggregate only, shuffle carries sketches not keys",
+    "q_hll_merge": "sketch mergeability: 3 sketch aggregates + exact-distinct expand, ObjectHashAggregate carries <=4KiB sketches; final joins are group-sized broadcasts",
     "q_percentiles": "exact percentiles via ObjectHashAggregate (percentile state), single agg pair",
     "q_conditional_agg": "FILTER-clause aggregates fused in one HashAggregate pass, one scan",
     "q_set_ops": "union/intersect/except as tagged aggregate + semi/anti joins — no repeated scans per branch",
