@@ -1010,3 +1010,124 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("part_id"),
         F.col("dist").cast("int").alias("dist"),
     )
+
+
+# ----------------------------------------------------- BM25 retrieval
+
+# The fixed retrieval query (broadcast side).  'quantum' is absent from
+# the corpus by construction: a zero-df term must contribute nothing
+# rather than divide by zero or fabricate rows.
+_BM25_TERMS = ("filter", "hash", "join", "merge", "spark", "vector", "quantum")
+_BM25_TOPK = 20
+
+_BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_ALPHA_TOKS}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+), dl AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+         CAST((SELECT SUM(tf) FROM tf) AS DOUBLE)
+           / (SELECT COUNT(*) FROM documents) AS avgdl
+), tfq AS (
+  SELECT * FROM tf WHERE token IN {_BM25_TERMS!r}
+), df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY token
+), scored AS (
+  SELECT tfq.doc_id,
+         CAST( (((stats.n_docs - df.df) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+               * ((CAST(tfq.tf AS DOUBLE) * 2.2)
+                  / (CAST(tfq.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                             / stats.avgdl))))
+               AS DECIMAL(38,6)) AS sc
+  FROM tfq JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+         CAST(SUM(sc) AS DOUBLE) AS score
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_matched, score FROM agg
+ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
+"""
+
+
+@query("q_bm25_topk", oracle=_BM25_SQL)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (r8 verdict #2) — the scorer the
+    posting-list + tf-idf family stops short of, completing the RAG
+    indexing pipeline that q_chunk_overlap prepares: score every
+    document against a fixed query-term set with Okapi BM25
+    (k1=1.2, b=0.75) and return the global top-20.
+
+    Determinism (the q_tfidf_topterms discipline, extended): the
+    classic log-IDF is replaced by its rational core
+    (N - df + 0.5)/(df + 0.5) — same ranking direction, zero
+    transcendental functions — and every double is produced by the
+    SAME explicitly-parenthesized expression tree in both engines from
+    exact-integer inputs (tf, df, dl, N), so each per-term score is
+    bit-identical; the per-doc sum over matched terms goes through
+    DECIMAL(38,6) accumulation (order-independent), and the top-20 cut
+    orders by (score DESC, doc_id) — a total order.
+
+    Plan contract: ONE tokenize+explode scan feeds the (doc, term) tf
+    aggregate (persisted — three consumers: doc lengths, query-term
+    postings, corpus token total; without the cache the corpus is
+    rescanned per consumer); the query-term filter is a literal
+    IN-list evaluated ON the aggregate (the corpus is never rescanned
+    per term — the r8 verdict's contract); df and the (N, avgdl)
+    scalar are group-sized and broadcast back; the final cut is
+    TakeOrderedAndProject, never a global sort.  At 100 TB the tf
+    aggregate is the inverted index you would persist as a table and
+    the per-query cost is |terms| posting scans + a doc-sized
+    aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_spark_alpha_toks()).alias("token"))
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    stats = (
+        tf.agg(F.sum("tf").alias("_tok_total"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n_docs",
+            (F.col("_tok_total").cast("double") / F.col("n_docs")).alias(
+                "avgdl"
+            ),
+        )
+    )
+    tfq = tf.filter(F.col("token").isin(*_BM25_TERMS))
+    df_ = tfq.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = ((F.col("n_docs") - F.col("df")) + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    den = F.col("tf").cast("double") + F.lit(1.2) * (
+        F.lit(0.25)
+        + F.lit(0.75) * (F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    scored = (
+        tfq.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (idf * ((F.col("tf").cast("double") * F.lit(2.2)) / den))
+            .cast("decimal(38,6)")
+            .alias("sc"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum("sc").cast("double").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(_BM25_TOPK)
+    )

@@ -820,3 +820,16 @@ def test_chunk_overlap_is_generator_only(spark, queries):
     assert "Generate" in plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0, plan
     assert "Join" not in plan
+
+
+def test_bm25_topk_single_index_build_takeordered_cut(spark, queries):
+    """q_bm25_topk: the tokenize+explode corpus pass happens ONCE (the
+    persisted tf aggregate serves all three consumers as
+    InMemoryTableScans — the corpus is never rescanned per query
+    term), the top-20 cut is TakeOrderedAndProject (no global Sort),
+    and the df/stats joins broadcast."""
+    plan = plan_of(queries["q_bm25_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2, plan
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 3, plan
+    assert "CartesianProduct" not in plan

@@ -87,6 +87,7 @@ EXPECT = {
     "q_sample_stratified": "deterministic hash-threshold sampling: per-row filter, no sampling shuffle",
     "q_posting_list": "inverted index: ONE explode + one groupBy(term) with sorted postings",
     "q_tfidf_topterms": "tf aggregate cached (InMemoryTableScan), df derived from it; top-3 via WindowGroupLimit",
+    "q_bm25_topk": "BM25: ONE corpus tokenize into the persisted tf aggregate (inverted index) read by 3 InMemoryTableScans; literal IN-list posting filter; df/stats broadcast; TakeOrderedAndProject top-20",
     "q_string_funcs": "scalar string surface: pure projection over the scan",
     "q_date_funcs": "scalar date surface: pure projection + pushed date-range filter",
     "q_math_funcs": "scalar math surface: pure projection over the scan",
