@@ -551,3 +551,88 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("lift").desc(), F.col("bigram").asc()).limit(
         _COLLOC_K
     )
+
+
+# -------------------------------------------- linear classifier gate
+
+# Per-million token rate cut points -> integer weights.  Rates (not raw
+# counts) keep the weight table scale-free: the same model text works
+# at sf0.001 and at 100 TB.  Integer div (`div` / `//`) throughout —
+# no float enters until the final per-doc mean.
+_CLS_RARE_PPM = 5_000  # 'dup'-marker band: rare tokens signal noise
+_CLS_MID_PPM = 33_000
+_CLS_KEEP_MIN = 1.45
+
+_CLASSIFIER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents
+), vocab AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY token
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS tok_total FROM vocab
+), w AS (
+  SELECT token,
+         CASE WHEN cnt * 1000000 // tot.tok_total < {_CLS_RARE_PPM} THEN -4
+              WHEN cnt * 1000000 // tot.tok_total < {_CLS_MID_PPM} THEN 1
+              ELSE 2 END AS wt
+  FROM vocab CROSS JOIN tot
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_toks,
+       CAST(CAST(SUM(w.wt) AS BIGINT) AS DOUBLE) / COUNT(*) AS score,
+       (CAST(CAST(SUM(w.wt) AS BIGINT) AS DOUBLE) / COUNT(*))
+         >= {_CLS_KEEP_MIN} AS keep
+FROM toks t JOIN w ON t.token = w.token
+GROUP BY t.doc_id
+"""
+
+
+@query("q_classifier_score", oracle=_CLASSIFIER_SQL)
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast linear-model inference (r8 verdict #3) — the
+    fastText-style quality-classifier gate every production corpus
+    pipeline runs: a per-token weight table is DERIVED from corpus
+    statistics (the q_unigram_score vocabulary aggregate, bucketed by
+    per-million token rate into integer weights; rare tokens — the
+    'dup' noise band — score -4), each document's score is the mean
+    weight of its token stream (a dot product with a bag-of-words
+    vector), and a fixed threshold yields the keep/drop flag.
+
+    This is the TRAIN/APPLY split the unigram query lacks: the model
+    (31-row weight table here; O(vocab) always) is built once and
+    BROADCAST, so the apply side is one map-side equi-join over the
+    token stream plus the per-doc aggregate — the token stream is
+    never hash-partitioned for the join, and swapping in externally
+    trained weights (real fastText / logistic-regression coefficients,
+    quantized to integers) changes only the weight-table subtree.
+
+    Determinism: weights and their Σ are exact integers (rates via
+    integer div), so the score is ONE IEEE division and the threshold
+    compare is bit-exact in both engines.
+
+    Plan contract: two corpus passes (train: vocab aggregate; apply:
+    scored stream), zero extra corpus shuffles — the only exchanges
+    are the vocab-sized count aggregate and the doc-sized score
+    aggregate; the weight join is a BroadcastHashJoin."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_spark_tokens()).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("long").alias("tok_total"))
+    w = vocab.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.expr(
+            f"CASE WHEN (cnt * 1000000) div tok_total < {_CLS_RARE_PPM} THEN -4 "
+            f"WHEN (cnt * 1000000) div tok_total < {_CLS_MID_PPM} THEN 1 "
+            "ELSE 2 END"
+        ).alias("wt"),
+    )
+    score = F.sum("wt").cast("bigint").cast("double") / F.count(F.lit(1))
+    return (
+        toks.join(F.broadcast(w), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            score.alias("score"),
+            (score >= F.lit(_CLS_KEEP_MIN)).alias("keep"),
+        )
+    )

@@ -850,3 +850,105 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk").cast("int").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", "chunk")).alias("chunk_md5"),
     )
+
+
+# ------------------------------------------- small-file compaction plan
+
+_COMPACT_FILE_KEYS = 8  # orderkeys per simulated input file
+_COMPACT_UNDER = 32  # rows below which a file is compaction-eligible (~median)
+_COMPACT_TARGET = 128  # rows per compaction output group (~4-5 small files)
+_COMPACT_RANGE = 16  # files per prefix-sum leaf bucket
+
+_COMPACTION_SQL = f"""
+WITH files AS (
+  SELECT l_orderkey // {_COMPACT_FILE_KEYS} AS file_id,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+  FROM lineitem GROUP BY 1
+), under AS (
+  SELECT * FROM files WHERE n_rows < {_COMPACT_UNDER}
+), c AS (
+  SELECT *, SUM(n_rows) OVER (ORDER BY file_id
+                              ROWS UNBOUNDED PRECEDING) - n_rows AS start
+  FROM under
+), g AS (
+  SELECT *, CAST(start // {_COMPACT_TARGET} AS BIGINT) AS group_id FROM c
+)
+SELECT group_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+       MIN(min_key) AS min_key, MAX(max_key) AS max_key,
+       CAST(CAST(SUM(n_rows) AS BIGINT) AS DOUBLE) / {_COMPACT_TARGET}
+         AS fill_ratio
+FROM g GROUP BY group_id
+"""
+
+
+@query("q_compaction_plan", oracle=_COMPACTION_SQL)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (r8 verdict #5) — the maintenance
+    decision a lakehouse sink schedules, completing the writer-planning
+    family (q_shard_pack sizes NEW output; q_zorder_layout clusters it;
+    this plans the REWRITE of what already landed badly): given
+    per-file (size, key-range) stats — simulated here as one "file"
+    per {_COMPACT_FILE_KEYS}-orderkey slice of lineitem — keep
+    right-sized files untouched, and bin-pack the undersized ones, in
+    key order so merged files stay range-prunable, into
+    ~{_COMPACT_TARGET}-row compaction groups, reporting each group's
+    file count, merged key range, and fill ratio.
+
+    The pack is the q_shard_pack device one level up: group id =
+    exclusive-prefix-sum(size) div target, computed as a TWO-LEVEL
+    distributed prefix sum over the FILE-STATS table ({_COMPACT_RANGE}
+    files per leaf bucket, per-bucket totals cumulated over the tiny
+    bucket table, broadcast offsets, per-bucket parallel windows).
+    That matters because at 100 TB the planner's input is itself big —
+    a 128 MB-target table has ~10^6 files, and a naive
+    `SUM() OVER (ORDER BY ...)` over them is the single-task window
+    this engine never emits.  The oracle is the naive single-window
+    greedy pack, so the hash gate proves the distributed rewrite
+    exact.  Corpus cost: ONE scan into the file-stats aggregate;
+    everything after is metadata-sized.  Integer discipline
+    throughout; fill_ratio is the single final division."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    files = li.groupBy(
+        F.expr(f"l_orderkey div {_COMPACT_FILE_KEYS}").alias("file_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )
+    under = files.filter(F.col("n_rows") < _COMPACT_UNDER).withColumn(
+        "bucket", F.expr(f"file_id div {_COMPACT_RANGE}")
+    )
+    totals = under.groupBy("bucket").agg(F.sum("n_rows").alias("bucket_rows"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    offsets = totals.select(
+        "bucket",
+        (F.sum("bucket_rows").over(wb) - F.col("bucket_rows")).alias("offset"),
+    )
+    ww = (
+        Window.partitionBy("bucket")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = (
+        under.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "start",
+            F.col("offset") + F.sum("n_rows").over(ww) - F.col("n_rows"),
+        )
+        .withColumn(
+            "group_id", F.expr(f"start div {_COMPACT_TARGET}").cast("bigint")
+        )
+    )
+    return g.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.min("min_key").alias("min_key"),
+        F.max("max_key").alias("max_key"),
+        (
+            F.sum("n_rows").cast("long").cast("double")
+            / F.lit(_COMPACT_TARGET)
+        ).alias("fill_ratio"),
+    )

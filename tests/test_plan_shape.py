@@ -833,3 +833,14 @@ def test_bm25_topk_single_index_build_takeordered_cut(spark, queries):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2, plan
     assert len(re.findall(r"InMemoryTableScan", plan)) >= 3, plan
     assert "CartesianProduct" not in plan
+
+
+def test_classifier_score_weight_table_broadcasts(spark, queries):
+    """q_classifier_score: the derived weight table must broadcast
+    (BroadcastHashJoin — the token stream is never hash-partitioned
+    for the join); exchanges are only the vocab aggregate and the
+    doc-sized score aggregate."""
+    plan = plan_of(queries["q_classifier_score"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

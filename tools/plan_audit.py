@@ -88,6 +88,8 @@ EXPECT = {
     "q_posting_list": "inverted index: ONE explode + one groupBy(term) with sorted postings",
     "q_tfidf_topterms": "tf aggregate cached (InMemoryTableScan), df derived from it; top-3 via WindowGroupLimit",
     "q_bm25_topk": "BM25: ONE corpus tokenize into the persisted tf aggregate (inverted index) read by 3 InMemoryTableScans; literal IN-list posting filter; df/stats broadcast; TakeOrderedAndProject top-20",
+    "q_classifier_score": "train/apply linear gate: weight table (vocab-sized) broadcast via BroadcastHashJoin; token stream never hash-partitioned; exchanges = vocab agg + doc score agg only",
+    "q_compaction_plan": "compaction planner: ONE corpus scan into the file-stats aggregate; two-level prefix sum over file stats (bucket totals window over tiny table, offsets broadcast, per-bucket parallel windows) — no single-task global window",
     "q_string_funcs": "scalar string surface: pure projection over the scan",
     "q_date_funcs": "scalar date surface: pure projection + pushed date-range filter",
     "q_math_funcs": "scalar math surface: pure projection over the scan",
