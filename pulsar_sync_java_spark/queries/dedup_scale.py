@@ -30,6 +30,7 @@ from pulsar_sync_java_spark.operators.dedup import (
 )
 from pulsar_sync_java_spark.operators.multimodal import (
     attach_payload,
+    phash64,
     audio_windows,
     extract_media_features,
     frame_sample,
@@ -635,4 +636,77 @@ def q_minhash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs.select("lang", F.posexplode("signature").alias("i", "s"))
         .groupBy("lang", "i")
         .agg(F.min("s").alias("s"))
+    )
+
+
+# ------------------------------------------- perceptual-hash near-dup
+
+
+def _phash_bit_terms_sql() -> str:
+    """Two's-complement assembly of the 64 dHash gradient bits from the
+    1-based 72-cell brightness list `b` (bit 63 contributes the sign
+    value directly — BIGINT cannot hold +2^63)."""
+    terms = []
+    for r in range(8):
+        for c in range(8):
+            k = r * 8 + c
+            cond = f"b[{r * 9 + c + 1}] < b[{r * 9 + c + 2}]"
+            val = -9223372036854775808 if k == 63 else (1 << k)
+            terms.append(f"CASE WHEN {cond} THEN {val} ELSE 0 END")
+    return "\n           + ".join(terms)
+
+
+_PHASH_MAX_HAMMING = 3  # pigeonhole-complete for the 4x16-bit chunk index
+
+_PHASH_SQL = f"""
+WITH codes AS (
+  SELECT doc_id, length(text) AS n,
+         list_transform(range(1, length(text) + 1),
+                        i -> ord(substr(text, i, 1))) AS cs
+  FROM documents
+), bright AS (
+  SELECT doc_id,
+         list_transform(range(72), j ->
+           coalesce(list_aggregate(cs[(j * n) // 72 + 1 : ((j + 1) * n) // 72],
+                                   'sum'), 0)) AS b
+  FROM codes
+), ph AS (
+  SELECT doc_id, {_phash_bit_terms_sql()} AS phash
+  FROM bright
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_MAX_HAMMING}
+"""
+
+
+@query("q_phash_neardup", oracle=_PHASH_SQL)
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup (r8 verdict #4) — the multimodal
+    family's first actual DEDUP DECISION: payloads (the opaque binary
+    column the ingest schema carries) are fingerprinted with a
+    64-bit dHash over the deterministic stub decode
+    (operators/multimodal.py:phash64 — an Arrow mapInPandas kernel,
+    the sanctioned codec slow path), and near-duplicate pairs come
+    from the SAME pigeonhole Hamming index SimHash uses
+    (operators/dedup.py:simhash_near_pairs): 4x16-bit chunk buckets —
+    complete for Hamming <= 3 — then the exact bit_count(xor) verify.
+
+    No all-pairs anywhere (plan-asserted): candidates are generated by
+    the chunk-bucket inverted index, exactly like a 100 TB image-dedup
+    run where the quadratic product is impossible; the ORACLE is the
+    naive all-pairs formulation DuckDB can afford at oracle scale, so
+    a hash-green row proves the bucketed index finds EXACTLY the naive
+    pair set.  The fingerprint rides as one BIGINT (8 bytes/row in
+    every shuffle), and swapping the stub for a real decoder changes
+    only the grid construction inside the kernel."""
+    d = load_table(spark, sf_dir, "documents")
+    ph = phash64(attach_payload(d))
+    pairs = simhash_near_pairs(
+        ph.select("doc_id", F.col("phash").alias("simhash")),
+        max_hamming=_PHASH_MAX_HAMMING,
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
     )

@@ -1,0 +1,199 @@
+"""Streaming ANN serving over a persisted IVF index (r8 verdict #7) —
+closes the index LIFECYCLE loop: `ivf_index_write` builds the layout,
+`ivf_index_refresh` maintains it, and this module SERVES a continuous
+stream of query vectors against whichever index version is active,
+with the staleness contract deciding refresh IN-STREAM.
+
+Shape per micro-batch (`foreachBatch`, the enrich.py discipline):
+
+1. **Ingest gate** — if a delta landed in the staging directory, run
+   `ivf_index_refresh` on it: the contract (size staleness + cell
+   drift TV) decides append-vs-rebuild, and on rebuild the active
+   pointer swaps to the NEW directory (versioned-dir convention —
+   never overwrite the directory being probed; enrich.py's atomicity
+   note).  The same batch's queries then probe the fresh index.
+2. **Probe** — the batch's queries are routed in ONE Spark job
+   regardless of query count: per-query probe cells are ranked
+   driver-side against the (tiny, effectively broadcast) centroid
+   table, the index is scanned ONCE with `ivf_cell IN (union of
+   cells)` (partition pruning — nprobe/n_centroids of the corpus per
+   query, amortized across the batch), the query rows broadcast-join
+   onto the pruned candidates, and a per-query window takes exact
+   cosine top-k.  No per-query index scan, no driver-side ranking.
+3. **Sink** — results append through the keyed idempotent sink
+   ((query_id, rank) identity), so checkpoint replays stay
+   exactly-once even when a replayed batch probes a newer index
+   version than the original attempt (the first write wins).
+
+Scale posture: the index scan is partition-pruned parquet; the only
+per-batch driver work is O(batch_queries x n_centroids) float math
+and the staging-directory listing.  Queries ride with their vector
+(array<double>), so the stream side never joins anything un-pruned.
+Equivalence + refresh-boundary + restart tests: tests/test_ann_serve.py.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+from pulsar_sync_java_spark.operators.similarity import cosine, ivf_index_refresh
+
+
+class IvfServer:
+    """Mutable active-index pointer (path + centroids) shared between
+    the serving loop and whoever applies refreshes.  A single object
+    per serving query; the lock only guards the tiny pointer swap —
+    all heavy work happens outside it.
+
+    The pointer is process-local state: a deployment that must survive
+    driver restart persists (path, centroids) — e.g. next to the
+    checkpoint — and reconstructs the server from it, exactly like the
+    tests do across their restart boundary."""
+
+    def __init__(self, path: str, centroids: Sequence[Sequence[float]]):
+        self._lock = threading.Lock()
+        self._path = path
+        self._centroids = [list(map(float, c)) for c in centroids]
+
+    def snapshot(self) -> tuple[str, list[list[float]]]:
+        with self._lock:
+            return self._path, self._centroids
+
+    def apply_refresh(self, record: dict) -> None:
+        """Adopt a decision record from `ivf_index_refresh` (append
+        records keep the path; rebuild records carry the new one)."""
+        with self._lock:
+            self._path = record["path"]
+            self._centroids = [list(map(float, c)) for c in record["centroids"]]
+
+
+def probe_queries(
+    spark: SparkSession,
+    path: str,
+    centroids: Sequence[Sequence[float]],
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch-route `queries` = [(query_id, vector), ...] against the
+    materialized IVF index in ONE job: union-of-cells pruned scan,
+    broadcast query join, per-query exact cosine top-k.  Matches
+    `ivf_topk_indexed` per query bit-for-bit (same probe ranking, same
+    cosine expression, same (score DESC, id) tie-break) — the
+    equivalence the serving tests pin."""
+    rows = []
+    for qid, vec in queries:
+        order = sorted(
+            range(len(centroids)),
+            key=lambda i: sum((a - b) ** 2 for a, b in zip(vec, centroids[i])),
+        )
+        rows.append(
+            (int(qid), [float(v) for v in vec], [int(c) for c in order[:nprobe]])
+        )
+    qdf = spark.createDataFrame(
+        rows, "query_id long, qvec array<double>, cells array<int>"
+    )
+    cells_union = sorted({c for _, _, cs in rows for c in cs})
+    cand = (
+        spark.read.parquet(path)
+        .where(F.col("ivf_cell").isin(cells_union))
+        .select(id_col, vec_col, "ivf_cell")
+    )
+    probes = qdf.select("query_id", "qvec", F.explode("cells").alias("ivf_cell"))
+    scored = cand.join(F.broadcast(probes), "ivf_cell").select(
+        "query_id",
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("qvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _consume_staging(
+    spark: SparkSession, staging: str, batch_id: int
+) -> DataFrame | None:
+    """Claim the staged delta for this batch, exactly once: read it,
+    and AFTER the refresh succeeds the caller renames the directory to
+    a consumed marker.  Replay safety does not depend on the rename —
+    a crash between refresh and rename replays the delta into the
+    keyed `ivf_index_append` (a no-op) or into a deterministic rebuild
+    of the same versioned target."""
+    try:
+        entries = os.listdir(staging)
+    except FileNotFoundError:
+        return None
+    if not any(e.endswith(".parquet") or not e.startswith(("_", ".")) for e in entries):
+        return None
+    return spark.read.parquet(staging)
+
+
+def serve_ann_stream(
+    query_stream: DataFrame,
+    server: IvfServer,
+    sink_dir: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    nprobe: int = 4,
+    delta_staging: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refresh_kwargs: dict | None = None,
+) -> DataStreamWriter:
+    """Serve a stream of (query_id, qvec) rows against the active IVF
+    index.  When `delta_staging` is set, each micro-batch first checks
+    it for newly landed vectors and runs one `ivf_index_refresh`
+    maintenance step on them — the staleness contract (growth, cell
+    share, assignment-drift TV) decides append-vs-rebuild in-stream,
+    and a rebuild atomically swaps the server's active pointer before
+    this batch's queries are probed."""
+    from pulsar_sync_java_spark.sinks.writers import idempotent_append
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if delta_staging is not None:
+            delta = _consume_staging(spark, delta_staging, batch_id)
+            if delta is not None:
+                path, cents = server.snapshot()
+                record = ivf_index_refresh(
+                    spark,
+                    path,
+                    delta,
+                    cents,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    # deterministic per-batch target: a replayed rebuild
+                    # regenerates the same directory content
+                    rebuild_path=f"{path}_r{batch_id}",
+                    **(refresh_kwargs or {}),
+                )
+                server.apply_refresh(record)
+                os.rename(delta_staging, f"{delta_staging}_consumed_b{batch_id}")
+        queries = [
+            (r["query_id"], list(r["qvec"]))
+            for r in batch_df.select("query_id", "qvec").collect()
+        ]
+        if not queries:
+            return
+        path, cents = server.snapshot()
+        topk = probe_queries(
+            spark, path, cents, queries, k, nprobe, id_col, vec_col
+        )
+        idempotent_append(topk, sink_dir, keys=["query_id", "rank"])
+
+    return (
+        query_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )

@@ -1,0 +1,181 @@
+"""Streaming ANN serving (streaming/ann_serve.py): per-micro-batch
+probes must equal the batch `ivf_topk_indexed` answer against the
+ACTIVE index version — including across an in-stream refresh boundary
+where the staleness contract rebuilds the index and swaps the pointer
+mid-stream — and checkpoint replays must stay exactly-once."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pulsar_sync_java_spark.operators.similarity import (
+    ivf_index_write,
+    ivf_topk_indexed,
+)
+from pulsar_sync_java_spark.streaming.ann_serve import (
+    IvfServer,
+    probe_queries,
+    serve_ann_stream,
+)
+
+QUERY_SCHEMA = "query_id long, qvec array<double>"
+K = 5
+NPROBE = 3
+
+
+def _emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _query_rows(spark, vec_ids, first_qid):
+    rows = _emb(spark).filter(F.col("vec_id").isin(vec_ids)).orderBy("vec_id").collect()
+    return [
+        (first_qid + i, [float(v) for v in r["embedding"]])
+        for i, r in enumerate(rows)
+    ]
+
+
+def _run(spark, src, server, sink, ckpt, staging):
+    stream = (
+        spark.readStream.schema(QUERY_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        serve_ann_stream(
+            stream,
+            server,
+            sink_dir=sink,
+            checkpoint_dir=ckpt,
+            k=K,
+            nprobe=NPROBE,
+            delta_staging=staging,
+            refresh_kwargs={"drift_tv_threshold": 0.25},
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    exc = q.exception()
+    if exc is not None:
+        raise exc
+
+
+def _expected_ids(spark, path, cents, qrows):
+    out = {}
+    for qid, vec in qrows:
+        out[qid] = [
+            r["vec_id"]
+            for r in ivf_topk_indexed(
+                spark, path, cents, vec, k=K, nprobe=NPROBE
+            ).collect()
+        ]
+    return out
+
+
+def test_serving_matches_batch_probe_across_refresh_boundary(spark, tmp_path):
+    idx = str(tmp_path / "ivf_v0")
+    src = str(tmp_path / "queries")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    staging = str(tmp_path / "staging")
+
+    emb = _emb(spark)
+    cents0 = ivf_index_write(emb, idx, n_centroids=8, iters=2)
+    server = IvfServer(idx, cents0)
+
+    # ---- batch 1: no delta staged, probe the v0 index
+    q1 = _query_rows(spark, [0, 1, 2], first_qid=1000)
+    spark.createDataFrame(q1, QUERY_SCHEMA).coalesce(1).write.parquet(src)
+    _run(spark, src, server, sink, ckpt, staging)
+
+    expect1 = _expected_ids(spark, idx, cents0, q1)
+    got = (
+        spark.read.parquet(sink)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    got1 = {}
+    for r in got:
+        got1.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert got1 == expect1
+
+    # ---- stage a DRIFTED delta: many copies of one vector -> the
+    # assignment TV trips the contract and forces a rebuild in-stream
+    base = emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    delta = spark.createDataFrame(
+        [(100000 + i, [float(v) for v in base]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    delta.coalesce(1).write.parquet(staging)
+
+    q2 = _query_rows(spark, [5, 6], first_qid=2000)
+    spark.createDataFrame(q2, QUERY_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _run(spark, src, server, sink, ckpt, staging)
+
+    # the contract rebuilt: new active path, staging consumed
+    path2, cents2 = server.snapshot()
+    assert path2 != idx
+    assert not os.path.exists(staging)
+    assert spark.read.parquet(path2).count() == emb.count() + 60
+
+    # batch-2 queries were answered against the REBUILT index
+    expect2 = _expected_ids(spark, path2, cents2, q2)
+    rows = spark.read.parquet(sink).filter(F.col("query_id") >= 2000).collect()
+    got2 = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        got2.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert got2 == expect2
+    # the drifted clones dominate near their own vector: a query ON the
+    # drift point must now retrieve the clones (recall of new data)
+    q3 = [(3000, [float(v) for v in base])]
+    spark.createDataFrame(q3, QUERY_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _run(spark, src, server, sink, ckpt, staging)
+    top = [
+        r["vec_id"]
+        for r in spark.read.parquet(sink)
+        .filter(F.col("query_id") == 3000)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert len(top) == K and any(v >= 100000 for v in top)
+
+    # ---- batch-1 history untouched by the refresh
+    rows1 = spark.read.parquet(sink).filter(F.col("query_id") < 2000).collect()
+    got1b = {}
+    for r in sorted(rows1, key=lambda r: (r["query_id"], r["rank"])):
+        got1b.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert got1b == expect1
+
+    # ---- restart with a reconstructed server (pointer persisted by
+    # the caller): full source replay appends nothing new
+    import shutil
+
+    n_before = spark.read.parquet(sink).count()
+    shutil.rmtree(ckpt)
+    server2 = IvfServer(path2, cents2)
+    _run(spark, src, server2, sink, str(tmp_path / "ckpt2"), staging)
+    assert spark.read.parquet(sink).count() == n_before
+
+
+def test_probe_queries_single_job_matches_per_query_probe(spark, tmp_path):
+    """The batched router (one pruned scan + broadcast join + window)
+    must equal per-query ivf_topk_indexed for every query in the
+    batch."""
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark)
+    cents = ivf_index_write(emb, idx, n_centroids=8, iters=2)
+    qrows = _query_rows(spark, [10, 11, 12, 13], first_qid=0)
+    got = {}
+    for r in probe_queries(
+        spark, idx, cents, qrows, k=K, nprobe=NPROBE
+    ).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    expect = _expected_ids(spark, idx, cents, qrows)
+    assert {q: [v for _, v in sorted(rs)] for q, rs in got.items()} == expect

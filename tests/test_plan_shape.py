@@ -844,3 +844,14 @@ def test_classifier_score_weight_table_broadcasts(spark, queries):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_phash_neardup_bucketed_never_allpairs(spark, queries):
+    """q_phash_neardup: candidates must come from the chunk-bucket
+    inverted index (ObjectHashAggregate collect_list), never any
+    all-pairs product; the only Python is the Arrow codec kernel."""
+    plan = plan_of(queries["q_phash_neardup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan

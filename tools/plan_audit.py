@@ -101,6 +101,7 @@ EXPECT = {
     "q_sim_topk": "1-row query vector: BroadcastNestedLoopJoin (never CartesianProduct) + TakeOrderedAndProject",
     "q_ann_lsh_topk": "signature kernel + Hamming-ball filter, TakeOrderedAndProject; r7 recall-gate joins are k-row/1-row broadcast only — no global sort",
     "q_simhash": "chunk index Generate + bucket ObjectHashAggregate; verify by bit_count — no all-pairs",
+    "q_phash_neardup": "dHash codec kernel = MapInPandas (Arrow); pairs via the SimHash pigeonhole chunk index (bucket ObjectHashAggregate + bit_count verify) — no all-pairs, fingerprints ride as one BIGINT",
     "q_ngram_jaccard": "shingle arrays cached (InMemoryTableScan); ONE inverted-index shuffle; sizes join back broadcast",
     "q_dedup_keepers": "signatures cached; banded candidates via hash join; contraction MapInPandas; labels broadcast back",
     "q_frame_sample": "frame explosion Generate above the codec MapInPandas, bytes stay with the row — zero shuffles",
