@@ -655,3 +655,127 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_ok"),
         )
     )
+
+
+# ------------------------------------------- Count-Min sketch
+
+# d x w Count-Min: d=4 portable multiplicative hash rows, w=32 buckets.
+# Same hash-family device as the MinHash oracle (exact integer
+# arithmetic both engines replay): row j hashes key k to
+# ((k mod 2^31 + 1) * A_j + B_j) mod P mod w, products bounded < 2^62.
+_CM_D = 4
+_CM_W = 32
+_CM_P = 2147483647
+_CM_TOPK = 10
+
+_CM_FAM = ", ".join(
+    f"(({j + 1} * 2654435761) % {_CM_P}, ({j + 1} * 97531) % {_CM_P})"
+    for j in range(_CM_D)
+)
+
+_COUNTMIN_SQL = f"""
+WITH fam AS (
+  SELECT CAST(row_number() OVER () - 1 AS BIGINT) AS j, a, b
+  FROM (VALUES {_CM_FAM}) t(a, b)
+), hashed AS (
+  SELECT e.user_id, f.j,
+         (((e.user_id % 2147483648) + 1) * f.a + f.b) % {_CM_P} % {_CM_W} AS h
+  FROM events e CROSS JOIN fam f
+), sketch AS (
+  SELECT j, h, CAST(COUNT(*) AS BIGINT) AS c FROM hashed GROUP BY j, h
+), truth AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM events GROUP BY user_id
+), heavy AS (
+  SELECT user_id, true_n FROM truth
+  ORDER BY true_n DESC, user_id LIMIT {_CM_TOPK}
+), coords AS (
+  SELECT hv.user_id, hv.true_n, f.j,
+         (((hv.user_id % 2147483648) + 1) * f.a + f.b) % {_CM_P} % {_CM_W} AS h
+  FROM heavy hv CROSS JOIN fam f
+)
+SELECT c.user_id, c.true_n,
+       CAST(MIN(s.c) AS BIGINT) AS cm_est,
+       CAST(MIN(s.c) - c.true_n AS BIGINT) AS overcount
+FROM coords c JOIN sketch s ON c.j = s.j AND c.h = s.h
+GROUP BY c.user_id, c.true_n
+"""
+
+
+@query("q_countmin_topk", oracle=_COUNTMIN_SQL)
+def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch with a MERGE-path identity oracle — the third
+    member of the mergeable-sketch family (q_minhash_merge: MIN-merge;
+    q_hll_merge: register-MAX merge; here: elementwise SUM merge, the
+    linear sketch): the ENGINE builds the 4x32 sketch by summing
+    per-slice partials (slice = event_id mod 5 — the per-partition /
+    per-day partials of a 100 TB rollup), while the ORACLE builds it
+    one-shot, so hash-green proves merge(partials) == sketch(union)
+    exactly.  The sketch then answers point queries for the 10
+    heaviest users: est = min_j counter[j][h_j(key)], emitted beside
+    the exact count with the (always >= 0) overcount — CM's one-sided
+    error law, hash-gated as data, not asserted.
+
+    Everything is exact integer arithmetic (portable multiplicative
+    hashes, integer counters), so unlike the HLL estimate the WHOLE
+    row is oracle-hashed — no partial-oracle flags needed.
+
+    Plan: one events scan explodes to d=4 hash rows and reduces
+    through partial+final aggregates to the 128-counter sketch (the
+    shuffle carries (slice, j, h) count partials, never raw keys);
+    the heavy-key probe is a TakeOrdered over the per-user count
+    aggregate; coords x sketch is a broadcast join of two tiny
+    tables.  At 100 TB the sketch stays 128 rows no matter what —
+    that is the point of CM."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    fam = [
+        (j, ((j + 1) * 2654435761) % _CM_P, ((j + 1) * 97531) % _CM_P)
+        for j in range(_CM_D)
+    ]
+
+    def hash_cols(df: DataFrame) -> DataFrame:
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).cast("long").alias("j"),
+                            (
+                                (
+                                    ((F.col("user_id") % F.lit(2147483648)) + 1)
+                                    * F.lit(a)
+                                    + F.lit(b)
+                                )
+                                % F.lit(_CM_P)
+                                % F.lit(_CM_W)
+                            ).alias("h"),
+                        )
+                        for j, a, b in fam
+                    ]
+                )
+            ).alias("_jh"),
+        ).select("*", F.col("_jh.j").alias("j"), F.col("_jh.h").alias("h"))
+
+    # merge path: per-slice partial sketches -> elementwise SUM
+    partials = (
+        hash_cols(e.withColumn("_slice", F.col("event_id") % 5))
+        .groupBy("_slice", "j", "h")
+        .agg(F.count(F.lit(1)).alias("pc"))
+    )
+    sketch = partials.groupBy("j", "h").agg(
+        F.sum("pc").cast("long").alias("c")
+    )
+    truth = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    heavy = truth.orderBy(
+        F.col("true_n").desc(), F.col("user_id").asc()
+    ).limit(_CM_TOPK)
+    coords = hash_cols(heavy).select("user_id", "true_n", "j", "h")
+    return (
+        coords.join(F.broadcast(sketch), ["j", "h"])
+        .groupBy("user_id", "true_n")
+        .agg(
+            F.min("c").alias("cm_est"),
+            (F.min("c") - F.col("true_n")).alias("overcount"),
+        )
+    )

@@ -15,7 +15,7 @@ see operators/dedup.py and operators/similarity.py for the primitives.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pulsar_sync_java_spark.queries import query
@@ -635,4 +635,113 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             score.alias("score"),
             (score >= F.lit(_CLS_KEEP_MIN)).alias("keep"),
         )
+    )
+
+
+# ------------------------------------------- chi-square term selection
+
+_CHI2_TOPK = 3
+
+_CHI2_SQL = f"""
+WITH toks AS (
+  SELECT lang, unnest({_DUCK_TOKENS}) AS token FROM documents
+), tl AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS a
+  FROM toks GROUP BY lang, token
+), tmarg AS (
+  SELECT token, CAST(SUM(a) AS BIGINT) AS n_t FROM tl GROUP BY token
+), lmarg AS (
+  SELECT lang, CAST(SUM(a) AS BIGINT) AS n_l FROM tl GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS n FROM tl
+), x AS (
+  SELECT tl.lang, tl.token, tl.a,
+         CAST(CAST(tl.a AS DECIMAL(19,0))
+                * CAST(tot.n - tmarg.n_t - lmarg.n_l + tl.a AS DECIMAL(19,0))
+              - CAST(tmarg.n_t - tl.a AS DECIMAL(19,0))
+                * CAST(lmarg.n_l - tl.a AS DECIMAL(19,0)) AS DOUBLE) AS diff,
+         CAST(CAST(tmarg.n_t AS DECIMAL(19,0))
+                * CAST(tot.n - tmarg.n_t AS DECIMAL(19,0)) AS DOUBLE) AS f1,
+         CAST(CAST(lmarg.n_l AS DECIMAL(19,0))
+                * CAST(tot.n - lmarg.n_l AS DECIMAL(19,0)) AS DOUBLE) AS f2,
+         CAST(tot.n AS DOUBLE) AS nd
+  FROM tl JOIN tmarg USING (token) JOIN lmarg USING (lang) CROSS JOIN tot
+), scored AS (
+  SELECT lang, token, a, (nd * (diff * diff)) / (f1 * f2) AS chi2 FROM x
+)
+SELECT lang, token, a AS n_occ, chi2, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY lang
+                 ORDER BY chi2 DESC, token ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {_CHI2_TOPK}
+"""
+
+
+@query("q_chi2_terms", oracle=_CHI2_SQL)
+def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square term-class association — the FEATURE-SELECTION stage
+    in front of q_classifier_score: for every (lang, token) 2x2
+    contingency table (token-occurrence counts), the chi2 statistic
+    N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) ranks how strongly each term
+    indicates each class; the top-3 per class are the features a
+    per-class model keeps.
+
+    Determinism without transcendentals (the engine's rational-stats
+    discipline, cf. q_trend_ols): a/b/c/d derive from ONE (lang,
+    token) count aggregate plus its marginals — all exact BIGINT; the
+    cross products run in DECIMAL(19,0)->DECIMAL(38,0) exact
+    arithmetic (both engines widen identically); each factor is cast
+    to double ONCE and the final chi2 is the same three-operation IEEE
+    tree in both engines.  At 100 TB the decimal cross products hold
+    up to ~1e19 occurrences per margin; past that the statistic is
+    computed on per-shard counts and summed (chi2 is additive over
+    disjoint strata), not by widening the arithmetic.
+
+    Plan: one tokenize scan -> (lang, token) aggregate (persisted —
+    marginal/total/score branches share it; AQE will not); marginals
+    are group-sized and BROADCAST back; the top-3 window runs over the
+    aggregate table, never raw tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(_spark_tokens()).alias("token"))
+    tl = (
+        toks.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("a"))
+        .persist()
+    )
+    tmarg = tl.groupBy("token").agg(F.sum("a").cast("long").alias("n_t"))
+    lmarg = tl.groupBy("lang").agg(F.sum("a").cast("long").alias("n_l"))
+    tot = tl.agg(F.sum("a").cast("long").alias("n"))
+    d19 = "decimal(19,0)"
+    x = (
+        tl.join(F.broadcast(tmarg), "token")
+        .join(F.broadcast(lmarg), "lang")
+        .crossJoin(F.broadcast(tot))
+    )
+    diff = (
+        F.col("a").cast(d19)
+        * (F.col("n") - F.col("n_t") - F.col("n_l") + F.col("a")).cast(d19)
+        - (F.col("n_t") - F.col("a")).cast(d19)
+        * (F.col("n_l") - F.col("a")).cast(d19)
+    ).cast("double")
+    f1 = (
+        F.col("n_t").cast(d19) * (F.col("n") - F.col("n_t")).cast(d19)
+    ).cast("double")
+    f2 = (
+        F.col("n_l").cast(d19) * (F.col("n") - F.col("n_l")).cast(d19)
+    ).cast("double")
+    scored = x.select(
+        "lang",
+        "token",
+        F.col("a").alias("n_occ"),
+        (
+            (F.col("n").cast("double") * (diff * diff)) / (f1 * f2)
+        ).alias("chi2"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("chi2").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _CHI2_TOPK)
+        .select("lang", "token", "n_occ", "chi2", "rank")
     )

@@ -107,6 +107,7 @@ PERSIST_ALLOWLIST = {
     ("queries/dedup_scale.py", "q_minhash_lsh"): 1,
     ("queries/extras.py", "q_bfs_khop"): 1,             # symmetric edge table (3 expansion levels probe it)
     ("queries/extras.py", "q_bm25_topk"): 1,            # (doc, term) tf aggregate = the inverted index (3 consumers)
+    ("queries/pipeline.py", "q_chi2_terms"): 1,         # (lang, token) count aggregate (marginals + scoring share it)
     ("queries/extras.py", "q_tfidf_topterms"): 1,       # (doc, term) tf aggregate
     ("queries/stats.py", "q_ks_drift"): 1,              # distinct-value count table (aggregate-sized)
     ("queries/stats.py", "q_skew_report"): 1,           # per-key size aggregate (tiny)

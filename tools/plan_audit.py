@@ -68,6 +68,8 @@ EXPECT = {
     "q_distinct_count": "two DISTINCT aggs via ONE Expand + two-phase agg — one logical shuffle, no join of separate counts",
     "q_approx_distinct": "HLL++ sketch: partial+final HashAggregate only, shuffle carries sketches not keys",
     "q_hll_merge": "sketch mergeability: 3 sketch aggregates + exact-distinct expand, ObjectHashAggregate carries <=4KiB sketches; final joins are group-sized broadcasts",
+    "q_countmin_topk": "CM sketch: Generate (d=4 hash explode) into partial+final count aggregates — shuffle carries (slice,j,h) partials, never raw keys; sketch (128 rows) broadcast to the TakeOrdered heavy-key probe",
+    "q_chi2_terms": "chi2 selection: ONE tokenize into the persisted (lang,token) aggregate; marginals/total broadcast back; top-3 window over aggregate rows only",
     "q_percentiles": "exact percentiles via ObjectHashAggregate (percentile state), single agg pair",
     "q_conditional_agg": "FILTER-clause aggregates fused in one HashAggregate pass, one scan",
     "q_set_ops": "union/intersect/except as tagged aggregate + semi/anti joins — no repeated scans per branch",
