@@ -225,3 +225,143 @@ def test_hll_union_split_invariance_property(spark):
         assert merged == direct, (merged, direct, len(vals), nsplits)
 
     check()
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_bm25_matches_bruteforce_python(spark, docs_pdf):
+    """Third implementation of the BM25 ranking: plain Python dicts
+    and floats (same parenthesization), compared on ids AND scores."""
+    import re as _re
+
+    TERMS = ("filter", "hash", "join", "merge", "spark", "vector", "quantum")
+    tf, dl = {}, {}
+    for doc_id, text in docs_pdf[["doc_id", "text"]].itertuples(
+        index=False, name=None
+    ):
+        toks = [
+            t.lower()
+            for t in _re.split(r"\s+", text or "")
+            if t and _re.fullmatch(r"[a-z]+", t.lower())
+        ]
+        if toks:
+            dl[doc_id] = len(toks)
+            for t in toks:
+                tf[(doc_id, t)] = tf.get((doc_id, t), 0) + 1
+    n_docs = len(docs_pdf)
+    avgdl = float(sum(dl.values())) / n_docs
+    df_ = {}
+    for (d, t), _ in tf.items():
+        if t in TERMS:
+            df_[t] = df_.get(t, 0) + 1
+    from decimal import ROUND_HALF_UP, Decimal
+
+    scores, matched = {}, {}
+    for (d, t), f in tf.items():
+        if t not in TERMS:
+            continue
+        idf = ((n_docs - df_[t]) + 0.5) / (float(df_[t]) + 0.5)
+        den = float(f) + 1.2 * (0.25 + 0.75 * (float(dl[d]) / avgdl))
+        sc = idf * ((float(f) * 2.2) / den)
+        q = Decimal(sc).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        scores[d] = scores.get(d, Decimal(0)) + q
+        matched[d] = matched.get(d, 0) + 1
+    expect = sorted(
+        ((float(s), d) for d, s in scores.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:20]
+    rows = _QUERIES["q_bm25_topk"](spark, SF_DIR).collect()
+    got = [(r["score"], r["doc_id"]) for r in rows]
+    assert [d for _, d in got] == [d for _, d in expect]
+    for (gs, gd), (es, ed) in zip(got, expect):
+        assert gs == es, (gd, gs, es)
+        assert matched[gd] > 0
+
+
+def test_countmin_overcount_law_bruteforce(spark, events_pdf):
+    """CM's one-sided error, recomputed with plain Python dicts: the
+    engine's estimate must equal the brute-force sketch estimate and
+    never undercount the true count."""
+    P, W, D = 2147483647, 32, 4
+    fam = [((j + 1) * 2654435761 % P, (j + 1) * 97531 % P) for j in range(D)]
+    sketch = {}
+    truth = {}
+    for u in events_pdf["user_id"]:
+        u = int(u)
+        truth[u] = truth.get(u, 0) + 1
+        for j, (a, b) in enumerate(fam):
+            h = ((u % 2147483648 + 1) * a + b) % P % W
+            sketch[(j, h)] = sketch.get((j, h), 0) + 1
+    heavy = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    expect = {}
+    for u, tn in heavy:
+        est = min(
+            sketch[(j, ((u % 2147483648 + 1) * a + b) % P % W)]
+            for j, (a, b) in enumerate(fam)
+        )
+        expect[u] = (tn, est)
+    rows = _QUERIES["q_countmin_topk"](spark, SF_DIR).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        tn, est = expect[r["user_id"]]
+        assert (r["true_n"], r["cm_est"]) == (tn, est)
+        assert r["overcount"] == est - tn >= 0
+
+
+def test_compaction_plan_greedy_pack_invariants(spark):
+    """Planner invariants beyond the oracle hash: groups partition the
+    undersized files in key order (contiguous ids, ordered disjoint
+    key ranges), no group except possibly the last is underfull, and
+    no group is more than one file over target."""
+    rows = sorted(
+        _QUERIES["q_compaction_plan"](spark, SF_DIR).collect(),
+        key=lambda r: r["group_id"],
+    )
+    assert rows and [r["group_id"] for r in rows] == list(range(len(rows)))
+    target, under_cap = 128, 32
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_key"] < b["min_key"]  # key-ordered, range-disjoint
+    for r in rows[:-1]:
+        # removing its last file must drop the group below target =>
+        # total < target + max undersized file size
+        assert target <= r["total_rows"] + under_cap
+        assert r["total_rows"] < target + under_cap
+    assert rows[-1]["total_rows"] < target + under_cap
+
+
+def test_phash_matches_python_reimplementation(spark, docs_pdf):
+    """Independent Python dHash + naive all-pairs Hamming, compared to
+    the engine's bucketed pair set."""
+    def ph(text: str) -> int:
+        bs = text.encode()
+        n = len(bs)
+        csum = [0]
+        for x in bs:
+            csum.append(csum[-1] + x)
+        s = [csum[((j + 1) * n) // 72] - csum[(j * n) // 72] for j in range(72)]
+        v = 0
+        for r in range(8):
+            for c in range(8):
+                if s[r * 9 + c] < s[r * 9 + c + 1]:
+                    v |= 1 << (r * 8 + c)
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    hs = {
+        int(d): ph(t)
+        for d, t in docs_pdf[["doc_id", "text"]].itertuples(index=False, name=None)
+    }
+    ids = sorted(hs)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            hd = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+            if hd <= 3:
+                expect[(a, b)] = hd
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in _QUERIES["q_phash_neardup"](spark, SF_DIR).collect()
+    }
+    assert got == expect
