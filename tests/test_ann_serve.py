@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from pulsar_sync_java_spark.operators.similarity import (
@@ -75,6 +76,7 @@ def _expected_ids(spark, path, cents, qrows):
     return out
 
 
+@pytest.mark.slow
 def test_serving_matches_batch_probe_across_refresh_boundary(spark, tmp_path):
     idx = str(tmp_path / "ivf_v0")
     src = str(tmp_path / "queries")
@@ -115,6 +117,13 @@ def test_serving_matches_batch_probe_across_refresh_boundary(spark, tmp_path):
     spark.createDataFrame(q2, QUERY_SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(src)
+    # q3 (a query ON the drift point) lands as a SECOND file in the
+    # same run: maxFilesPerTrigger=1 makes it a separate micro-batch
+    # that must be served by the index REBUILT in q2's batch
+    q3 = [(3000, [float(v) for v in base])]
+    spark.createDataFrame(q3, QUERY_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
     _run(spark, src, server, sink, ckpt, staging)
 
     # the contract rebuilt: new active path, staging consumed
@@ -125,18 +134,17 @@ def test_serving_matches_batch_probe_across_refresh_boundary(spark, tmp_path):
 
     # batch-2 queries were answered against the REBUILT index
     expect2 = _expected_ids(spark, path2, cents2, q2)
-    rows = spark.read.parquet(sink).filter(F.col("query_id") >= 2000).collect()
+    rows = (
+        spark.read.parquet(sink)
+        .filter((F.col("query_id") >= 2000) & (F.col("query_id") < 3000))
+        .collect()
+    )
     got2 = {}
     for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
         got2.setdefault(r["query_id"], []).append(r["vec_id"])
     assert got2 == expect2
-    # the drifted clones dominate near their own vector: a query ON the
-    # drift point must now retrieve the clones (recall of new data)
-    q3 = [(3000, [float(v) for v in base])]
-    spark.createDataFrame(q3, QUERY_SCHEMA).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-    _run(spark, src, server, sink, ckpt, staging)
+    # the drifted clones dominate near their own vector: q3 (served in
+    # its own micro-batch after the rebuild) must retrieve the clones
     top = [
         r["vec_id"]
         for r in spark.read.parquet(sink)

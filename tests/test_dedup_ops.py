@@ -293,6 +293,7 @@ def test_lsh_indexed_warns_when_probe_covers_every_prefix(
         ).collect()
 
 
+@pytest.mark.slow
 def test_ann_recall_at_10_meets_gate_sf01(spark, tmp_path):
     """Quantified quality bar for the two rows-only ANN queries: mean
     recall@10 vs exact cosine_topk over 8 queries at sf0.1 must be
@@ -912,6 +913,7 @@ def test_incremental_lsh_matches_symmetric_pairs_restricted(spark, documents):
         sigs.unpersist()
 
 
+@pytest.mark.slow
 def test_fuzzy_pairs_match_bruteforce_levenshtein(spark):
     """Deletion-neighborhood blocking must find exactly the brute-force
     distance<=1 pairs — including insert/delete pairs (length differs),
@@ -945,6 +947,7 @@ def test_fuzzy_pairs_match_bruteforce_levenshtein(spark):
     assert any(len(by_id[x]) != len(by_id[y]) for x, y, _ in want)
 
 
+@pytest.mark.slow
 def test_fuzzy_pairs_k2_match_bruteforce_levenshtein(spark):
     """Depth-2 deletion neighborhoods (FastSS) must find exactly the
     brute-force distance<=2 pairs — substitution pairs, indel pairs,

@@ -88,6 +88,7 @@ def clusters(spark, tmp_path_factory):
     return src, dst
 
 
+@pytest.mark.slow
 def test_engine_converges_and_is_idempotent(spark, clusters):
     src, dst = clusters
     engine = SyncEngine(spark, src, dst, SyncEngineConfig())
@@ -126,6 +127,7 @@ def test_engine_converges_and_is_idempotent(spark, clusters):
     )
 
 
+@pytest.mark.slow
 def test_engine_picks_up_new_src_entities(spark, clusters):
     """The reference's rescan loop: entities created on src AFTER the
     first sync appear on dst on the next tick (additive, exactly-once)."""
@@ -147,6 +149,7 @@ def test_engine_picks_up_new_src_entities(spark, clusters):
     assert engine.sync_catalog_once()["tenants"] == 0
 
 
+@pytest.mark.slow
 def test_deleted_dst_subscription_recreated_at_translated_position(
     spark, clusters
 ):
@@ -214,6 +217,7 @@ def test_control_plane_write_back_is_bounded(spark, clusters):
         assert "write_partitioned" in str(e)
 
 
+@pytest.mark.slow
 def test_cursor_advancement_opt_in(spark, clusters):
     """Opt-in improvement over the reference's frozen cursors: when new
     messages arrive and the src cursor progresses, the dst cursor
@@ -280,6 +284,7 @@ def test_cursor_advancement_opt_in(spark, clusters):
     assert engine.advance_cursors_once() == 0
 
 
+@pytest.mark.slow
 def test_full_system_catalog_then_data_plane_convergence(spark, tmp_path):
     """The reference's complete story in ONE test — the 3-minute
     catalog rescan (PulsarPartitionTopicSyncManager) followed by
@@ -375,6 +380,7 @@ def test_full_system_catalog_then_data_plane_convergence(spark, tmp_path):
         ), t
 
 
+@pytest.mark.slow
 def test_cli_main_ticks_and_converges(spark, tmp_path, capsys):
     """`python -m pulsar_sync_java_spark SRC DST --ticks 2` — the
     working CLI the reference's broken `PulsarSyncStarter.main` never

@@ -299,18 +299,24 @@ def test_tree_roots_deep_bound_keeps_clamped_semantics(spark):
     assert full == {i: (0, i) for i in range(100)}
 
 
+@pytest.mark.slow
 def test_tree_roots_fixpoint_matches_union_find_on_random_forests(spark):
     """Property: on random forests with chains deeper than one doubling
     round, the convergence-detected unbounded mode equals a Python
     union-find (roots) and parent walk (depths)."""
     from pulsar_sync_java_spark.operators.graph import tree_roots
 
-    for seed in (3, 11):
+    # one deep-chain forest (59-deep: 6 doubling rounds) and one
+    # shallower one (19-deep: 5 rounds) — two seeds of the deep shape
+    # added ~50 s of pure doubling-round repetition for no extra
+    # coverage (r9 suite-runtime pass); the differing depths now also
+    # exercise two distinct round counts
+    for seed, depth in ((3, 60), (11, 20)):
         rng = random.Random(seed)
         edges = []
         # several long chains plus random shallow attachments
         for base in (1000, 2000, 3000):
-            for i in range(1, 60):
+            for i in range(1, depth):
                 edges.append((base + i, base + i - 1))
         for node in range(1, 200):
             parent = rng.randrange(0, node)

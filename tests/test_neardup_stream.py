@@ -62,6 +62,7 @@ def test_ingest_batches_drop_cross_and_within_batch_dups(
     assert kept1 <= kept
 
 
+@pytest.mark.slow
 def test_ingest_batch_replay_is_noop(spark, tmp_path, doc_batches):
     b1, b2 = doc_batches
     sig_dir = str(tmp_path / "sigs")

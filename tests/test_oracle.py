@@ -1,25 +1,70 @@
 """Replay the driver's oracle gate locally at sf0.001: every registered
-query with an oracle must hash-match DuckDB (SURVEY.md §5 test plan #1)."""
+query with an oracle must hash-match DuckDB (SURVEY.md §5 test plan #1).
+
+Execution shape (r8 verdict #8, suite-runtime discipline): the ~134
+comparisons are each dominated by FIXED per-call overhead (Spark job
+launch + DuckDB run + pandas fetch), so the module batch-runs them on a
+small thread pool ONCE (Spark actions and DuckDB both release the GIL;
+every thread gets its own DuckDB connection) and the parametrized tests
+assert their own query's stored verdict — per-query failure
+attribution, `-x` behavior, and the exact compare semantics are all
+unchanged, only the wall-clock serialization is gone.  Set
+SPARK_GRAFT_SERIAL_ORACLE=1 to fall back to one-at-a-time execution
+when debugging a single query's comparison."""
 
 from __future__ import annotations
 
+import os
+import traceback
+from concurrent.futures import ThreadPoolExecutor
+
+import duckdb
 import pytest
 
 from pulsar_sync_java_spark.queries import all_oracles, all_queries
-from tests.conftest import SF_DIR, assert_matches_oracle
+from pulsar_sync_java_spark.sources.tables import TABLES
+from tests.conftest import SF_DIR, compare_frames
 
 _QUERIES = all_queries()
 _ORACLES = all_oracles()
 
 
+def _compare_one(spark, name: str) -> tuple[bool, str]:
+    try:
+        df = _QUERIES[name](spark, SF_DIR)
+        if name not in _ORACLES:
+            # rows-only check, mirroring the driver's weaker gate
+            return df.count() >= 0, "rows-only"
+        con = duckdb.connect()
+        try:
+            for t in TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+                )
+            rel = con.sql(_ORACLES[name])
+            return compare_frames(
+                df.columns, df.toPandas(), rel.columns, rel.df()
+            )
+        finally:
+            con.close()
+    except Exception:
+        return False, traceback.format_exc()
+
+
+@pytest.fixture(scope="module")
+def oracle_results(spark):
+    names = sorted(_QUERIES)
+    if os.environ.get("SPARK_GRAFT_SERIAL_ORACLE"):
+        return {n: _compare_one(spark, n) for n in names}
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        results = pool.map(lambda n: _compare_one(spark, n), names)
+        return dict(zip(names, results))
+
+
 @pytest.mark.parametrize("name", sorted(_QUERIES))
-def test_query_matches_oracle(name, spark, duck):
-    df = _QUERIES[name](spark, SF_DIR)
-    if name not in _ORACLES:
-        # rows-only check, mirroring the driver's weaker gate
-        assert df.count() >= 0
-        return
-    assert_matches_oracle(spark, duck, df, _ORACLES[name])
+def test_query_matches_oracle(name, oracle_results):
+    ok, detail = oracle_results[name]
+    assert ok, detail
 
 
 def test_scd2_intervals_are_consistent(spark):

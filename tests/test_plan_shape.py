@@ -58,12 +58,17 @@ def test_small_dims_broadcast(spark, queries):
 def test_no_cartesian_products_anywhere(spark, queries):
     """No declared query may plan a CartesianProduct — the only
     intentional cross join (q_sim_topk's 1-row query vector) must be
-    a BroadcastNestedLoopJoin."""
-    offenders = []
-    for name, fn in queries.items():
-        plan = plan_of(fn(spark, SF_DIR))
-        if "CartesianProduct" in plan:
-            offenders.append(name)
+    a BroadcastNestedLoopJoin.  The ~134 plans compile concurrently
+    (planning releases the GIL in the JVM; the r9 suite-runtime pass —
+    same device as test_oracle's batched comparisons)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(item):
+        name, fn = item
+        return name if "CartesianProduct" in plan_of(fn(spark, SF_DIR)) else None
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        offenders = [n for n in pool.map(check, queries.items()) if n]
     assert not offenders, offenders
 
 

@@ -943,6 +943,7 @@ def test_funnel_kernel_batch_split_invariance():
     check()
 
 
+@pytest.mark.slow
 def test_attribution_stream_matches_batch_interval_join(spark, message_dir):
     """Stream-stream interval join (view -> click within 1h per user)
     must emit exactly the batch interval join on the same rows: inner
@@ -991,6 +992,7 @@ def test_attribution_stream_matches_batch_interval_join(spark, message_dir):
     assert expected, "fixture produced no attributable pairs"
 
 
+@pytest.mark.slow
 def test_attribution_stream_outer_closes_unmatched_views(spark, message_dir):
     """Left-outer stream-stream join: every inner pair still appears,
     and views with no in-horizon click are emitted exactly once with a
@@ -1058,6 +1060,7 @@ def test_attribution_stream_outer_closes_unmatched_views(spark, message_dir):
     assert expected_closed_nulls, "fixture produced no closed unmatched views"
 
 
+@pytest.mark.slow
 def test_attribution_stream_state_survives_restart(spark, tmp_path):
     """Stream-stream join state persists across a query restart: views
     delivered in run 1, their clicks only in run 2 (same checkpoint) —
@@ -1249,6 +1252,7 @@ def test_stateful_grouped_udaf_state_bound_is_loud(spark, tmp_path):
         q.awaitTermination(120)
 
 
+@pytest.mark.slow
 def test_stateful_grouped_udaf_state_survives_restart(spark, tmp_path):
     """Two separate query runs over one checkpoint: batch-2 emissions
     must aggregate over BOTH halves' values — keyed state recovers from
@@ -1372,6 +1376,7 @@ def test_stateful_scd2_matches_batch_islands(spark, tmp_path):
     assert got == want and len(got) > 200
 
 
+@pytest.mark.slow
 def test_e2e_replication_dedup_scd2_pipeline(spark, tmp_path):
     """End-to-end composition — the reference's actual deployment
     shape: an at-least-once replication feed (duplicated deliveries
@@ -1523,6 +1528,7 @@ def test_stateful_scd2_rejects_cross_batch_time_regression():
     assert (out2[0]["valid_to_us"] >= out2[0]["valid_from_us"]).all()
 
 
+@pytest.mark.slow
 def test_stateful_retention_matches_batch_cohorts(spark, tmp_path):
     """Streaming cohort-retention twin vs the batch q_retention_cohort
     shape on the same events, consumed in TWO event-time-ordered
@@ -1598,6 +1604,7 @@ def test_stateful_retention_matches_batch_cohorts(spark, tmp_path):
     assert got == want and len(got) > 20
 
 
+@pytest.mark.slow
 def test_stateful_heavy_hitters_matches_batch(spark, tmp_path):
     """Streaming MG twin vs the batch heavy_hitters operator: feed the
     planted-skew key stream in TWO checkpointed availableNow runs, keep
@@ -1740,6 +1747,7 @@ def _run_scd2_batches(spark, tmp_path, batches, name, **kwargs):
     return spark.read.parquet(str(tmp_path / f"{name}_out"))
 
 
+@pytest.mark.slow
 def test_scd2_quarantine_equals_raise_on_clean_input(spark, tmp_path):
     """On ordered (clean) input the quarantine+observe mode must emit
     EXACTLY the raise mode's closed intervals — kind='interval' rows
@@ -1776,6 +1784,7 @@ def test_scd2_quarantine_equals_raise_on_clean_input(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_scd2_quarantine_dead_letters_late_events(spark, tmp_path):
     """A cross-micro-batch late event must fail the stream under the
     default policy but be dead-lettered (kind='late', counted in the
@@ -2063,6 +2072,7 @@ def test_progress_live_readout_and_input_accounting(spark, tmp_path):
     assert max(s["state_rows_total"] for s in summaries) >= 1
 
 
+@pytest.mark.slow
 def test_stateful_sessionize_gap_and_timer_close(spark, tmp_path):
     """Event-time-timeout sessionization across a checkpointed two-run
     restart: a session interrupted by a >= gap successor closes by
@@ -2148,6 +2158,7 @@ def test_stateful_sessionize_gap_and_timer_close(spark, tmp_path):
     assert (1, 50_000 * US, 50_000 * US, 1) in batch_sessions  # the open tail
 
 
+@pytest.mark.slow
 def test_stateful_sessionize_rejects_cross_batch_regression(spark, tmp_path):
     """An event older than its key's carried state (late within the
     watermark delay but behind per-key order) must FAIL the stream
