@@ -745,3 +745,129 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _CHI2_TOPK)
         .select("lang", "token", "n_occ", "chi2", "rank")
     )
+
+
+# ------------------------------------------------- BPE tokenizer training
+
+_BPE_ITERS = 3
+
+# One DuckDB merge iteration: pair-count over the symbol arrays, argmax
+# pair (cnt DESC, x, y — total order), then the canonical-form replace:
+# arrays render as '  sym  sym  ' (double-space separators, single
+# trailing context on each side of the pattern), so plain left-to-right
+# non-overlapping replace() IS the standard greedy BPE merge, and the
+# canonical form is preserved for the next iteration.
+
+
+def _bpe_sql_iter(k: int) -> str:
+    prev = f"a{k - 1}"
+    return f"""
+p{k} AS (
+  SELECT p.x AS x, p.y AS y, CAST(SUM(w) AS BIGINT) AS cnt
+  FROM {prev}, unnest(list_transform(generate_series(1, len({prev}.arr) - 1),
+       i -> struct_pack(x := {prev}.arr[i], y := {prev}.arr[i + 1]))) u(p)
+  GROUP BY 1, 2
+), b{k} AS (
+  SELECT x, y, cnt FROM p{k} ORDER BY cnt DESC, x, y LIMIT 1
+), a{k} AS (
+  SELECT word, w,
+         list_filter(string_split(
+           replace('  ' || array_to_string(arr, '  ') || '  ',
+                   ' ' || b{k}.x || '  ' || b{k}.y || ' ',
+                   ' ' || b{k}.x || b{k}.y || ' '),
+           '  '), t -> t <> '') AS arr
+  FROM {prev} CROSS JOIN b{k}
+)"""
+
+
+_BPE_SQL = (
+    f"""
+WITH toks AS (
+  SELECT unnest({_DUCK_TOKENS}) AS word FROM documents
+), w0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS w FROM toks GROUP BY word
+), a0 AS (
+  SELECT word, w, regexp_extract_all(word, '.') AS arr FROM w0
+), """
+    + ", ".join(_bpe_sql_iter(k) for k in range(1, _BPE_ITERS + 1))
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"SELECT {k} AS iter, x AS left_sym, y AS right_sym,"
+        f" x || y AS merged, cnt FROM b{k}"
+        for k in range(1, _BPE_ITERS + 1)
+    )
+)
+
+
+@query("q_bpe_train", oracle=_BPE_SQL)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding tokenizer TRAINING — the LLM-pipeline stage
+    none of the token-counting queries cover (q_token_count applies a
+    tokenizer; this LEARNS one): starting from characters, learn the
+    first {n} merge rules by repeatedly counting adjacent symbol pairs
+    over the word-frequency vocabulary and merging the most frequent
+    pair (greedy left-to-right, the standard BPE step).  Output = the
+    learned merge table (iter, left, right, merged symbol, pair count)
+    — the artifact a tokenizer ships.
+
+    Scale shape (why this trains on 100 TB): the corpus collapses to
+    the word-frequency VOCABULARY first (one tokenize + count
+    aggregate — the only corpus-sized step), and every merge iteration
+    then runs on vocab-sized data: one pair-count aggregate (map-side
+    partials over (x, y) keys) + a 1-row argmax broadcast back.  The
+    merge itself stays in JVM codegen via the canonical-string device:
+    symbol arrays render with double-space separators so the greedy
+    non-overlapping merge is a plain `replace()` (alignment proof in
+    the oracle comment — symbols contain no spaces, so every pattern
+    occurrence is exactly an adjacent pair), identical left-to-right
+    semantics in both engines.  Iterations are plan-unrolled (the
+    q_kmeans_assign Lloyd discipline); everything is exact integer
+    arithmetic, so the whole merge table hash-gates with no partial
+    oracle.""".replace("{n}", str(_BPE_ITERS))
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(_spark_tokens()).alias("word"))
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("w"))
+    cur = vocab.select(
+        "word", "w", F.regexp_extract_all("word", F.lit("."), 0).alias("arr")
+    )
+    rules = []
+    for k in range(1, _BPE_ITERS + 1):
+        pairs = cur.select(
+            "w",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("arr", 1, F.size("arr") - 1).alias("x"),
+                    F.slice("arr", 2, F.size("arr") - 1).alias("y"),
+                )
+            ).alias("p"),
+        ).select("w", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        best = (
+            pairs.groupBy("x", "y")
+            .agg(F.sum("w").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("x").asc(), F.col("y").asc())
+            .limit(1)
+        )
+        rules.append(
+            best.select(
+                F.lit(k).alias("iter"),
+                F.col("x").alias("left_sym"),
+                F.col("y").alias("right_sym"),
+                F.concat("x", "y").alias("merged"),
+                "cnt",
+            )
+        )
+        canon = F.concat(F.lit("  "), F.array_join("arr", "  "), F.lit("  "))
+        merged = F.replace(
+            canon,
+            F.concat(F.lit(" "), F.col("x"), F.lit("  "), F.col("y"), F.lit(" ")),
+            F.concat(F.lit(" "), F.col("x"), F.col("y"), F.lit(" ")),
+        )
+        cur = cur.crossJoin(F.broadcast(best)).select(
+            "word",
+            "w",
+            F.filter(F.split(merged, "  "), lambda t: t != "").alias("arr"),
+        )
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out

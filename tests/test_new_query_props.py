@@ -365,3 +365,44 @@ def test_phash_matches_python_reimplementation(spark, docs_pdf):
         for r in _QUERIES["q_phash_neardup"](spark, SF_DIR).collect()
     }
     assert got == expect
+
+
+def test_bpe_train_matches_python_reference(spark, docs_pdf):
+    """Textbook Python BPE (dict-of-tuples vocabulary, greedy
+    left-to-right merge) must produce the same 3 merge rules and pair
+    counts."""
+    import re as _re
+    from collections import Counter
+
+    vocab = Counter()
+    for text in docs_pdf["text"]:
+        for wtok in _re.split(r"\s+", text or ""):
+            if wtok:
+                vocab[tuple(wtok)] += 1
+    rules = []
+    cur = dict(vocab)
+    for it in range(1, 4):
+        pc = Counter()
+        for syms, w in cur.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += w
+        (x, y), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((it, x, y, x + y, cnt))
+        nxt = {}
+        for syms, w in cur.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + w
+        cur = nxt
+    got = sorted(
+        (r["iter"], r["left_sym"], r["right_sym"], r["merged"], r["cnt"])
+        for r in _QUERIES["q_bpe_train"](spark, SF_DIR).collect()
+    )
+    assert got == rules
