@@ -779,3 +779,74 @@ def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("c") - F.col("true_n")).alias("overcount"),
         )
     )
+
+
+# ------------------------------------------- mergeable bottom-k sample
+
+# Portable 32-bit multiplicative hash (the q_sample_stratified device):
+# the sampling key every engine replays bit-for-bit.
+_BK_K = 8
+
+_BK_KEY = "((user_id % 2147483648) * 2654435761) % 4294967296"
+
+_SAMPLE_MERGE_SQL = f"""
+WITH keyed AS (
+  SELECT event_type, event_id, {_BK_KEY} AS k
+  FROM events
+), ranked AS (
+  SELECT event_type, event_id, k,
+         row_number() OVER (PARTITION BY event_type ORDER BY k, event_id)
+           AS rn
+  FROM keyed
+)
+SELECT event_type, CAST(rn AS INT) AS rn, k, event_id
+FROM ranked WHERE rn <= {_BK_K}
+"""
+
+
+@query("q_sample_merge", oracle=_SAMPLE_MERGE_SQL)
+def q_sample_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k (KMV) sampling — the FOURTH mergeable
+    primitive beside MIN-merge (q_minhash_merge), register-MAX merge
+    (q_hll_merge) and SUM-merge (q_countmin_topk): per event type,
+    keep the {k} events with the smallest portable-hash keys.
+    Bottom-k is a semilattice (bottom-k of a union == bottom-k of the
+    per-part bottom-ks), which is exactly what lets a uniform sample —
+    or the KMV distinct-count estimate its k-th key carries — be
+    maintained per partition / per day and collapsed at 100 TB without
+    ever reshuffling raw rows.
+
+    The ENGINE takes the merge path: per-(type, event_id mod 5 slice)
+    bottom-k through a windowed rank, union of the tiny per-slice
+    samples, then the final bottom-k over 5k candidate rows per type.
+    The ORACLE computes the direct one-shot bottom-k, so hash-green
+    proves the semilattice law on real data — the q_minhash_merge
+    identity-oracle pattern.  Hash keys and ranks are exact integers;
+    (key, event_id) is a total order, so the cut is deterministic.
+
+    Plan: one scan, one (type, slice) window shuffle whose output is
+    {k} rows per group, a union, and one window over the
+    slices-x-{k}-row candidate set — the heavy shuffle carries sample
+    rows only.""".replace("{k}", str(_BK_K))
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr(_BK_KEY).alias("k"),
+        (F.col("event_id") % 5).alias("_slice"),
+    )
+    w_slice = Window.partitionBy("event_type", "_slice").orderBy(
+        "k", "event_id"
+    )
+    partials = (
+        e.withColumn("_rn", F.row_number().over(w_slice))
+        .filter(F.col("_rn") <= _BK_K)
+        .drop("_rn", "_slice")
+    )
+    w_final = Window.partitionBy("event_type").orderBy("k", "event_id")
+    return (
+        partials.withColumn("rn", F.row_number().over(w_final))
+        .filter(F.col("rn") <= _BK_K)
+        .select("event_type", "rn", "k", "event_id")
+    )

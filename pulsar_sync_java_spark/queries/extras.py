@@ -1131,3 +1131,84 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(_BM25_TOPK)
     )
+
+
+# ----------------------------------------------------- skyline (Pareto)
+
+_SKYLINE_SQL = """
+SELECT a.p_partkey AS part_id, a.p_retailprice AS price,
+       CAST(a.p_size AS INT) AS size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+"""
+
+_SKY_IDENT = -(1 << 31)  # true identity for MAX over int sizes
+
+
+@query("q_skyline", oracle=_SKYLINE_SQL)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (min price, max size) over `part`
+    — the multi-objective shortlist query (cheapest-for-its-size
+    catalog picks; same shape as best-quality-per-cost corpus
+    shortlists).  A part survives iff nothing is at-least-as-good on
+    both axes and strictly better on one; incomparable duplicates
+    (equal price AND size) all survive, per the standard definition.
+
+    The ORACLE is the textbook NOT EXISTS — a quadratic all-pairs
+    dominance check only affordable at oracle scale.  The ENGINE is
+    the linear formulation: dominance in 2-D reduces to two numbers
+    per distinct price — M_lt(p) = max size at any strictly cheaper
+    price, and m_eq(p) = max size at exactly p — and a point (p, s)
+    survives iff M_lt(p) < s AND m_eq(p) <= s.  M_lt comes from the
+    engine's two-level distributed prefix MAX (the q_disorder_profile
+    device): integer price buckets give per-bucket maxima, one tiny
+    exclusive-prefix window over the bucket table, and within-bucket
+    exclusive running maxima over DISTINCT prices (price-distinct
+    rows make the ROWS frame exactly the strictly-cheaper set — no
+    RANGE-frame float arithmetic), with the empty prefix coalesced to
+    a true MAX identity, never 0.  One aggregate + two bounded
+    windows + one broadcast join back; the corpus is never
+    self-joined.  Comparisons only — no float arithmetic — so the
+    hash gate is exact."""
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("part_id"),
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+    )
+    per_price = p.groupBy("price").agg(F.max("size").alias("m_eq"))
+    per_price = per_price.withColumn(
+        "bucket", F.floor("price").cast("long")
+    )
+    btot = per_price.groupBy("bucket").agg(F.max("m_eq").alias("mb"))
+    w_excl = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = btot.select(
+        "bucket",
+        F.coalesce(F.max("mb").over(w_excl), F.lit(_SKY_IDENT)).alias("base"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bounds = (
+        per_price.join(F.broadcast(base), "bucket")
+        .select(
+            "price",
+            "m_eq",
+            F.greatest(
+                F.col("base"),
+                F.coalesce(F.max("m_eq").over(w_in), F.lit(_SKY_IDENT)),
+            ).alias("m_lt"),
+        )
+    )
+    return (
+        p.join(F.broadcast(bounds), "price")
+        .filter((F.col("m_lt") < F.col("size")) & (F.col("m_eq") <= F.col("size")))
+        .select("part_id", "price", "size")
+    )

@@ -860,3 +860,13 @@ def test_phash_neardup_bucketed_never_allpairs(spark, queries):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_skyline_never_self_joins_the_corpus(spark, queries):
+    """q_skyline: the engine formulation must be aggregate + windows +
+    broadcast join-backs — never the oracle's quadratic dominance
+    self-join (no nested-loop or cartesian anywhere)."""
+    plan = plan_of(queries["q_skyline"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "SortMergeJoin" not in plan

@@ -71,6 +71,8 @@ EXPECT = {
     "q_countmin_topk": "CM sketch: Generate (d=4 hash explode) into partial+final count aggregates — shuffle carries (slice,j,h) partials, never raw keys; sketch (128 rows) broadcast to the TakeOrdered heavy-key probe",
     "q_chi2_terms": "chi2 selection: ONE tokenize into the persisted (lang,token) aggregate; marginals/total broadcast back; top-3 window over aggregate rows only",
     "q_bpe_train": "BPE training: corpus collapses to the word-frequency vocab ONCE; each unrolled iteration = vocab-sized pair-count aggregate + 1-row argmax broadcast + codegen replace() merge — no Python, no per-corpus iteration",
+    "q_skyline": "2-D Pareto frontier: per-price aggregate + two-level exclusive prefix MAX + broadcast join-backs — never the oracle's quadratic dominance self-join (no NestedLoop/Cartesian)",
+    "q_sample_merge": "mergeable bottom-k: (type, slice) rank window emits k rows/group, union, final window over slicesxk candidates — the heavy shuffle carries sample rows only",
     "q_percentiles": "exact percentiles via ObjectHashAggregate (percentile state), single agg pair",
     "q_conditional_agg": "FILTER-clause aggregates fused in one HashAggregate pass, one scan",
     "q_set_ops": "union/intersect/except as tagged aggregate + semi/anti joins — no repeated scans per branch",
