@@ -700,7 +700,13 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hash-green row proves the bucketed index finds EXACTLY the naive
     pair set.  The fingerprint rides as one BIGINT (8 bytes/row in
     every shuffle), and swapping the stub for a real decoder changes
-    only the grid construction inside the kernel."""
+    only the grid construction inside the kernel.
+
+    Oracle-parity precondition: the SQL twin reads per-CHARACTER codes
+    while the kernel reads BYTES — identical only because the
+    synthetic corpus is pure ASCII (verified at every sf).  With a
+    real decoder this concern disappears entirely (both sides would
+    hash pixels, not text)."""
     d = load_table(spark, sf_dir, "documents")
     ph = phash64(attach_payload(d))
     pairs = simhash_near_pairs(

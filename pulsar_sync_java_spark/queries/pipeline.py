@@ -608,7 +608,12 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: weights and their Σ are exact integers (rates via
     integer div), so the score is ONE IEEE division and the threshold
-    compare is bit-exact in both engines.
+    compare is bit-exact in both engines.  Width dial: `cnt * 1e6`
+    overflows BIGINT only past ~9e12 occurrences of ONE token; under
+    ANSI mode that fails LOUDLY, and the fix at that scale is to
+    derive rates from per-shard counts (rates are ratios — compute on
+    any fixed-size stratum) or widen the multiply to DECIMAL, not to
+    trust a silent wrap.
 
     Plan contract: two corpus passes (train: vocab aggregate; apply:
     scored stream), zero extra corpus shuffles — the only exchanges

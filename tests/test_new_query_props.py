@@ -406,3 +406,41 @@ def test_bpe_train_matches_python_reference(spark, docs_pdf):
         for r in _QUERIES["q_bpe_train"](spark, SF_DIR).collect()
     )
     assert got == rules
+
+
+def test_bpe_replace_device_equals_greedy_merge_property():
+    """The canonical double-space-separator replace() must equal the
+    textbook greedy left-to-right BPE merge for ARBITRARY symbol
+    sequences — including self-pairs ('aa'+'aa'), multi-char symbols,
+    and punctuation (replace is literal, not regex).  Pure Python
+    (the device is string semantics, identical in Spark/DuckDB), so
+    hypothesis can hammer it."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = ["a", "b", "ab", "aa", "aab", ".", "(", "a.b"]
+
+    def greedy(syms, x, y):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                out.append(x + y)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    @settings(max_examples=2000, deadline=None)
+    @given(
+        arr=st.lists(st.sampled_from(alphabet), min_size=1, max_size=9),
+        x=st.sampled_from(alphabet),
+        y=st.sampled_from(alphabet),
+    )
+    def check(arr, x, y):
+        s = ("  " + "  ".join(arr) + "  ").replace(
+            f" {x}  {y} ", f" {x}{y} "
+        )
+        assert [t for t in s.split("  ") if t] == greedy(arr, x, y)
+
+    check()
