@@ -597,24 +597,33 @@ FROM events GROUP BY event_type
 
 @query("q_hll_merge", oracle=_HLL_MERGE_SQL)
 def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL sketch MERGEABILITY as an identity-oracle query — the
-    q_minhash_merge twin for cardinality (r8 verdict #1): per-slice
-    ``hll_sketch_agg`` partials collapsed with ``hll_union_agg`` must
-    yield the SAME estimate under two different row-splits (8-way by
-    event_id, 4-way by user_id) AND as the unsplit sketch.  That is
-    the algebraic law (register-wise MAX is associative/commutative/
-    idempotent, and the estimator is a pure function of the merged
-    register state) that lets per-partition / per-day sketch partials
-    roll up to corpus cardinalities at 100 TB through ordinary
-    mergeable aggregation — no re-shuffling of raw keys, ever.
+    """HLL sketch MERGEABILITY gated as data — the q_minhash_merge
+    twin for cardinality (r8 verdict #1): per-slice
+    ``hll_sketch_agg`` partials collapsed with ``hll_union_agg``
+    under TWO different row-splits (8-way by event_id, 4-way by
+    user_id), beside the unsplit sketch and the exact count.
 
-    PARTIAL ORACLE (the q_approx_distinct pattern): the raw estimate
-    is engine-specific, so the hash gate covers the group key, the
-    EXACT distinct count, `merge_ok` (all three sketch estimates
-    bit-identical) and `approx_ok` (estimate within 10% of exact);
-    the oracle emits literal TRUE for the flags.  Both engines'
-    values are deterministic for fixed data, so a sketch or merge
-    regression flips a flag and fails the hash.
+    What is lawful where (measured, sf0.1 sweep, r9): in the
+    sparse/EXACT regime (distincts below the lgK=12 coupon
+    threshold) every path is bit-identical — that exact-equality law
+    is pinned by the hypothesis property test
+    (test_hll_union_split_invariance_property).  In the DENSE
+    regime the estimates legitimately diverge by O(rse): the
+    datasketches sparse-union replays coupons, keeping the
+    order-dependent HIP estimator, so estimate(union) is NOT a pure
+    function of the merged register set across different splits (1488
+    vs 1501 vs 1494 at n=1500, all within 1%).  Gating bit-equality
+    at data scale would therefore assert a law the library
+    deliberately does not provide.  What production actually relies
+    on — and what this query gates — is that MERGING NEVER DEGRADES
+    ACCURACY BEYOND THE SKETCH BOUND: both merged-path estimates and
+    the direct estimate sit within 10% (≈6 sigma at rse 1.6%) of the
+    exact count, flags stable under the ~1% estimator wobble.
+
+    PARTIAL ORACLE (the q_approx_distinct pattern): hash covers the
+    group key, the EXACT distinct count, `merge_ok` (both merged
+    paths within bound) and `approx_ok` (direct within bound); the
+    oracle emits literal TRUE for the flags.
 
     Plan: three sketch aggregates + one exact-distinct expand over ONE
     events scan per branch; every shuffle carries sketches (<= 4 KiB
@@ -639,20 +648,22 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("_est_d"),
         F.countDistinct("user_id").alias("n_exact"),
     )
+
+    def within(est):
+        return F.abs(est - F.col("n_exact")) <= F.col("n_exact") * F.lit(
+            _HLL_BOUND
+        )
+
     return (
         direct.join(a, "event_type")
         .join(b, "event_type")
         .select(
             "event_type",
             "n_exact",
-            (
-                (F.col("_est_a") == F.col("_est_d"))
-                & (F.col("_est_b") == F.col("_est_d"))
-            ).alias("merge_ok"),
-            (
-                F.abs(F.col("_est_d") - F.col("n_exact"))
-                <= F.col("n_exact") * F.lit(_HLL_BOUND)
-            ).alias("approx_ok"),
+            (within(F.col("_est_a")) & within(F.col("_est_b"))).alias(
+                "merge_ok"
+            ),
+            within(F.col("_est_d")).alias("approx_ok"),
         )
     )
 

@@ -188,14 +188,17 @@ def test_bfs_khop_matches_python_bfs(spark):
 
 
 def test_hll_union_split_invariance_property(spark):
-    """The law q_hll_merge's merge_ok flag rests on, under ARBITRARY
-    row splits: estimate(hll_union over per-slice sketches) must be
-    bit-identical to the unsplit sketch's estimate, for any values and
-    any assignment of rows to slices (register-wise MAX is
-    associative/commutative/idempotent and the estimator is a pure
-    function of the merged register state).  Small example budget:
-    each example is a Spark round-trip (the sketch lives JVM-side, so
-    there is no pure-Python replica to hammer like the MG test)."""
+    """The exact-regime identity law behind q_hll_merge, under
+    ARBITRARY row splits: estimate(hll_union over per-slice sketches)
+    must be bit-identical to the unsplit sketch's estimate.  This
+    holds in the sparse/EXACT regime only (sizes kept below the
+    lgK=12 coupon threshold here) — in the dense regime the
+    datasketches HIP estimator is insertion-order dependent by
+    design, which is why the data-scale query gates accuracy bounds
+    instead of bit-equality (measured in the r9 sf0.1 sweep).  Small
+    example budget: each example is a Spark round-trip (the sketch
+    lives JVM-side, so there is no pure-Python replica to hammer like
+    the MG test)."""
     import random
 
     from hypothesis import given, settings
