@@ -679,15 +679,20 @@ _CM_W = 32
 _CM_P = 2147483647
 _CM_TOPK = 10
 
+# j is emitted EXPLICITLY in each VALUES tuple: deriving it from
+# row_number() OVER () with no ORDER BY over a VALUES list is
+# unspecified SQL — the fam CTE is referenced twice (hashed, coords)
+# and the j<->(a,b) mapping could silently diverge between the two
+# references or across DuckDB versions, corrupting the sketch join.
 _CM_FAM = ", ".join(
-    f"(({j + 1} * 2654435761) % {_CM_P}, ({j + 1} * 97531) % {_CM_P})"
+    f"({j}, ({j + 1} * 2654435761) % {_CM_P}, ({j + 1} * 97531) % {_CM_P})"
     for j in range(_CM_D)
 )
 
 _COUNTMIN_SQL = f"""
 WITH fam AS (
-  SELECT CAST(row_number() OVER () - 1 AS BIGINT) AS j, a, b
-  FROM (VALUES {_CM_FAM}) t(a, b)
+  SELECT CAST(j AS BIGINT) AS j, a, b
+  FROM (VALUES {_CM_FAM}) t(j, a, b)
 ), hashed AS (
   SELECT e.user_id, f.j,
          (((e.user_id % 2147483648) + 1) * f.a + f.b) % {_CM_P} % {_CM_W} AS h
@@ -820,7 +825,7 @@ def q_sample_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable bottom-k (KMV) sampling — the FOURTH mergeable
     primitive beside MIN-merge (q_minhash_merge), register-MAX merge
     (q_hll_merge) and SUM-merge (q_countmin_topk): per event type,
-    keep the {k} events with the smallest portable-hash keys.
+    keep the ``_BK_K`` events with the smallest portable-hash keys.
     Bottom-k is a semilattice (bottom-k of a union == bottom-k of the
     per-part bottom-ks), which is exactly what lets a uniform sample —
     or the KMV distinct-count estimate its k-th key carries — be
@@ -836,9 +841,9 @@ def q_sample_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     (key, event_id) is a total order, so the cut is deterministic.
 
     Plan: one scan, one (type, slice) window shuffle whose output is
-    {k} rows per group, a union, and one window over the
-    slices-x-{k}-row candidate set — the heavy shuffle carries sample
-    rows only.""".replace("{k}", str(_BK_K))
+    ``_BK_K`` rows per group, a union, and one window over the
+    slices-x-``_BK_K``-row candidate set — the heavy shuffle carries
+    sample rows only."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events").select(

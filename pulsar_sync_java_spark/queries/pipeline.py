@@ -809,7 +809,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-pair-encoding tokenizer TRAINING — the LLM-pipeline stage
     none of the token-counting queries cover (q_token_count applies a
     tokenizer; this LEARNS one): starting from characters, learn the
-    first {n} merge rules by repeatedly counting adjacent symbol pairs
+    first ``_BPE_ITERS`` merge rules by repeatedly counting adjacent symbol pairs
     over the word-frequency vocabulary and merging the most frequent
     pair (greedy left-to-right, the standard BPE step).  Output = the
     learned merge table (iter, left, right, merged symbol, pair count)
@@ -828,7 +828,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics in both engines.  Iterations are plan-unrolled (the
     q_kmeans_assign Lloyd discipline); everything is exact integer
     arithmetic, so the whole merge table hash-gates with no partial
-    oracle.""".replace("{n}", str(_BPE_ITERS))
+    oracle."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select(F.explode(_spark_tokens()).alias("word"))
     vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("w"))

@@ -122,21 +122,31 @@ def probe_queries(
 
 
 def _consume_staging(
-    spark: SparkSession, staging: str, batch_id: int
-) -> DataFrame | None:
-    """Claim the staged delta for this batch, exactly once: read it,
-    and AFTER the refresh succeeds the caller renames the directory to
-    a consumed marker.  Replay safety does not depend on the rename —
-    a crash between refresh and rename replays the delta into the
-    keyed `ivf_index_append` (a no-op) or into a deterministic rebuild
-    of the same versioned target."""
+    spark: SparkSession, staging: str
+) -> tuple[DataFrame | None, list[str]]:
+    """Claim the staged delta for this batch, exactly once: snapshot
+    the file listing, read EXACTLY those files, and return them so the
+    caller can move only what was read after the refresh succeeds.
+    Files that land in `staging` after the snapshot stay in place for
+    the next batch — moving the whole directory instead would sweep
+    them into the consumed marker without ever ingesting them (silent
+    vector loss under a concurrent producer).  Replay safety does not
+    depend on the move — a crash between refresh and move replays the
+    delta into the keyed `ivf_index_append` (a no-op) or into a
+    deterministic rebuild of the same versioned target."""
     try:
-        entries = os.listdir(staging)
+        entries = sorted(os.listdir(staging))
     except FileNotFoundError:
-        return None
-    if not any(e.endswith(".parquet") or not e.startswith(("_", ".")) for e in entries):
-        return None
-    return spark.read.parquet(staging)
+        return None, []
+    files = [
+        os.path.join(staging, e)
+        for e in entries
+        if (e.endswith(".parquet") or not e.startswith(("_", ".")))
+        and os.path.isfile(os.path.join(staging, e))
+    ]
+    if not files:
+        return None, []
+    return spark.read.parquet(*files), files
 
 
 def serve_ann_stream(
@@ -163,7 +173,7 @@ def serve_ann_stream(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if delta_staging is not None:
-            delta = _consume_staging(spark, delta_staging, batch_id)
+            delta, delta_files = _consume_staging(spark, delta_staging)
             if delta is not None:
                 path, cents = server.snapshot()
                 record = ivf_index_refresh(
@@ -179,7 +189,20 @@ def serve_ann_stream(
                     **(refresh_kwargs or {}),
                 )
                 server.apply_refresh(record)
-                os.rename(delta_staging, f"{delta_staging}_consumed_b{batch_id}")
+                # Move ONLY the files this batch actually read; later
+                # arrivals stay staged for the next batch.  os.replace
+                # tolerates a pre-existing target (a checkpoint wipe
+                # restarts batch ids at 0, so b0 names can recur — the
+                # replayed file content is identical by construction).
+                consumed = f"{delta_staging}_consumed"
+                os.makedirs(consumed, exist_ok=True)
+                for fp in delta_files:
+                    os.replace(
+                        fp,
+                        os.path.join(
+                            consumed, f"b{batch_id}_{os.path.basename(fp)}"
+                        ),
+                    )
         queries = [
             (r["query_id"], list(r["qvec"]))
             for r in batch_df.select("query_id", "qvec").collect()

@@ -128,7 +128,16 @@ class CumulativeDropCounter:
         if bid is None:
             return self.total
         run = str(s["run_id"])
-        mark, residue = self._runs.setdefault(run, [-1, set()])
+        # The mark starts just below the FIRST batch id seen for the
+        # run, not at -1: if monitoring attaches mid-run (batch 0 has
+        # already aged out of recentProgress) the gap below the first
+        # fed id would never fill, the mark would stay at -1, and
+        # every later batch id would sit in the residue forever —
+        # breaking the documented O(runs + reorder window) bound in
+        # exactly the retention-cap scenario this class exists for.
+        # Batches below the attach point are unobservable anyway; they
+        # can never be fed, so anchoring the mark there loses nothing.
+        mark, residue = self._runs.setdefault(run, [bid - 1, set()])
         if bid <= mark or bid in residue:
             return self.total
         residue.add(bid)

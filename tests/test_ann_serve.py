@@ -126,10 +126,20 @@ def test_serving_matches_batch_probe_across_refresh_boundary(spark, tmp_path):
     ).parquet(src)
     _run(spark, src, server, sink, ckpt, staging)
 
-    # the contract rebuilt: new active path, staging consumed
+    # the contract rebuilt: new active path, staging consumed — the
+    # data files moved into the consumed marker (the directory itself
+    # stays: only the files the batch actually READ are moved, so
+    # concurrent late arrivals are never swept away unread)
     path2, cents2 = server.snapshot()
     assert path2 != idx
-    assert not os.path.exists(staging)
+    from pulsar_sync_java_spark.streaming.ann_serve import _consume_staging
+
+    leftover, leftover_files = _consume_staging(spark, staging)
+    assert leftover is None and leftover_files == []
+    consumed = staging + "_consumed"
+    assert os.path.isdir(consumed) and any(
+        e.endswith(".parquet") for e in os.listdir(consumed)
+    )
     assert spark.read.parquet(path2).count() == emb.count() + 60
 
     # batch-2 queries were answered against the REBUILT index
@@ -170,6 +180,54 @@ def test_serving_matches_batch_probe_across_refresh_boundary(spark, tmp_path):
     server2 = IvfServer(path2, cents2)
     _run(spark, src, server2, sink, str(tmp_path / "ckpt2"), staging)
     assert spark.read.parquet(sink).count() == n_before
+
+
+def test_consume_staging_snapshots_listing_and_keeps_late_arrivals(
+    spark, tmp_path
+):
+    """r9 ADVICE: files landing in delta_staging AFTER the batch's file
+    listing must stay staged for the next batch (the old whole-dir
+    rename swept them into the consumed marker unread — silent vector
+    loss), and a replayed batch id must not make the move raise
+    (checkpoint wipe restarts batch ids at 0)."""
+    import glob
+    import shutil
+
+    from pulsar_sync_java_spark.streaming.ann_serve import _consume_staging
+
+    staging = str(tmp_path / "staging")
+    spark.createDataFrame(
+        [(1, [0.25])], "vec_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(staging)
+    df, files = _consume_staging(spark, staging)
+    assert df is not None and df.count() == 1 and len(files) == 1
+
+    # a producer lands another file AFTER the snapshot was taken
+    late_src = str(tmp_path / "late")
+    spark.createDataFrame(
+        [(2, [0.5])], "vec_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(late_src)
+    late = os.path.join(staging, "late.parquet")
+    shutil.copy(glob.glob(late_src + "/*.parquet")[0], late)
+
+    # post-refresh move of ONLY the snapshot files (what apply_batch does)
+    consumed = staging + "_consumed"
+    os.makedirs(consumed, exist_ok=True)
+    for fp in files:
+        os.replace(fp, os.path.join(consumed, f"b0_{os.path.basename(fp)}"))
+
+    # the late arrival is still consumable by the next batch
+    df2, files2 = _consume_staging(spark, staging)
+    assert [os.path.basename(f) for f in files2] == ["late.parquet"]
+    assert df2.count() == 1 and df2.collect()[0]["vec_id"] == 2
+
+    # checkpoint-wipe replay: same batch id, same file name — the move
+    # must overwrite the identical prior content, not raise
+    for fp in files2:
+        target = os.path.join(consumed, f"b0_{os.path.basename(fp)}")
+        shutil.copy(fp, target)  # pre-existing target from the first run
+        os.replace(fp, target)
+    assert _consume_staging(spark, staging) == (None, [])
 
 
 def test_probe_queries_single_job_matches_per_query_probe(spark, tmp_path):

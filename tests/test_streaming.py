@@ -2255,3 +2255,40 @@ def test_cumulative_drop_counter_dedups_batches():
     # memory stays bounded: contiguous batch ids collapse into the
     # per-run high-water mark, leaving no residue
     assert all(len(residue) == 0 for _, residue in c._runs.values())
+
+
+def test_cumulative_drop_counter_mid_run_attach_stays_bounded():
+    """r9 ADVICE: a counter first fed MID-RUN (batch 0 aged out of the
+    capped recentProgress before monitoring attached) must anchor its
+    high-water mark at the first batch id it sees — otherwise the gap
+    below the attach point never fills, the mark stays at -1, and every
+    subsequent batch id is retained in the residue forever, violating
+    the documented O(runs + reorder window) bound in exactly the
+    retention-cap scenario the class exists for."""
+    from pulsar_sync_java_spark.streaming.progress import (
+        CumulativeDropCounter,
+    )
+
+    def prog(bid, dropped):
+        return {
+            "batchId": bid,
+            "numInputRows": 10,
+            "stateOperators": [
+                {"operatorName": "x", "numRowsDroppedByWatermark": dropped}
+            ],
+            "eventTime": {},
+        }
+
+    c = CumulativeDropCounter()
+    # attach at batch 500; 0..499 are unobservable (aged out)
+    total = 0
+    for bid in range(500, 700):
+        total += 1
+        assert c.feed(prog(bid, 1)) == total
+    # contiguous feed from the attach point drains fully into the mark
+    assert all(len(residue) == 0 for _, residue in c._runs.values())
+    assert all(mark == 699 for mark, _ in c._runs.values())
+    # a bounded reorder window still works across the attach boundary
+    assert c.feed(prog(701, 1)) == total + 1  # out of order
+    assert c.feed(prog(700, 1)) == total + 2  # gap fills
+    assert all(len(residue) == 0 for _, residue in c._runs.values())
