@@ -829,7 +829,20 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_kmeans_assign Lloyd discipline); everything is exact integer
     arithmetic, so the whole merge table hash-gates with no partial
     oracle."""
-    d = load_table(spark, sf_dir, "documents")
+    rules, _ = _bpe_learn(load_table(spark, sf_dir, "documents"))
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _bpe_learn(d: DataFrame) -> tuple[list[DataFrame], DataFrame]:
+    """The shared BPE training loop (q_bpe_train / q_bpe_encode):
+    returns (per-iteration 1-row merge-rule frames, final vocabulary
+    (word, w, arr) with all ``_BPE_ITERS`` merges applied).  One lazy
+    plan — corpus collapses to the word-frequency vocab once; each
+    iteration is a vocab-sized pair aggregate + a 1-row broadcast
+    argmax + the JVM-codegen canonical-string replace merge."""
     words = d.select(F.explode(_spark_tokens()).alias("word"))
     vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("w"))
     cur = vocab.select(
@@ -872,7 +885,87 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w",
             F.filter(F.split(merged, "  "), lambda t: t != "").alias("arr"),
         )
-    out = rules[0]
-    for r in rules[1:]:
-        out = out.unionByName(r)
-    return out
+    return rules, cur
+
+
+# ------------------------------------------------- BPE tokenizer encode
+
+_BPE_ENCODE_SQL = (
+    f"""
+WITH toks AS (
+  SELECT unnest({_DUCK_TOKENS}) AS word FROM documents
+), w0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS w FROM toks GROUP BY word
+), a0 AS (
+  SELECT word, w, regexp_extract_all(word, '.') AS arr FROM w0
+), """
+    + ", ".join(_bpe_sql_iter(k) for k in range(1, _BPE_ITERS + 1))
+    + f""", dwc AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS word FROM documents
+), dw AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n_occ
+  FROM dwc GROUP BY doc_id, word
+)
+SELECT d.doc_id,
+       CAST(SUM(d.n_occ) AS BIGINT) AS n_words,
+       CAST(SUM(d.n_occ * length(a.word)) AS BIGINT) AS n_chars,
+       CAST(SUM(d.n_occ * len(a.arr)) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(d.n_occ * len(list_filter(a.arr, s -> length(s) > 1)))
+            AS BIGINT) AS n_merged_occ,
+       CAST(SUM(d.n_occ * length(a.word)) AS DOUBLE)
+         / SUM(d.n_occ * len(a.arr)) AS compression
+FROM dw d JOIN a{_BPE_ITERS} a USING (word)
+GROUP BY d.doc_id
+"""
+)
+
+
+@query("q_bpe_encode", oracle=_BPE_ENCODE_SQL)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of the tokenizer lifecycle (r9 trained merges;
+    this tokenizes with them): encode every document with the merge
+    table learned by the shared ``_bpe_learn`` loop and emit per-doc
+    token accounting — word count, char count, BPE token count, how
+    many emitted tokens are merge products, and the chars-per-token
+    compression ratio.  This is what makes q_pack_sequences /
+    q_mix_budget-style token budgets tokenizer-TRUE instead of
+    whitespace-true.
+
+    The device that keeps encode CHEAP: the merge sequence is a pure
+    function of the word, so documents never re-run the merge loop —
+    training's final vocabulary (word -> post-merge symbol array) IS
+    the encoder, and encoding is an equi-join of per-doc word counts
+    against it.  Per-doc BPE tokens = sum over distinct words of
+    n_occ * len(arr); merge products are the multi-char symbols.
+
+    Scale shape: the corpus-sized work is one tokenize scan reduced to
+    (doc_id, word) counts; the join right side is the vocab aggregate
+    (unique-keyed — no skew risk; AQE broadcasts it when it fits, and
+    a real 100 TB vocab long-tail falls back to a shuffle hash join on
+    word whose probe side is already count-compressed).  The oracle
+    replays train AND encode unrolled in DuckDB, all exact integers
+    except the final single long/long division, so the whole row
+    hash-gates."""
+    d = load_table(spark, sf_dir, "documents")
+    _, final_vocab = _bpe_learn(d)
+    dw = (
+        d.select("doc_id", F.explode(_spark_tokens()).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    enc = dw.join(final_vocab.select("word", "arr"), "word")
+    return enc.groupBy("doc_id").agg(
+        F.sum("n_occ").cast("long").alias("n_words"),
+        F.sum(F.col("n_occ") * F.length("word")).cast("long").alias("n_chars"),
+        F.sum(F.col("n_occ") * F.size("arr")).cast("long").alias("n_bpe_tokens"),
+        F.sum(
+            F.col("n_occ")
+            * F.size(F.filter("arr", lambda s: F.length(s) > 1))
+        )
+        .cast("long")
+        .alias("n_merged_occ"),
+        (
+            F.sum(F.col("n_occ") * F.length("word")).cast("double")
+            / F.sum(F.col("n_occ") * F.size("arr"))
+        ).alias("compression"),
+    )

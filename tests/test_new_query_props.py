@@ -447,3 +447,62 @@ def test_bpe_replace_device_equals_greedy_merge_property():
         assert [t for t in s.split("  ") if t] == greedy(arr, x, y)
 
     check()
+
+
+def test_bpe_encode_matches_python_reference(spark, docs_pdf):
+    """Round-10 q_bpe_encode: the textbook Python BPE trainer (same
+    reference as test_bpe_train_matches_python_reference) applied as
+    an ENCODER — word -> final symbol tuple after all 3 merges — must
+    reproduce every per-doc counter.  Exercises the claim that the
+    final vocabulary IS the encoder (no per-doc merge replay)."""
+    import re as _re
+    from collections import Counter
+
+    vocab = Counter()
+    doc_words: dict[int, Counter] = {}
+    for doc_id, text in zip(docs_pdf["doc_id"], docs_pdf["text"]):
+        words = [w for w in _re.split(r"\s+", text or "") if w]
+        doc_words[doc_id] = Counter(words)
+        for w in words:
+            vocab[tuple(w)] += 1
+    # train: same greedy 3-iteration loop, tracking word -> symbols
+    seg = {"".join(k): list(k) for k in vocab}
+    weights = {"".join(k): w for k, w in vocab.items()}
+    for _ in range(3):
+        pc = Counter()
+        for word, syms in seg.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += weights[word]
+        (x, y), _cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for word, syms in seg.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seg[word] = out
+    got = {
+        r["doc_id"]: r
+        for r in _QUERIES["q_bpe_encode"](spark, SF_DIR).collect()
+    }
+    assert set(got) == {d for d, ws in doc_words.items() if ws}
+    for doc_id, ws in doc_words.items():
+        if not ws:
+            continue
+        n_words = sum(ws.values())
+        n_chars = sum(n * len(w) for w, n in ws.items())
+        n_bpe = sum(n * len(seg[w]) for w, n in ws.items())
+        n_merged = sum(
+            n * sum(1 for s in seg[w] if len(s) > 1) for w, n in ws.items()
+        )
+        r = got[doc_id]
+        assert (
+            r["n_words"],
+            r["n_chars"],
+            r["n_bpe_tokens"],
+            r["n_merged_occ"],
+        ) == (n_words, n_chars, n_bpe, n_merged), doc_id
+        assert r["compression"] == n_chars / n_bpe, doc_id
