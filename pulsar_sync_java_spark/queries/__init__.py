@@ -54,6 +54,7 @@ def load_all() -> None:
         scans,
         stats,
         subqueries,
+        timeseries,
         training,
         windows,
     )

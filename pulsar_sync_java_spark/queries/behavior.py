@@ -188,3 +188,241 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(wt)).alias("p"),
     )
+
+
+# --------------------------------------------------- market-basket rules
+
+_MAX_BASKET = 64  # quadratic-guard: drop pathological mega-baskets
+
+_ASSOC_SQL = f"""
+WITH d AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), bsz AS (
+  SELECT l_orderkey FROM d GROUP BY l_orderkey
+  HAVING COUNT(*) <= {_MAX_BASKET}
+), db AS (
+  SELECT d.l_orderkey, d.l_partkey FROM d JOIN bsz USING (l_orderkey)
+), nb AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets FROM bsz
+), supp AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS supp FROM db GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         CAST(COUNT(*) AS BIGINT) AS pair_cnt
+  FROM db a JOIN db b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), top AS (
+  SELECT * FROM pairs ORDER BY pair_cnt DESC, p1, p2 LIMIT 20
+)
+SELECT t.p1, t.p2, t.pair_cnt,
+       sa.supp AS supp_p1, sb.supp AS supp_p2,
+       nb.n_baskets,
+       CAST(t.pair_cnt AS DOUBLE) / sa.supp AS confidence,
+       CAST(t.pair_cnt * nb.n_baskets AS DOUBLE)
+         / CAST(sa.supp * sb.supp AS DOUBLE) AS lift
+FROM top t
+JOIN supp sa ON sa.l_partkey = t.p1
+JOIN supp sb ON sb.l_partkey = t.p2
+CROSS JOIN nb
+"""
+
+
+@query("q_assoc_rules", oracle=_ASSOC_SQL)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules: the 20 most frequent part
+    pairs co-purchased in one order, with support, confidence
+    P(p2|p1) and lift P(p1,p2)/(P(p1)P(p2)) — the classic affinity
+    mining an order warehouse runs for recommendations.
+
+    Scale shape: baskets are grouped by order key, so the pair
+    generation is the within-basket self-join — quadratic ONLY in
+    basket size, which the ``<= _MAX_BASKET`` guard bounds (the
+    standard defense against pathological mega-baskets; a no-op on
+    this data where baskets top out at ~13 lines).  The join is
+    co-partitioned on orderkey (one shuffle), pairs collapse in a
+    partial+final aggregate, the top-20 is a TakeOrdered (never a
+    global sort), and the tiny supports/total joins are broadcasts.
+    confidence and lift are single divisions of exact BIGINT counts /
+    cross-products — deterministic bits in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    bsz = d.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("_k")).filter(
+        F.col("_k") <= _MAX_BASKET
+    )
+    db = d.join(bsz.select("l_orderkey"), "l_orderkey")
+    n_baskets = bsz.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    supp = db.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
+    a, b = db.alias("a"), db.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+    top = pairs.orderBy(F.col("pair_cnt").desc(), "p1", "p2").limit(20)
+    sa = supp.select(
+        F.col("l_partkey").alias("p1"), F.col("supp").alias("supp_p1")
+    )
+    sb = supp.select(
+        F.col("l_partkey").alias("p2"), F.col("supp").alias("supp_p2")
+    )
+    out = (
+        top.join(F.broadcast(sa), "p1")
+        .join(F.broadcast(sb), "p2")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return out.select(
+        "p1",
+        "p2",
+        "pair_cnt",
+        "supp_p1",
+        "supp_p2",
+        "n_baskets",
+        (F.col("pair_cnt").cast("double") / F.col("supp_p1")).alias(
+            "confidence"
+        ),
+        (
+            (F.col("pair_cnt") * F.col("n_baskets")).cast("double")
+            / (F.col("supp_p1") * F.col("supp_p2")).cast("double")
+        ).alias("lift"),
+    )
+
+
+# ------------------------------------------------- marketing attribution
+
+_TOUCH_TYPES = ("view", "click")
+_LINEAR_SCALE = 1_000_000  # fixed-point linear credit (millionths)
+
+_ATTRIB_SQL = f"""
+WITH tagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+              AS BIGINT) AS conv_id
+  FROM events
+  WHERE event_type IN ('purchase', {", ".join(f"'{t}'" for t in _TOUCH_TYPES)})
+), touches AS (
+  SELECT user_id, conv_id, event_type AS channel, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, conv_id
+                            ORDER BY ts, event_id) AS rk_first,
+         ROW_NUMBER() OVER (PARTITION BY user_id, conv_id
+                            ORDER BY ts DESC, event_id DESC) AS rk_last,
+         CAST(COUNT(*) OVER (PARTITION BY user_id, conv_id) AS BIGINT)
+           AS n_touches
+  FROM tagged
+  WHERE event_type <> 'purchase' AND conv_id > 0
+), credited AS (
+  SELECT channel,
+         CAST(SUM(CASE WHEN rk_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS first_touch,
+         CAST(SUM(CASE WHEN rk_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS last_touch,
+         CAST(SUM({_LINEAR_SCALE} // n_touches) AS BIGINT)
+           AS linear_millionths,
+         CAST(COUNT(*) AS BIGINT) AS touches
+  FROM touches GROUP BY channel
+), direct AS (
+  SELECT '(direct)' AS channel,
+         CAST(COUNT(*) AS BIGINT) AS first_touch,
+         CAST(COUNT(*) AS BIGINT) AS last_touch,
+         CAST(COUNT(*) * {_LINEAR_SCALE} AS BIGINT) AS linear_millionths,
+         CAST(0 AS BIGINT) AS touches
+  FROM tagged t
+  WHERE t.event_type = 'purchase' AND NOT EXISTS (
+    SELECT 1 FROM touches x
+    WHERE x.user_id = t.user_id AND x.conv_id = t.conv_id
+  )
+)
+SELECT * FROM credited UNION ALL SELECT * FROM direct
+"""
+
+
+@query("q_attribution", oracle=_ATTRIB_SQL)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution over the event stream: every
+    purchase is credited to the view/click touches since the user's
+    previous purchase, under the three standard models at once —
+    first-touch, last-touch, and linear (equal split).  Purchases
+    with no preceding touch window credit a synthetic '(direct)'
+    channel; touches after a user's final purchase are unattributed
+    by definition.
+
+    Devices: the touch->conversion assignment is ONE reverse running
+    count per user (a purchase and the touches before it share a
+    conv_id — no per-conversion join); linear credit is FIXED-POINT
+    (floor(1e6 / n_touches) millionths per touch), keeping the whole
+    query in exact integer arithmetic — no float fractions to sum in
+    engine-specific order.  The floor makes a conversion's credits sum
+    to slightly under 1e6; dashboards renormalize, determinism wins.
+
+    Scale: the stream is filtered to 3 event types at the scan, then
+    every stage is a per-user window or a (user, conv_id)/channel
+    aggregate — all on the same user-hash partitioning, no
+    corpus-sized join anywhere.  Output is channel-sized."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", *_TOUCH_TYPES)
+    )
+    rev = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    tagged = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .over(rev)
+        .alias("conv_id"),
+    )
+    conv = Window.partitionBy("user_id", "conv_id")
+    touches = (
+        tagged.filter(
+            (F.col("event_type") != "purchase") & (F.col("conv_id") > 0)
+        )
+        .select(
+            "user_id",
+            "conv_id",
+            F.col("event_type").alias("channel"),
+            F.row_number()
+            .over(conv.orderBy("ts", "event_id"))
+            .alias("rk_first"),
+            F.row_number()
+            .over(conv.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+            .alias("rk_last"),
+            F.count(F.lit(1)).over(conv).alias("n_touches"),
+        )
+    )
+    credited = touches.groupBy("channel").agg(
+        F.sum((F.col("rk_first") == 1).cast("long")).alias("first_touch"),
+        F.sum((F.col("rk_last") == 1).cast("long")).alias("last_touch"),
+        F.sum(
+            F.floor(F.lit(_LINEAR_SCALE) / F.col("n_touches")).cast("long")
+        ).alias("linear_millionths"),
+        F.count(F.lit(1)).alias("touches"),
+    )
+    purchases = tagged.filter(F.col("event_type") == "purchase").select(
+        "user_id", "conv_id"
+    )
+    direct_n = (
+        purchases.join(
+            touches.select("user_id", "conv_id").distinct(),
+            ["user_id", "conv_id"],
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    direct = direct_n.select(
+        F.lit("(direct)").alias("channel"),
+        F.col("n").alias("first_touch"),
+        F.col("n").alias("last_touch"),
+        (F.col("n") * _LINEAR_SCALE).cast("long").alias("linear_millionths"),
+        F.lit(0).cast("long").alias("touches"),
+    )
+    return credited.unionByName(direct)
