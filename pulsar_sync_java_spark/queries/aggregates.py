@@ -866,3 +866,121 @@ def q_sample_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _BK_K)
         .select("event_type", "rn", "k", "event_id")
     )
+
+
+# ------------------------------------------- HLL set algebra (intersect)
+
+_HLL_PAIRS = (("view", "click"), ("view", "purchase"), ("click", "signup"))
+# inclusion-exclusion error scales with the UNION size (three ~1.6%-rse
+# estimates stack), not the intersection; +16 absolute slack keeps the
+# tiny sf0.001 sets off the relative-bound knife edge.
+_HLL_IX_REL = 0.10
+_HLL_IX_ABS = 16.0
+
+_HLL_IX_SQL = f"""
+WITH k AS (
+  SELECT DISTINCT event_type,
+         user_id * 64 + EXTRACT(day FROM ts) AS key
+  FROM events
+), n AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM k GROUP BY 1
+), p AS (
+  SELECT * FROM (VALUES
+    {", ".join(f"('{a}', '{b}')" for a, b in _HLL_PAIRS)}) t(ta, tb)
+), i AS (
+  SELECT p.ta, p.tb, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM p
+  JOIN k a ON a.event_type = p.ta
+  JOIN k b ON b.event_type = p.tb AND b.key = a.key
+  GROUP BY 1, 2
+)
+SELECT i.ta AS set_a, i.tb AS set_b,
+       na.n AS n_a, nb.n AS n_b,
+       na.n + nb.n - i.n_inter AS n_union,
+       i.n_inter,
+       TRUE AS union_ok, TRUE AS inter_ok
+FROM i
+JOIN n na ON na.event_type = i.ta
+JOIN n nb ON nb.event_type = i.tb
+"""
+
+
+@query("q_hll_intersect", oracle=_HLL_IX_SQL)
+def q_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set ALGEBRA — intersection cardinality by inclusion-
+    exclusion over mergeable sketches: |A∩B| ≈ est(A) + est(B) -
+    est(A ⊔ B), where A ⊔ B is a pure sketch-register union
+    (``hll_union``), never a data rescan.  This is the audience-
+    overlap / cross-segment reach query at 100 TB: per-segment
+    sketches are tiny mergeable state; any pairwise overlap is then
+    sketch-algebra-only.  Sets here: distinct (user, day-of-month)
+    activity keys per event type.
+
+    PARTIAL ORACLE (the q_hll_merge pattern): the hash gate covers
+    the pair labels and all four EXACT cardinalities (n_inter from a
+    key-set join, n_union = n_a + n_b - n_inter — the exact identity,
+    no union rescan), plus two bound flags the oracle emits as
+    literal TRUE: est(A⊔B) and the inclusion-exclusion intersection
+    estimate must sit within {_HLL_IX_REL:.0%} of n_union + {_HLL_IX_ABS:.0f}
+    absolute (union-relative because that is how inclusion-exclusion
+    error actually scales; ~6 sigma at lgK=12's 1.6% rse).
+
+    Plan: ONE distinct-key aggregate feeds both the per-type sketch
+    aggregate (3 sketches) and the exact verification joins; the
+    pair frame is a 3-row broadcast; nothing after the first
+    aggregate is corpus-sized."""
+    e = load_table(spark, sf_dir, "events")
+    k = e.select(
+        "event_type",
+        (F.col("user_id") * 64 + F.dayofmonth("ts")).alias("key"),
+    ).distinct()
+    k = k.persist()
+    per_type = k.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.hll_sketch_agg("key").alias("sk"),
+    )
+    pairs = spark.createDataFrame(list(_HLL_PAIRS), ["set_a", "set_b"])
+    kb = k.select(
+        F.col("event_type").alias("_tb"), F.col("key").alias("_kb")
+    )
+    inter = (
+        F.broadcast(pairs)
+        .join(k.withColumnRenamed("event_type", "set_a"), "set_a")
+        .join(
+            kb,
+            (F.col("set_b") == F.col("_tb")) & (F.col("key") == F.col("_kb")),
+        )
+        .groupBy("set_a", "set_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    a = per_type.select(
+        F.col("event_type").alias("set_a"),
+        F.col("n").alias("n_a"),
+        F.col("sk").alias("sk_a"),
+    )
+    b = per_type.select(
+        F.col("event_type").alias("set_b"),
+        F.col("n").alias("n_b"),
+        F.col("sk").alias("sk_b"),
+    )
+    j = inter.join(F.broadcast(a), "set_a").join(F.broadcast(b), "set_b")
+    est_a = F.hll_sketch_estimate("sk_a").cast("double")
+    est_b = F.hll_sketch_estimate("sk_b").cast("double")
+    est_u = F.hll_sketch_estimate(
+        F.hll_union("sk_a", "sk_b")
+    ).cast("double")
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    bound = n_union.cast("double") * F.lit(_HLL_IX_REL) + F.lit(_HLL_IX_ABS)
+    return j.select(
+        "set_a",
+        "set_b",
+        "n_a",
+        "n_b",
+        n_union.alias("n_union"),
+        "n_inter",
+        (F.abs(est_u - n_union.cast("double")) <= bound).alias("union_ok"),
+        (
+            F.abs((est_a + est_b - est_u) - F.col("n_inter").cast("double"))
+            <= bound
+        ).alias("inter_ok"),
+    )

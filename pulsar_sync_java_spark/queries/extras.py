@@ -1212,3 +1212,106 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("m_lt") < F.col("size")) & (F.col("m_eq") <= F.col("size")))
         .select("part_id", "price", "size")
     )
+
+
+# ------------------------------------------------- label propagation
+
+_LPA_ITERS = 3
+
+
+def _lpa_sql(iters: int = _LPA_ITERS) -> str:
+    """Unrolled synchronous label propagation oracle (the q_pagerank
+    chained-CTE discipline: DuckDB disallows aggregates in recursive
+    terms, so iterations are generated)."""
+    head = """
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 7 = 0
+), e0 AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM li l1 JOIN li l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+), edges AS (
+  SELECT a AS src, b AS dst FROM e0
+  UNION ALL
+  SELECT b AS src, a AS dst FROM e0
+), lab0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM edges
+)"""
+    step = """
+, c{k} AS (
+  SELECT e.src AS node, l.label, CAST(COUNT(*) AS BIGINT) AS c
+  FROM edges e JOIN lab{j} l ON l.node = e.dst
+  GROUP BY 1, 2
+), lab{k} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, label) AS rk
+    FROM c{k}
+  ) WHERE rk = 1
+)"""
+    body = head + "".join(step.format(k=k, j=k - 1) for k in range(1, iters + 1))
+    return body + f"""
+SELECT label AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(node) AS min_member, MAX(node) AS max_member
+FROM lab{iters} GROUP BY label
+"""
+
+
+@query("q_label_prop", oracle=_lpa_sql())
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    part co-purchase graph (1/7 order slice — the q_triangle_count
+    graph family): labels start as node ids; each of the 3 unrolled
+    iterations every node adopts the most frequent label among its
+    neighbors, ties to the SMALLEST label — the deterministic-LPA
+    convention that makes sync LPA a pure function of the edge set
+    (textbook async LPA is run-order dependent and un-oracle-able).
+
+    Per iteration: one join of the node-sized label frame onto edges
+    (partitioned by node), a partial+final (node, label) count, and
+    an argmax window keyed by node (high-cardinality partitions — no
+    single-reducer stage).  The edge frame is built once and reused
+    by all 3 iterations; at 100 TB it would be persisted (the
+    q_pagerank discipline).  Output is community-sized."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 7 == 0
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .distinct()
+    )
+    edges = e0.select(
+        F.col("x").alias("src"), F.col("y").alias("dst")
+    ).unionByName(e0.select(F.col("y").alias("src"), F.col("x").alias("dst")))
+    edges = edges.persist()
+    lab = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ITERS):
+        nb = edges.join(
+            lab.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        cnt = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        rk = F.row_number().over(
+            Window.partitionBy("node").orderBy(F.col("c").desc(), "label")
+        )
+        lab = (
+            cnt.withColumn("rk", rk).filter(F.col("rk") == 1).select(
+                "node", "label"
+            )
+        )
+    return lab.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("min_member"),
+        F.max("node").alias("max_member"),
+    )

@@ -969,3 +969,100 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.col("n_occ") * F.size("arr"))
         ).alias("compression"),
     )
+
+
+# --------------------------------------------- character diversity gate
+
+_CHAR_DIV_SQL = """
+WITH c AS (
+  SELECT doc_id, unnest(regexp_extract_all(
+           regexp_replace(text, '\\s+', '', 'g'), '.')) AS ch
+  FROM documents
+), cc AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM c GROUP BY doc_id, ch
+), agg AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_chars_nows,
+         CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq
+  FROM cc GROUP BY doc_id
+), top AS (
+  SELECT doc_id, ch AS top_char, cnt AS top_cnt FROM (
+    SELECT doc_id, ch, cnt,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, ch) AS rk
+    FROM cc
+  ) WHERE rk = 1
+)
+SELECT a.doc_id, a.n_chars_nows, a.distinct_chars, t.top_char, t.top_cnt,
+       CAST(a.sum_sq AS DOUBLE)
+         / CAST(a.n_chars_nows * a.n_chars_nows AS DOUBLE) AS collision_p,
+       1 - CAST(a.sum_sq AS DOUBLE)
+         / CAST(a.n_chars_nows * a.n_chars_nows AS DOUBLE) AS simpson
+FROM agg a JOIN top t ON t.doc_id = a.doc_id
+"""
+
+
+@query("q_char_diversity", oracle=_CHAR_DIV_SQL)
+def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level diversity gate per document: collision
+    probability Σ(c_i/n)² (= exp(-H) for the Rényi-2 entropy), the
+    Simpson index 1 - Σp², the distinct-character count and the
+    dominant character — the gibberish / repeated-character screen a
+    pre-training filter runs beside q_text_quality.
+
+    Rényi-2 instead of Shannon ON PURPOSE: Σp² = Σc²/n² is EXACT
+    integer arithmetic plus one division — Shannon's per-character
+    log2 is engine-libm territory (the same reason q_bm25_topk uses
+    a rational IDF).  The collision probability is monotone in the
+    same direction (high = concentrated = low entropy), so the gate
+    decisions are equivalent.
+
+    Scale: the char explode compresses immediately in the map-side
+    partial of the (doc, char) count aggregate (alphabet-sized per
+    doc crosses the shuffle, never raw characters); the diversity
+    math and the dominant-char argmax run on those aggregate rows.
+    Whitespace is stripped first so formatting does not dilute the
+    signal."""
+    d = load_table(spark, sf_dir, "documents")
+    cc = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.regexp_replace("text", r"\s+", ""), "")
+            ).alias("ch"),
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cc = cc.persist()
+    agg = cc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_chars_nows"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), "ch")
+    )
+    top = (
+        cc.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("ch").alias("top_char"),
+            F.col("cnt").alias("top_cnt"),
+        )
+    )
+    cp = F.col("sum_sq").cast("double") / (
+        F.col("n_chars_nows") * F.col("n_chars_nows")
+    ).cast("double")
+    return agg.join(top, "doc_id").select(
+        "doc_id",
+        "n_chars_nows",
+        "distinct_chars",
+        "top_char",
+        "top_cnt",
+        cp.alias("collision_p"),
+        (F.lit(1) - cp).alias("simpson"),
+    )

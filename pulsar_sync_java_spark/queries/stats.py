@@ -934,3 +934,210 @@ def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_keys"),
         )
     )
+
+
+# ----------------------------------------------- MAD outlier detection
+
+_MAD_K = 5  # exact-binary multiplier for the outlier fence
+
+
+_MAD_SQL = f"""
+WITH v AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+), r1 AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM v
+), med AS (
+  SELECT event_type, n,
+         (MAX(CASE WHEN r = (n + 1) // 2 THEN value END)
+          + MAX(CASE WHEN r = (n + 2) // 2 THEN value END)) / 2 AS median
+  FROM r1 GROUP BY event_type, n
+), d AS (
+  SELECT v.event_type, m.n, m.median,
+         abs(v.value - m.median) AS dev
+  FROM v JOIN med m ON m.event_type = v.event_type
+), r2 AS (
+  SELECT event_type, n, median, dev,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS r
+  FROM d
+), mad AS (
+  SELECT event_type, n, median,
+         (MAX(CASE WHEN r = (n + 1) // 2 THEN dev END)
+          + MAX(CASE WHEN r = (n + 2) // 2 THEN dev END)) / 2 AS mad
+  FROM r2 GROUP BY event_type, n, median
+)
+SELECT d.event_type, d.n, d.median, m.mad,
+       CAST(SUM(CASE WHEN d.dev > {_MAD_K} * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM d JOIN mad m ON m.event_type = d.event_type
+GROUP BY d.event_type, d.n, d.median, m.mad
+"""
+
+
+@query("q_mad_outliers", oracle=_MAD_SQL)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median / MAD (median
+    absolute deviation) and the count of points beyond {k}x MAD — the
+    z-score screen (q_anomaly_zscore) rebuilt on estimators a heavy
+    tail cannot drag.
+
+    Exactness device: medians are POSITIONAL — row_number over the
+    sorted values picks ranks (n+1)//2 and (n+2)//2 and averages them
+    with the identical (lo + hi)/2 expression in both engines (equal
+    ranks when n is odd: (v+v)/2 == v exactly in IEEE).  Built-in
+    percentile/quantile_cont interpolation trees differ between
+    engines; order statistics cannot.  dev = |x - median| and the
+    {k}*MAD fence compare identical doubles.
+
+    Scale: two sort-windows per type (median, then MAD) plus one
+    aggregate — the exact-selection twin of the production path
+    (approx_percentile's one-pass sketch); the exact version exists
+    to gate it, the plan shape is the cost of exactness and is
+    documented as such.""".replace("{k}", str(_MAD_K))
+    v = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select("event_type", "value")
+    by_t = Window.partitionBy("event_type")
+
+    def positional_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        r = F.row_number().over(by_t.orderBy(col))
+        n = F.count(F.lit(1)).over(by_t)
+        ranked = df.select(
+            "event_type", F.col(col), r.alias("r"), n.alias("n")
+        )
+        lo = F.floor((F.col("n") + 1) / 2)
+        hi = F.floor((F.col("n") + 2) / 2)
+        return ranked.groupBy("event_type", "n").agg(
+            (
+                (
+                    F.max(F.when(F.col("r") == lo, F.col(col)))
+                    + F.max(F.when(F.col("r") == hi, F.col(col)))
+                )
+                / 2
+            ).alias(out)
+        )
+
+    med = positional_median(v, "value", "median")
+    d = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n",
+        "median",
+        F.abs(F.col("value") - F.col("median")).alias("dev"),
+    )
+    mad = positional_median(
+        d.select("event_type", "dev"), "dev", "mad"
+    ).drop("n")
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "median", "mad")
+        .agg(
+            F.sum(
+                (F.col("dev") > F.lit(_MAD_K) * F.col("mad")).cast("long")
+            ).alias("n_outliers")
+        )
+    )
+
+
+# --------------------------------------------------- Benford digit test
+
+# Expected Benford shares computed ONCE in Python and injected as the
+# SAME literals into the Spark plan and the oracle SQL: log10 is not
+# bit-specified across libm/JVM, identical literals are (the q_bm25
+# "rational IDF" dodge, applied to the logarithm itself).
+import math as _math
+
+_BENFORD_EXP = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+_BENFORD_SQL = f"""
+WITH digits AS (
+  SELECT * FROM (VALUES {", ".join(
+      f"({d}, {_BENFORD_EXP[d]!r})" for d in range(1, 10)
+  )}) t(digit, exp_share)
+), obs AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM orders GROUP BY 1
+), j AS (
+  SELECT d.digit, CAST(d.exp_share AS DOUBLE) AS exp_share,
+         COALESCE(o.n_obs, 0) AS n_obs
+  FROM digits d LEFT JOIN obs o ON o.digit = d.digit
+), t AS (
+  SELECT digit, exp_share, n_obs,
+         CAST(SUM(n_obs) OVER () AS BIGINT) AS n_total
+  FROM j
+), c AS (
+  SELECT *,
+         CAST(n_obs AS DOUBLE) / n_total AS obs_share,
+         (n_obs - n_total * exp_share) * (n_obs - n_total * exp_share)
+           / (n_total * exp_share) AS chi2_term
+  FROM t
+)
+SELECT digit, n_obs, n_total, obs_share, exp_share, chi2_term,
+       CAST(CAST(SUM(CAST(chi2_term AS DECIMAL(38,12))) OVER ()
+                 AS VARCHAR) AS DOUBLE) AS chi2_total
+FROM c
+"""
+
+
+@query("q_benford", oracle=_BENFORD_SQL)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order totals: observed vs expected
+    first-significant-digit distribution with per-digit chi-square
+    contributions and the 8-dof chi-square total — the fraud /
+    synthetic-data screen auditors run over money columns.
+
+    Determinism: the first digit is extracted through INTEGER
+    formatting (floor -> bigint -> first char), never log10 of data;
+    the expected shares ARE log10 values but are computed once in
+    Python and injected as the same literals into BOTH plans, so no
+    engine evaluates a logarithm.  chi-square terms are identical IEEE
+    expressions on exact counts x literal shares; the total crosses
+    rows through the DECIMAL(38,12) bridge (order-independent sum,
+    correctly-rounded return to double via VARCHAR on the DuckDB
+    side — the q_pagerank device).
+
+    Scale: one partial+final 9-group count aggregate over the scan;
+    the digit frame is a 9-row literal; all windows run on 9 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    digits = spark.createDataFrame(
+        [(d, _BENFORD_EXP[d]) for d in range(1, 10)],
+        "digit int, exp_share double",
+    )
+    j = (
+        F.broadcast(digits)
+        .join(obs, "digit", "left")
+        .select(
+            "digit",
+            "exp_share",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+        )
+    )
+    w = Window.partitionBy()
+    t = j.withColumn("n_total", F.sum("n_obs").over(w))
+    resid = F.col("n_obs") - F.col("n_total") * F.col("exp_share")
+    c = t.select(
+        "digit",
+        "n_obs",
+        "n_total",
+        (F.col("n_obs").cast("double") / F.col("n_total")).alias("obs_share"),
+        "exp_share",
+        (resid * resid / (F.col("n_total") * F.col("exp_share"))).alias(
+            "chi2_term"
+        ),
+    )
+    return c.withColumn(
+        "chi2_total",
+        F.sum(F.col("chi2_term").cast("decimal(38,12)"))
+        .over(w)
+        .cast("double"),
+    )

@@ -105,7 +105,10 @@ PERSIST_ALLOWLIST = {
     ("queries/clustering.py", "q_semantic_dedup"): 1,   # (vec_id, cluster) assignment table (narrow, 3 consumers)
     ("queries/dedup_scale.py", "q_incremental_dedup"): 1,    # minhash sigs (plan-matched with the other sig users)
     ("queries/dedup_scale.py", "q_minhash_lsh"): 1,
+    ("queries/aggregates.py", "q_hll_intersect"): 1,    # distinct (type, key) set (sketch agg + exact joins share it)
     ("queries/extras.py", "q_bfs_khop"): 1,             # symmetric edge table (3 expansion levels probe it)
+    ("queries/extras.py", "q_label_prop"): 1,           # symmetric co-purchase edge table (3 LPA iterations probe it)
+    ("queries/pipeline.py", "q_char_diversity"): 1,     # (doc, char) count aggregate (diversity agg + argmax share it)
     ("queries/extras.py", "q_bm25_topk"): 1,            # (doc, term) tf aggregate = the inverted index (3 consumers)
     ("queries/pipeline.py", "q_chi2_terms"): 1,         # (lang, token) count aggregate (marginals + scoring share it)
     ("queries/extras.py", "q_tfidf_topterms"): 1,       # (doc, term) tf aggregate

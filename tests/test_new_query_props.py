@@ -506,3 +506,253 @@ def test_bpe_encode_matches_python_reference(spark, docs_pdf):
             r["n_merged_occ"],
         ) == (n_words, n_chars, n_bpe, n_merged), doc_id
         assert r["compression"] == n_chars / n_bpe, doc_id
+
+
+# ------------------------------------------------ round-10 additions
+
+
+def test_cusum_changepoint_matches_bruteforce(spark):
+    """Scaled CUSUM must equal the textbook prefix - t*mean argmax
+    computed with Python integers (exact rationals via scaling)."""
+    odf = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    odf["month"] = odf["o_orderdate"].dt.strftime("%Y-%m")
+    odf["cents"] = (
+        odf["o_totalprice"].round(2).mul(100).round().astype("int64")
+    )
+    got = {
+        r["o_orderpriority"]: r
+        for r in _QUERIES["q_cusum_changepoint"](spark, SF_DIR).collect()
+    }
+    for prio, g in odf.groupby("o_orderpriority"):
+        m = g.groupby("month")["cents"].sum().sort_index()
+        n, total = len(m), int(m.sum())
+        prefix = 0
+        best = None  # (abs_s, t, month, s)
+        for t, (month, cents) in enumerate(m.items(), start=1):
+            prefix += int(cents)
+            if t == n:
+                break
+            s = n * prefix - t * total
+            key = (-abs(s), t)
+            if best is None or key < best[0]:
+                best = (key, t, month, s)
+        r = got[prio]
+        assert (r["cp_month"], r["t_index"], r["n_months"]) == (
+            best[2],
+            best[1],
+            n,
+        )
+        assert r["s_scaled"] == best[3]
+
+
+def test_ewma_matches_python_fold(spark):
+    """The engine fold must equal a plain Python left fold over the
+    day-sorted daily counts (same IEEE ops, same order)."""
+    edf = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    edf["day"] = edf["ts"].dt.date
+    got = {
+        r["event_type"]: r
+        for r in _QUERIES["q_ewma_smooth"](spark, SF_DIR).collect()
+    }
+    for etype, g in edf.groupby("event_type"):
+        xs = [float(c) for _, c in sorted(g.groupby("day").size().items())]
+
+        def fold(seq):
+            acc = seq[0]
+            for x in seq[1:]:
+                acc = acc * 0.75 + x * 0.25
+            return acc
+
+        r = got[etype]
+        assert r["n_days"] == len(xs)
+        assert r["x_last"] == int(xs[-1])
+        assert r["ewma_last"] == fold(xs)
+        assert r["ewma_prev"] == (fold(xs[:-1]) if len(xs) > 1 else xs[0])
+
+
+def test_attribution_matches_bruteforce_replay(spark):
+    """Credit tallies must match a per-user event replay crediting
+    each purchase's touch window directly."""
+    from collections import defaultdict
+
+    edf = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    edf = edf[edf["event_type"].isin(["purchase", "view", "click"])]
+    first = defaultdict(int)
+    last = defaultdict(int)
+    linear = defaultdict(int)
+    touch_cnt = defaultdict(int)
+    for _, g in edf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        window = []
+        for _, row in g.iterrows():
+            if row["event_type"] == "purchase":
+                if window:
+                    first[window[0]] += 1
+                    last[window[-1]] += 1
+                    for ch in window:
+                        linear[ch] += 1_000_000 // len(window)
+                else:
+                    for d in (first, last):
+                        d["(direct)"] += 1
+                    linear["(direct)"] += 1_000_000
+                window = []
+            else:
+                window.append(row["event_type"])
+    # touches column counts only ATTRIBUTED touches (trailing touches
+    # after a user's last purchase are dropped) — replay again tallying
+    touch_cnt = defaultdict(int)
+    for _, g in edf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        window = []
+        for _, row in g.iterrows():
+            if row["event_type"] == "purchase":
+                for ch in window:
+                    touch_cnt[ch] += 1
+                window = []
+            else:
+                window.append(row["event_type"])
+    got = {
+        r["channel"]: r
+        for r in _QUERIES["q_attribution"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(first) | set(touch_cnt)
+    for ch, r in got.items():
+        assert r["first_touch"] == first[ch], ch
+        assert r["last_touch"] == last[ch], ch
+        assert r["linear_millionths"] == linear[ch], ch
+        assert r["touches"] == touch_cnt.get(ch, 0), ch
+
+
+def test_assoc_rules_matches_pandas(spark):
+    """Top-20 pair metrics must match a pandas basket expansion."""
+    from itertools import combinations
+    from collections import Counter
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    baskets = li.groupby("l_orderkey")["l_partkey"].apply(
+        lambda s: sorted(set(s))
+    )
+    baskets = baskets[baskets.str.len() <= 64]
+    n_baskets = len(baskets)
+    supp = Counter()
+    pair_cnt = Counter()
+    for items in baskets:
+        supp.update(items)
+        pair_cnt.update(combinations(items, 2))
+    top = sorted(pair_cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = sorted(
+        (
+            (r["p1"], r["p2"]),
+            r["pair_cnt"],
+            r["supp_p1"],
+            r["supp_p2"],
+            r["n_baskets"],
+            r["confidence"],
+            r["lift"],
+        )
+        for r in _QUERIES["q_assoc_rules"](spark, SF_DIR).collect()
+    )
+    want = sorted(
+        (
+            pair,
+            cnt,
+            supp[pair[0]],
+            supp[pair[1]],
+            n_baskets,
+            cnt / supp[pair[0]],
+            (cnt * n_baskets) / (supp[pair[0]] * supp[pair[1]]),
+        )
+        for pair, cnt in top
+    )
+    assert got == want
+
+
+def test_label_prop_matches_python_lpa(spark):
+    """3-iteration synchronous min-tie-break LPA in pure Python."""
+    from collections import Counter, defaultdict
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    li = li[li["l_orderkey"] % 7 == 0]
+    adj = defaultdict(set)
+    for _, g in li.groupby("l_orderkey"):
+        parts = sorted(set(g["l_partkey"]))
+        for a, b in zip(
+            [x for x in parts for _ in parts], parts * len(parts)
+        ):
+            if a != b:
+                adj[a].add(b)
+    lab = {n: n for n in adj}
+    for _ in range(3):
+        nxt = {}
+        for n, nbrs in adj.items():
+            c = Counter(lab[m] for m in nbrs)
+            nxt[n] = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lab = nxt
+    comm = defaultdict(list)
+    for n, l in lab.items():
+        comm[l].append(n)
+    want = sorted(
+        (l, len(ms), min(ms), max(ms)) for l, ms in comm.items()
+    )
+    got = sorted(
+        (r["community"], r["n_members"], r["min_member"], r["max_member"])
+        for r in _QUERIES["q_label_prop"](spark, SF_DIR).collect()
+    )
+    assert got == want
+
+
+def test_mad_outliers_matches_numpy(spark):
+    """Positional median/MAD vs an explicit order-statistic picker."""
+    edf = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    edf = edf[edf["value"].notna()]
+
+    def posmed(vals):
+        v = sorted(vals)
+        n = len(v)
+        return (v[(n + 1) // 2 - 1] + v[(n + 2) // 2 - 1]) / 2
+
+    got = {
+        r["event_type"]: r
+        for r in _QUERIES["q_mad_outliers"](spark, SF_DIR).collect()
+    }
+    for etype, g in edf.groupby("event_type"):
+        vals = g["value"].tolist()
+        med = posmed(vals)
+        devs = [abs(x - med) for x in vals]
+        mad = posmed(devs)
+        n_out = sum(1 for d in devs if d > 5 * mad)
+        r = got[etype]
+        assert (r["n"], r["median"], r["mad"], r["n_outliers"]) == (
+            len(vals),
+            med,
+            mad,
+            n_out,
+        ), etype
+
+
+def test_char_diversity_matches_python_counter(spark, docs_pdf):
+    """Collision probability / Simpson index vs collections.Counter."""
+    import re as _re
+    from collections import Counter
+
+    got = {
+        r["doc_id"]: r
+        for r in _QUERIES["q_char_diversity"](spark, SF_DIR).collect()
+    }
+    for doc_id, text in zip(docs_pdf["doc_id"], docs_pdf["text"]):
+        s = _re.sub(r"\s+", "", text or "")
+        if not s:
+            assert doc_id not in got
+            continue
+        c = Counter(s)
+        n = len(s)
+        sum_sq = sum(v * v for v in c.values())
+        top_char, top_cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        r = got[doc_id]
+        assert (
+            r["n_chars_nows"],
+            r["distinct_chars"],
+            r["top_char"],
+            r["top_cnt"],
+        ) == (n, len(c), top_char, top_cnt), doc_id
+        assert r["collision_p"] == sum_sq / (n * n)

@@ -165,6 +165,18 @@ EXPECT = {
     "q_join_cardinality": "estimator never materializes the join: two per-key count aggregates feed a key-sized equi-join (cnt_a x cnt_b products), cost independent of the predicted output size",
     "q_bfs_khop": "bounded frontier expansion in ONE lazy plan: per level an equi-join on the persisted symmetric edge table (InMemoryTableScan) + LeftAnti against visited; no iteration-to-fixpoint, no CartesianProduct",
     "q_chunk_overlap": "embarrassingly parallel chunker: one scan, one Generate (stride explode), zero-shuffle array slicing + md5 in the same stage — no exchanges at all",
+    "q_bpe_encode": "tokenizer APPLY: train's vocab aggregate IS the encoder; encode = (doc, word) count aggregate equi-joined to the vocab (AQE broadcast at this sf) — documents never replay merges",
+    "q_cusum_changepoint": "corpus collapses to the (priority, month) aggregate in ONE partial+final pass; prefix windows + argmax run on calendar-sized rows; all integer cents",
+    "q_ewma_smooth": "one (type, day) count aggregate; the EWMA fold is a zero-shuffle higher-order array expression over calendar-sized arrays",
+    "q_autocorr": "month-grain aggregate first; the lag pairing is a within-priority equi-join on the tiny series frame (broadcast), moment sums partial+final",
+    "q_seasonality": "one partial+final (priority, dow) aggregate to 35 rows; share/index windows over those rows only",
+    "q_assoc_rules": "basket self-join co-partitioned on orderkey (quadratic only in guarded basket size); pair partial+final agg; top-20 = TakeOrderedAndProject; supports/total broadcast",
+    "q_attribution": "type filter pushed to parquet; reverse running-count + rank windows share the per-user partitioning; channel aggregate partial+final — no corpus join",
+    "q_label_prop": "persisted symmetric edge table (InMemoryTableScan x3); per iteration ONE label join + (node,label) partial+final count + node-keyed argmax window — no fixpoint loop, no single-reducer stage",
+    "q_hll_intersect": "persisted distinct (type,key) set feeds the 3-sketch aggregate AND the exact pair joins; hll_union is register algebra on broadcast-sized rows — intersection never rescans data",
+    "q_mad_outliers": "exact order-statistic twin: two per-type sort windows (median, MAD) + one aggregate; fence comparison in the same stage — production path is the approx_percentile sketch this gates",
+    "q_benford": "ONE 9-group count aggregate over the scan (digit from integer formatting, no log); literal digit frame broadcast; chi-square windows over 9 rows",
+    "q_char_diversity": "char explode compresses in the map-side partial of the (doc,char) count aggregate — alphabet-sized rows cross the shuffle; diversity math + argmax over the persisted aggregate (InMemoryTableScan x2)",
 }
 
 _SECTION = """\
