@@ -1315,3 +1315,227 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("min_member"),
         F.max("node").alias("max_member"),
     )
+
+
+# ------------------------------------------------ reciprocal rank fusion
+
+_RRF_K = 60  # the standard RRF damping constant
+_RRF_TOPN = 20
+
+_RRF_SQL = f"""
+WITH m AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS revenue_cents,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1
+), r AS (
+  SELECT l_partkey, revenue_cents, total_qty,
+         CAST(ROW_NUMBER() OVER (ORDER BY revenue_cents DESC, l_partkey)
+              AS BIGINT) AS rank_rev,
+         CAST(ROW_NUMBER() OVER (ORDER BY total_qty DESC, l_partkey)
+              AS BIGINT) AS rank_qty
+  FROM m
+), s AS (
+  SELECT *,
+         CAST(1 AS DOUBLE) / ({_RRF_K} + rank_rev)
+           + CAST(1 AS DOUBLE) / ({_RRF_K} + rank_qty) AS rrf
+  FROM r
+)
+SELECT l_partkey, revenue_cents, total_qty, rank_rev, rank_qty, rrf
+FROM s ORDER BY rrf DESC, l_partkey LIMIT {_RRF_TOPN}
+"""
+
+
+@query("q_rrf_fusion", oracle=_RRF_SQL)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank fusion — the standard hybrid-retrieval combiner
+    (lexical + vector rankings fused as Σ 1/(k + rank_i), k = 60) —
+    exercised on two independent part rankings (revenue, quantity):
+    top-20 by fused score.  The operator is ranking-source agnostic;
+    swapping in q_bm25_topk and an ANN ranking changes only the two
+    rank subtrees.
+
+    Determinism: ranks are integers with (score DESC, key) total
+    orders; the fused score is exactly TWO reciprocal terms added in
+    a fixed expression — no n-ary float sum, so no ordering freedom.
+    Revenue ranks on exact integer cents.
+
+    Scale: one aggregate to the item frame, two global rank windows
+    over it (items, not raw rows; a production fusion ranks each
+    source's TOP-N only, making the windows top-k-sized), and a
+    TakeOrdered final."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (
+        F.col("l_extendedprice").cast("decimal(19,2)") * 100
+    ).cast("long")
+    m = li.groupBy("l_partkey").agg(
+        F.sum(cents).alias("revenue_cents"),
+        F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+    )
+    w_rev = Window.orderBy(F.col("revenue_cents").desc(), "l_partkey")
+    w_qty = Window.orderBy(F.col("total_qty").desc(), "l_partkey")
+    r = m.select(
+        "l_partkey",
+        "revenue_cents",
+        "total_qty",
+        F.row_number().over(w_rev).cast("long").alias("rank_rev"),
+        F.row_number().over(w_qty).cast("long").alias("rank_qty"),
+    )
+    rrf = F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_rev")) + F.lit(1.0) / (
+        F.lit(_RRF_K) + F.col("rank_qty")
+    )
+    return (
+        r.withColumn("rrf", rrf)
+        .orderBy(F.col("rrf").desc(), "l_partkey")
+        .limit(_RRF_TOPN)
+    )
+
+
+# ----------------------------------------------------------- HITS
+
+_HITS_ITERS = 2
+_HITS_TOPN = 10
+
+
+def _hits_sql(iters: int = _HITS_ITERS) -> str:
+    """Unrolled HITS oracle (chained CTEs, the q_pagerank discipline).
+
+    Per-edge contributions cross rows as FIXED-POINT integers
+    (floor(score * 1e12) -> BIGINT), NOT through a DECIMAL cast: a
+    double -> DECIMAL(38,12) cast ROUNDS, and the two engines break
+    the 12th-decimal rounding tie differently for arbitrary ratio
+    doubles (measured at sf0.1: 63 of ~660 supplier sums off by
+    exactly 1e-12).  floor has no ties, so the truncation — and hence
+    the integer sum — is bit-deterministic everywhere."""
+    head = """
+WITH e0 AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+), h0 AS (
+  SELECT DISTINCT s, CAST(1 AS DOUBLE) AS hub FROM e0
+)"""
+    step = """
+, a{k}r AS (
+  SELECT e.p,
+         CAST(SUM(CAST(FLOOR(h.hub * 1e12) AS BIGINT)) AS BIGINT) AS v
+  FROM e0 e JOIN h{j} h ON h.s = e.s GROUP BY e.p
+), a{k} AS (
+  SELECT p, CAST(v AS DOUBLE) / (SELECT CAST(MAX(v) AS DOUBLE)
+                                 FROM a{k}r) AS auth
+  FROM a{k}r
+), h{k}r AS (
+  SELECT e.s,
+         CAST(SUM(CAST(FLOOR(a.auth * 1e12) AS BIGINT)) AS BIGINT) AS v
+  FROM e0 e JOIN a{k} a ON a.p = e.p GROUP BY e.s
+), h{k} AS (
+  SELECT s, CAST(v AS DOUBLE) / (SELECT CAST(MAX(v) AS DOUBLE)
+                                 FROM h{k}r) AS hub
+  FROM h{k}r
+)"""
+    body = head + "".join(step.format(k=k, j=k - 1) for k in range(1, iters + 1))
+    return body + f"""
+SELECT * FROM (
+  SELECT 'part' AS entity, p AS key, auth AS score,
+         CAST(ROW_NUMBER() OVER (ORDER BY auth DESC, p) AS BIGINT) AS rank
+  FROM a{iters}
+) WHERE rank <= {_HITS_TOPN}
+UNION ALL
+SELECT * FROM (
+  SELECT 'supplier' AS entity, s AS key, hub AS score,
+         CAST(ROW_NUMBER() OVER (ORDER BY hub DESC, s) AS BIGINT) AS rank
+  FROM h{iters}
+) WHERE rank <= {_HITS_TOPN}
+"""
+
+
+@query("q_hits", oracle=_hits_sql())
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities over the part<->supplier bipartite
+    graph (q_pagerank's edge set): 2 unrolled iterations of
+    auth(p) = Σ hub(s), hub(s) = Σ auth(p), each side max-normalized —
+    the other classic link-analysis score, completing the graph family
+    (pagerank / triangles / CC / BFS / LPA / HITS).  Emits the top-10
+    parts by authority and suppliers by hub.
+
+    Determinism: the per-edge sums cross rows as FIXED-POINT integers
+    (floor(score*1e12) -> BIGINT; exact, order-independent) — NOT a
+    DECIMAL cast, whose double->decimal rounding tie the two engines
+    break differently for arbitrary ratio doubles (measured: 63
+    off-by-1e-12 sums at sf0.1; floor has no ties).  MAX over exact
+    ints and the normalizing division are single deterministic ops;
+    top-k has a (score, key) total order.  Max-normalization on
+    purpose — the textbook L2 norm needs a cross-row float
+    sum-of-squares, max needs none.
+
+    Scale: per iteration TWO edge-partitioned joins + partial+final
+    sums (the score frames are node-sized and broadcast when small);
+    the 1-row max joins are broadcasts; top-10 via rank windows over
+    node-sized frames.  The edge table is persisted across all
+    iterations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    e0 = e0.persist()
+
+    def fp12(col: str) -> F.Column:
+        return F.floor(F.col(col) * F.lit(1e12)).cast("long")
+
+    hub = e0.select("s").distinct().select(
+        "s", F.lit(1.0).alias("hub")
+    )
+    auth = None
+    for _ in range(_HITS_ITERS):
+        # persist each node-sized score frame: the 1-row max aggregate
+        # AND the normalized join-back both read it, and without the
+        # cut the duplicated subtree doubles per iteration (measured
+        # 6.5s -> 0.9s at sf0.1)
+        ar = (
+            e0.join(hub, "s")
+            .groupBy("p")
+            .agg(F.sum(fp12("hub")).alias("v"))
+        ).persist()
+        amax = ar.agg(F.max("v").alias("_m"))
+        auth = ar.crossJoin(F.broadcast(amax)).select(
+            "p",
+            (F.col("v").cast("double") / F.col("_m").cast("double")).alias(
+                "auth"
+            ),
+        )
+        hr = (
+            e0.join(auth, "p")
+            .groupBy("s")
+            .agg(F.sum(fp12("auth")).alias("v"))
+        ).persist()
+        hmax = hr.agg(F.max("v").alias("_m"))
+        hub = hr.crossJoin(F.broadcast(hmax)).select(
+            "s",
+            (F.col("v").cast("double") / F.col("_m").cast("double")).alias(
+                "hub"
+            ),
+        )
+    top_a = (
+        auth.select(
+            F.lit("part").alias("entity"),
+            F.col("p").alias("key"),
+            F.col("auth").alias("score"),
+            F.row_number()
+            .over(Window.orderBy(F.col("auth").desc(), "p"))
+            .cast("long")
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= _HITS_TOPN)
+    )
+    top_h = (
+        hub.select(
+            F.lit("supplier").alias("entity"),
+            F.col("s").alias("key"),
+            F.col("hub").alias("score"),
+            F.row_number()
+            .over(Window.orderBy(F.col("hub").desc(), "s"))
+            .cast("long")
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= _HITS_TOPN)
+    )
+    return top_a.unionByName(top_h)

@@ -1141,3 +1141,180 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .cast("double"),
     )
+
+
+# -------------------------------------------------- Welch A/B analysis
+
+_WELCH_SQL = """
+WITH v AS (
+  SELECT event_type,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         value
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT event_type, variant,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE)
+           AS sx,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(19,6))
+                       * CAST(value AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE)
+           AS sxx
+  FROM v GROUP BY 1, 2
+), w AS (
+  SELECT a.event_type,
+         a.n AS n_a, b.n AS n_b,
+         a.sx / a.n AS mean_a, b.sx / b.n AS mean_b,
+         (a.sxx - a.sx * a.sx / a.n) / (a.n - 1) AS var_a,
+         (b.sxx - b.sx * b.sx / b.n) / (b.n - 1) AS var_b
+  FROM m a JOIN m b ON b.event_type = a.event_type
+  WHERE a.variant = 'A' AND b.variant = 'B' AND a.n > 1 AND b.n > 1
+)
+SELECT event_type, n_a, n_b, mean_a, mean_b,
+       mean_a - mean_b AS lift,
+       (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat,
+       abs((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b))
+         > CAST(1.96 AS DOUBLE) AS significant
+FROM w
+"""
+
+
+@query("q_ab_welch", oracle=_WELCH_SQL)
+def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout per event type (variant = user parity —
+    the deterministic stand-in for an assignment table): per-variant
+    mean, lift, Welch's unequal-variance t statistic, and the |t| >
+    1.96 significance flag — the analysis every experimentation
+    platform batch-computes nightly.
+
+    The q_corr_pearson exact-moment discipline: per-variant (n, Σx,
+    Σx²) accumulate in DECIMAL (order-independent), come back through
+    the correctly-rounded VARCHAR bridge, and every derived quantity
+    (means, sample variances, t) is one fixed IEEE expression tree
+    evaluated identically in both engines.
+
+    Scale: ONE partial+final aggregate to (type, variant) moment rows;
+    the A-vs-B pairing is a self-join of that tiny frame.  A real
+    assignment table replaces the parity expression with a broadcast
+    join — same plan otherwise."""
+    v = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias(
+            "variant"
+        ),
+        "value",
+    )
+    x = F.col("value").cast(_D6)
+    m = v.groupBy("event_type", "variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    a = m.filter((F.col("variant") == "A") & (F.col("n") > 1)).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        (F.col("sx") / F.col("n")).alias("mean_a"),
+        (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("var_a"),
+    )
+    b = m.filter((F.col("variant") == "B") & (F.col("n") > 1)).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        (F.col("sx") / F.col("n")).alias("mean_b"),
+        (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("var_b"),
+    )
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return a.join(b, "event_type").select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        (F.col("mean_a") - F.col("mean_b")).alias("lift"),
+        t.alias("t_stat"),
+        (F.abs(t) > F.lit(1.96)).alias("significant"),
+    )
+
+
+# --------------------------------------------------- Gini concentration
+
+_GINI_SQL = """
+WITH cust AS (
+  SELECT o_orderpriority, o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(19,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+), r AS (
+  SELECT o_orderpriority, cents,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY cents, o_custkey) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+  FROM cust
+), s AS (
+  SELECT o_orderpriority, n,
+         CAST(SUM(cents) AS BIGINT) AS total_cents,
+         CAST(SUM(i * cents) AS BIGINT) AS weighted
+  FROM r GROUP BY 1, 2
+)
+SELECT o_orderpriority, n AS n_customers, total_cents,
+       CAST(2 * weighted - (n + 1) * total_cents AS DOUBLE)
+         / CAST(n * total_cents AS DOUBLE) AS gini
+FROM s
+"""
+
+
+@query("q_gini_concentration", oracle=_GINI_SQL)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per order priority as the Gini
+    coefficient over per-customer revenue: G = (2·Σ i·x_(i) − (n+1)·Σx)
+    / (n·Σx) with x ascending — the inequality readout behind
+    whale-risk and domain-cap decisions (q_domain_cap's metric made
+    principled).
+
+    Everything up to the last expression is exact integer cents
+    (rank-weighted sums in BIGINT); ties in x contribute the same
+    Σi regardless of their internal order, and the (cents, custkey)
+    tie-break pins the ranks anyway.  The final Gini is two exact
+    integers cast to double and divided once.
+
+    Scale: per-customer aggregate (one shuffle), one per-priority sort
+    window for the ranks, one final aggregate.  BIGINT rank-weighted
+    sums hold past sf10 (i·x ≤ 1e13 summed over 1e5 rows); DECIMAL
+    widening past that — same plan."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(19,2)") * 100).cast("long")
+    cust = o.groupBy("o_orderpriority", "o_custkey").agg(
+        F.sum(cents).alias("cents")
+    )
+    by_p = Window.partitionBy("o_orderpriority")
+    r = cust.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number()
+        .over(by_p.orderBy("cents", "o_custkey"))
+        .cast("long")
+        .alias("i"),
+        F.count(F.lit(1)).over(by_p).alias("n"),
+    )
+    s = r.groupBy("o_orderpriority", "n").agg(
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("i") * F.col("cents")).alias("weighted"),
+    )
+    return s.select(
+        "o_orderpriority",
+        F.col("n").alias("n_customers"),
+        "total_cents",
+        (
+            (2 * F.col("weighted") - (F.col("n") + 1) * F.col("total_cents"))
+            .cast("double")
+            / (F.col("n") * F.col("total_cents")).cast("double")
+        ).alias("gini"),
+    )

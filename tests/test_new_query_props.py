@@ -756,3 +756,116 @@ def test_char_diversity_matches_python_counter(spark, docs_pdf):
             r["top_cnt"],
         ) == (n, len(c), top_char, top_cnt), doc_id
         assert r["collision_p"] == sum_sq / (n * n)
+
+
+def test_gini_matches_bruteforce(spark):
+    """Gini from the closed-form rank formula vs a direct pairwise
+    mean-absolute-difference computation (O(n²), definitionally
+    distinct from the engine's rank device)."""
+    odf = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    odf["cents"] = (
+        odf["o_totalprice"].round(2).mul(100).round().astype("int64")
+    )
+    got = {
+        r["o_orderpriority"]: r
+        for r in _QUERIES["q_gini_concentration"](spark, SF_DIR).collect()
+    }
+    for prio, g in odf.groupby("o_orderpriority"):
+        x = sorted(g.groupby("o_custkey")["cents"].sum().tolist())
+        n, total = len(x), sum(x)
+        mad_sum = sum(abs(a - b) for a in x for b in x)  # includes a==b
+        gini_pairwise = mad_sum / (2 * n * total)
+        r = got[prio]
+        assert (r["n_customers"], r["total_cents"]) == (n, total)
+        assert abs(r["gini"] - gini_pairwise) < 1e-12, prio
+
+
+def test_ab_welch_matches_scipy_style_formula(spark):
+    """Welch t from pandas moments (float64 path, formulated
+    independently of the engine's decimal-exact sums)."""
+    edf = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    edf = edf[edf["value"].notna()]
+    got = {
+        r["event_type"]: r
+        for r in _QUERIES["q_ab_welch"](spark, SF_DIR).collect()
+    }
+    for etype, g in edf.groupby("event_type"):
+        a = g.loc[g.user_id % 2 == 0, "value"]
+        b = g.loc[g.user_id % 2 == 1, "value"]
+        if len(a) < 2 or len(b) < 2:
+            assert etype not in got
+            continue
+        t = (a.mean() - b.mean()) / (
+            (a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)) ** 0.5
+        )
+        r = got[etype]
+        assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+        assert abs(r["t_stat"] - t) < 1e-9, etype
+        assert r["significant"] == (abs(r["t_stat"]) > 1.96)
+
+
+def test_rrf_fusion_matches_bruteforce(spark):
+    """Fused top-20 vs a dict-based reimplementation."""
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    li["cents"] = (
+        li["l_extendedprice"].round(2).mul(100).round().astype("int64")
+    )
+    m = li.groupby("l_partkey").agg(
+        revenue=("cents", "sum"), qty=("l_quantity", lambda s: int(s.sum()))
+    )
+    rev_rank = {
+        p: i + 1
+        for i, p in enumerate(
+            sorted(m.index, key=lambda p: (-m.loc[p, "revenue"], p))
+        )
+    }
+    qty_rank = {
+        p: i + 1
+        for i, p in enumerate(
+            sorted(m.index, key=lambda p: (-m.loc[p, "qty"], p))
+        )
+    }
+    rrf = {
+        p: 1.0 / (60 + rev_rank[p]) + 1.0 / (60 + qty_rank[p])
+        for p in m.index
+    }
+    want = sorted(rrf, key=lambda p: (-rrf[p], p))[:20]
+    got = _QUERIES["q_rrf_fusion"](spark, SF_DIR).collect()
+    assert [r["l_partkey"] for r in sorted(got, key=lambda r: (-r["rrf"], r["l_partkey"]))] == want
+    for r in got:
+        p = r["l_partkey"]
+        assert (r["rank_rev"], r["rank_qty"]) == (rev_rank[p], qty_rank[p])
+        assert r["rrf"] == rrf[p]
+
+
+def test_hits_matches_python_power_iterations(spark):
+    """2 HITS iterations with the same fixed-point truncation, in
+    plain Python dicts."""
+    from collections import defaultdict
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    edges = sorted(set(zip(li["l_partkey"], li["l_suppkey"])))
+    by_p, by_s = defaultdict(list), defaultdict(list)
+    for p, s in edges:
+        by_p[p].append(s)
+        by_s[s].append(p)
+    import math
+
+    hub = {s: 1.0 for s in by_s}
+    auth = {}
+    for _ in range(2):
+        av = {p: sum(math.floor(hub[s] * 1e12) for s in ss) for p, ss in by_p.items()}
+        amax = max(av.values())
+        auth = {p: float(v) / float(amax) for p, v in av.items()}
+        hv = {s: sum(math.floor(auth[p] * 1e12) for p in ps) for s, ps in by_s.items()}
+        hmax = max(hv.values())
+        hub = {s: float(v) / float(hmax) for s, v in hv.items()}
+    top_a = sorted(auth, key=lambda p: (-auth[p], p))[:10]
+    top_h = sorted(hub, key=lambda s: (-hub[s], s))[:10]
+    got = _QUERIES["q_hits"](spark, SF_DIR).collect()
+    ga = {r["rank"]: r for r in got if r["entity"] == "part"}
+    gh = {r["rank"]: r for r in got if r["entity"] == "supplier"}
+    for i, p in enumerate(top_a, start=1):
+        assert (ga[i]["key"], ga[i]["score"]) == (p, auth[p]), i
+    for i, s in enumerate(top_h, start=1):
+        assert (gh[i]["key"], gh[i]["score"]) == (s, hub[s]), i

@@ -177,6 +177,10 @@ EXPECT = {
     "q_mad_outliers": "exact order-statistic twin: two per-type sort windows (median, MAD) + one aggregate; fence comparison in the same stage — production path is the approx_percentile sketch this gates",
     "q_benford": "ONE 9-group count aggregate over the scan (digit from integer formatting, no log); literal digit frame broadcast; chi-square windows over 9 rows",
     "q_char_diversity": "char explode compresses in the map-side partial of the (doc,char) count aggregate — alphabet-sized rows cross the shuffle; diversity math + argmax over the persisted aggregate (InMemoryTableScan x2)",
+    "q_ab_welch": "one partial+final moment aggregate to (type,variant) rows; the A/B pairing join and the Welch expression run on that tiny frame",
+    "q_gini_concentration": "per-customer aggregate shuffle, ONE per-priority sort window for ranks, final aggregate — rank-weighted sums stay integer",
+    "q_rrf_fusion": "item aggregate first; two rank windows over the item frame (top-N-sized in production fusion); TakeOrderedAndProject final",
+    "q_hits": "persisted bipartite edge table reused by all 4 iteration joins; per iteration partial+final FIXED-POINT integer sums + 1-row max broadcast; top-10 rank windows over node-sized frames",
 }
 
 _SECTION = """\
