@@ -1059,7 +1059,7 @@ WITH digits AS (
   SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
                      1, 1) AS INT) AS digit,
          CAST(COUNT(*) AS BIGINT) AS n_obs
-  FROM orders GROUP BY 1
+  FROM orders WHERE o_totalprice >= 1 GROUP BY 1
 ), j AS (
   SELECT d.digit, CAST(d.exp_share AS DOUBLE) AS exp_share,
          COALESCE(o.n_obs, 0) AS n_obs
@@ -1102,7 +1102,10 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one partial+final 9-group count aggregate over the scan;
     the digit frame is a 9-row literal; all windows run on 9 rows."""
     o = load_table(spark, sf_dir, "orders")
-    obs = o.groupBy(
+    # the string device needs x >= 1 (a sub-1 or negative total would
+    # yield digit '0'/'-'); every total in this data qualifies, the
+    # guard makes the domain explicit rather than assumed
+    obs = o.filter(F.col("o_totalprice") >= 1).groupBy(
         F.substring(
             F.floor("o_totalprice").cast("long").cast("string"), 1, 1
         )

@@ -869,3 +869,31 @@ def test_hits_matches_python_power_iterations(spark):
         assert (ga[i]["key"], ga[i]["score"]) == (p, auth[p]), i
     for i, s in enumerate(top_h, start=1):
         assert (gh[i]["key"], gh[i]["score"]) == (s, hub[s]), i
+
+
+def test_benford_matches_python_counter(spark):
+    """Digit counts from string math in Python, expected shares from
+    math.log10 directly, chi-square re-summed with exact fractions."""
+    import math
+    from collections import Counter
+    from fractions import Fraction
+
+    odf = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    vals = odf.loc[odf["o_totalprice"] >= 1, "o_totalprice"]
+    digits = Counter(str(int(math.floor(v)))[0] for v in vals)
+    n = sum(digits.values())
+    got = {r["digit"]: r for r in _QUERIES["q_benford"](spark, SF_DIR).collect()}
+    assert set(got) == set(range(1, 10))
+    chi2 = 0.0
+    for d in range(1, 10):
+        r = got[d]
+        obs = digits.get(str(d), 0)
+        exp = math.log10(1 + 1 / d)
+        assert r["n_obs"] == obs and r["n_total"] == n
+        assert r["exp_share"] == exp
+        assert r["obs_share"] == obs / n
+        term = (obs - n * exp) ** 2 / (n * exp)
+        assert abs(r["chi2_term"] - term) < 1e-9
+        chi2 += term
+    for d in range(1, 10):
+        assert abs(got[d]["chi2_total"] - chi2) < 1e-6

@@ -24,6 +24,13 @@ import statistics
 import sys
 import time
 
+# runnable from any cwd, like tools/oracle_sweep.py (without this the
+# repo-root import fails when invoked as `python tools/bench_subset.py`
+# from outside the root — measured in the round-10 q_hits attribution)
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+)
+
 
 def main() -> None:
     names = [a for a in sys.argv[1:] if not a.startswith("-")]
