@@ -250,8 +250,15 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     bsz = d.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("_k")).filter(
         F.col("_k") <= _MAX_BASKET
     )
-    db = d.join(bsz.select("l_orderkey"), "l_orderkey")
-    n_baskets = bsz.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    # the deduped guard-filtered basket-item frame has FOUR consumers
+    # (both pair-join sides, supports, basket count) — persist it so
+    # the distinct + guard join run once, not per consumer
+    db = d.join(bsz.select("l_orderkey"), "l_orderkey").persist()
+    n_baskets = (
+        db.select("l_orderkey")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    )
     supp = db.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
     a, b = db.alias("a"), db.alias("b")
     pairs = (
