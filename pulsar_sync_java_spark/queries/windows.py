@@ -286,3 +286,51 @@ def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("roll_p90"),
     )
     return out
+
+
+# ------------------------------------------- distribution rank functions
+
+_CUME_SQL = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(RANK() OVER w AS BIGINT) AS rnk,
+         CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n,
+         CAST(
+           (SELECT COUNT(*) FROM orders i
+            WHERE i.o_custkey = o.o_custkey
+              AND i.o_totalprice <= o.o_totalprice) AS BIGINT) AS n_le
+  FROM orders o
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
+)
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(n_le AS DOUBLE) / n AS cume_dist,
+       CASE WHEN n = 1 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(rnk - 1 AS DOUBLE) / (n - 1) END AS pct_rank
+FROM r
+"""
+
+
+@query("q_window_cume", oracle=_CUME_SQL)
+def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution rank functions — cume_dist and percent_rank of
+    each order's total within its customer — completing the window
+    ranking surface (row_number/rank/ntile elsewhere).  Both are the
+    NATIVE Spark window functions; the oracle restates their
+    definitions from first principles (cume_dist = peers-at-or-below /
+    n via a correlated count, percent_rank = (rank-1)/(n-1)), so a
+    hash-green row pins Spark's implementation TO the definition —
+    both reduce to single divisions of exact integers.
+
+    Scale: one (custkey) window shuffle evaluates both functions plus
+    the peer counts in a single Window operator; the oracle's
+    correlated subquery is the definitional restatement only — the
+    engine never self-joins."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.cume_dist().over(w).alias("cume_dist"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )

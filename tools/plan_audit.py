@@ -181,6 +181,7 @@ EXPECT = {
     "q_gini_concentration": "per-customer aggregate shuffle, ONE per-priority sort window for ranks, final aggregate — rank-weighted sums stay integer",
     "q_rrf_fusion": "item aggregate first; two rank windows over the item frame (top-N-sized in production fusion); TakeOrderedAndProject final",
     "q_hits": "persisted bipartite edge table reused by all 4 iteration joins; per iteration partial+final FIXED-POINT integer sums + 1-row max broadcast; top-10 rank windows over node-sized frames",
+    "q_window_cume": "cume_dist + percent_rank in ONE Window over one (custkey) shuffle — the definitional correlated subquery exists only in the oracle",
 }
 
 _SECTION = """\
