@@ -235,42 +235,58 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     P(p2|p1) and lift P(p1,p2)/(P(p1)P(p2)) — the classic affinity
     mining an order warehouse runs for recommendations.
 
-    Scale shape: baskets are grouped by order key, so the pair
-    generation is the within-basket self-join — quadratic ONLY in
-    basket size, which the ``<= _MAX_BASKET`` guard bounds (the
-    standard defense against pathological mega-baskets; a no-op on
-    this data where baskets top out at ~13 lines).  The join is
-    co-partitioned on orderkey (one shuffle), pairs collapse in a
-    partial+final aggregate, the top-20 is a TakeOrdered (never a
+    Scale shape: ONE shuffle collapses the corpus to the per-basket
+    sorted item ARRAY (collect_set dedups in the same pass; the
+    ``<= _MAX_BASKET`` guard bounds the quadratic pair expansion —
+    the standard mega-basket defense, a no-op on this data where
+    baskets top out at ~13 lines).  That aggregate-shaped frame (one
+    row per basket) is the persisted working set for all three
+    consumers: pairs come from a zero-shuffle nested-transform
+    explode (never a corpus self-join), supports from an item
+    explode, the basket count from a plain count.  Pairs collapse in
+    a partial+final aggregate, the top-20 is a TakeOrdered (never a
     global sort), and the tiny supports/total joins are broadcasts.
     confidence and lift are single divisions of exact BIGINT counts /
     cross-products — deterministic bits in both engines."""
     li = load_table(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
-    bsz = d.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("_k")).filter(
-        F.col("_k") <= _MAX_BASKET
+    # per-basket sorted item arrays: aggregate rows (one per basket),
+    # persisted for the three consumers below — the corpus-cardinality
+    # (orderkey, partkey) frame is never cached (SCALE.md §9 contract:
+    # session-lifetime caches hold aggregate rows only)
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
+        .filter(F.size("items") <= _MAX_BASKET)
+        .select("items")
+    ).persist()
+    n_baskets = baskets.agg(
+        F.count(F.lit(1)).cast("long").alias("n_baskets")
     )
-    # the deduped guard-filtered basket-item frame has FOUR consumers
-    # (both pair-join sides, supports, basket count) — persist it so
-    # the distinct + guard join run once, not per consumer
-    db = d.join(bsz.select("l_orderkey"), "l_orderkey").persist()
-    n_baskets = (
-        db.select("l_orderkey")
-        .distinct()
-        .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    supp = (
+        baskets.select(F.explode("items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("supp"))
     )
-    supp = db.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
-    a, b = db.alias("a"), db.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "items",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("items"), i + 2, F.size("items")
+                            ),
+                            lambda y: F.struct(
+                                x.alias("p1"), y.alias("p2")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pr")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"),
-            F.col("b.l_partkey").alias("p2"),
-        )
+        .select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
     )
     top = pairs.orderBy(F.col("pair_cnt").desc(), "p1", "p2").limit(20)

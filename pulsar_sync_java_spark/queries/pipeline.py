@@ -1033,6 +1033,11 @@ def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.split(F.regexp_replace("text", r"\s+", ""), "")
             ).alias("ch"),
         )
+        # Spark split('', '') yields [''] where DuckDB's
+        # regexp_extract_all yields [] — drop the empty sentinel so an
+        # empty/whitespace-only document is ABSENT on both sides
+        # (latent on this data: no such docs at any tested sf)
+        .filter(F.col("ch") != "")
         .groupBy("doc_id", "ch")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -23,7 +23,7 @@ keyed state):
 
 Under that discipline the emission sequence is identical for ANY
 batching of the same in-day-order stream — pinned by the split/merge
-invariance test (tests/test_streaming.py), which runs the same events
+invariance test (tests/test_anomaly_stream.py), which runs the same events
 as one availableNow batch and as two sequential file drops and
 asserts bit-equal output, including the ewma doubles (same Python
 floats, same fold order — the q_ewma_smooth determinism argument one

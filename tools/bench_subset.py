@@ -24,12 +24,17 @@ import statistics
 import sys
 import time
 
-# runnable from any cwd, like tools/oracle_sweep.py (without this the
-# repo-root import fails when invoked as `python tools/bench_subset.py`
-# from outside the root — measured in the round-10 q_hits attribution)
-sys.path.insert(
-    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
-)
+# Runnable from any cwd — but ONLY as a fallback: the A/B attribution
+# protocol (SCALE.md §10, BASELINE.md §C) selects the engine tree via
+# PYTHONPATH to bench two checkouts against each other, and an
+# unconditional sys.path.insert(0, <this file's repo>) would shadow
+# that and silently bench HEAD on both sides.
+try:
+    import pulsar_sync_java_spark  # noqa: F401  (PYTHONPATH wins)
+except ModuleNotFoundError:
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    )
 
 
 def main() -> None:
