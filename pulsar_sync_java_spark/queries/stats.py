@@ -979,9 +979,9 @@ GROUP BY d.event_type, d.n, d.median, m.mad
 @query("q_mad_outliers", oracle=_MAD_SQL)
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier detection per event type: median / MAD (median
-    absolute deviation) and the count of points beyond {k}x MAD — the
-    z-score screen (q_anomaly_zscore) rebuilt on estimators a heavy
-    tail cannot drag.
+    absolute deviation) and the count of points beyond ``_MAD_K``
+    (= 5) x MAD — the z-score screen (q_anomaly_zscore) rebuilt on
+    estimators a heavy tail cannot drag.
 
     Exactness device: medians are POSITIONAL — row_number over the
     sorted values picks ranks (n+1)//2 and (n+2)//2 and averages them
@@ -989,13 +989,13 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks when n is odd: (v+v)/2 == v exactly in IEEE).  Built-in
     percentile/quantile_cont interpolation trees differ between
     engines; order statistics cannot.  dev = |x - median| and the
-    {k}*MAD fence compare identical doubles.
+    ``_MAD_K``*MAD fence compare identical doubles.
 
     Scale: two sort-windows per type (median, then MAD) plus one
     aggregate — the exact-selection twin of the production path
     (approx_percentile's one-pass sketch); the exact version exists
     to gate it, the plan shape is the cost of exactness and is
-    documented as such.""".replace("{k}", str(_MAD_K))
+    documented as such."""
     v = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     ).select("event_type", "value")
@@ -1076,8 +1076,8 @@ WITH digits AS (
   FROM t
 )
 SELECT digit, n_obs, n_total, obs_share, exp_share, chi2_term,
-       CAST(CAST(SUM(CAST(chi2_term AS DECIMAL(38,12))) OVER ()
-                 AS VARCHAR) AS DOUBLE) AS chi2_total
+       CAST(SUM(CAST(FLOOR(chi2_term * 1e12) AS BIGINT)) OVER ()
+            AS DOUBLE) / 1e12 AS chi2_total
 FROM c
 """
 
@@ -1095,9 +1095,9 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python and injected as the same literals into BOTH plans, so no
     engine evaluates a logarithm.  chi-square terms are identical IEEE
     expressions on exact counts x literal shares; the total crosses
-    rows through the DECIMAL(38,12) bridge (order-independent sum,
-    correctly-rounded return to double via VARCHAR on the DuckDB
-    side — the q_pagerank device).
+    rows as FIXED-POINT integers (floor(term*1e12) -> BIGINT, the
+    q_hits device — a double->DECIMAL cast would round, and the two
+    engines break the 12th-decimal rounding tie differently).
 
     Scale: one partial+final 9-group count aggregate over the scan;
     the digit frame is a 9-row literal; all windows run on 9 rows."""
@@ -1140,9 +1140,10 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return c.withColumn(
         "chi2_total",
-        F.sum(F.col("chi2_term").cast("decimal(38,12)"))
+        F.sum(F.floor(F.col("chi2_term") * F.lit(1e12)).cast("long"))
         .over(w)
-        .cast("double"),
+        .cast("double")
+        / F.lit(1e12),
     )
 
 
