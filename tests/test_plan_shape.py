@@ -870,3 +870,68 @@ def test_skyline_never_self_joins_the_corpus(spark, queries):
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
     assert "SortMergeJoin" not in plan
+
+
+# --------------------------------------------------- round-10 additions
+
+
+def test_assoc_rules_never_self_joins_corpus(spark, queries):
+    """q_assoc_rules: pairs come from a nested-transform Generate over
+    the per-basket arrays — the plan must have NO sort-merge join and
+    no corpus self-join; the only joins are the broadcast supports /
+    total joins, and the top-20 is a TakeOrdered."""
+    plan = plan_of(queries["q_assoc_rules"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"\(\d+\) Generate\b", plan)) >= 1
+
+
+def test_attribution_shares_user_partitioning(spark, queries):
+    """q_attribution: the type filter must reach the parquet scan, and
+    all windows partition by user — never an unpartitioned window over
+    raw events."""
+    plan = plan_of(queries["q_attribution"](spark, SF_DIR))
+    pushed = [l for l in plan.splitlines() if "PushedFilters:" in l]
+    assert any("event_type" in l for l in pushed), pushed
+    assert "CartesianProduct" not in plan
+
+
+def test_timeseries_family_aggregates_before_windows(spark, queries):
+    """q_cusum_changepoint / q_ewma_smooth: the corpus must collapse in
+    a partial+final hash aggregate BEFORE any window/fold — the window
+    never sees raw rows (two HashAggregates below the first Window /
+    higher-order fold)."""
+    for name in ("q_cusum_changepoint", "q_ewma_smooth"):
+        plan = plan_of(queries[name](spark, SF_DIR))
+        assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_hits_reads_persisted_edges_and_broadcasts_max(spark, queries):
+    """q_hits: the edge table and score frames come from cache
+    (InMemoryTableScan), the 1-row max joins are broadcast nested
+    loops (never CartesianProduct), and the cross-row sums are LONG
+    (fixed-point), not decimal."""
+    plan = plan_of(queries["q_hits"](spark, SF_DIR))
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_label_prop_argmax_uses_group_limit(spark, queries):
+    """q_label_prop: the per-node argmax (rk = 1 filter) must push
+    below the window sort as a WindowGroupLimit — the standard
+    top-1-per-group physical shape."""
+    plan = plan_of(queries["q_label_prop"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_intersect_joins_are_key_sized(spark, queries):
+    """q_hll_intersect: the exact verification joins run on the
+    persisted distinct key set (InMemoryTableScan), and the 3-row
+    pair frame broadcasts."""
+    plan = plan_of(queries["q_hll_intersect"](spark, SF_DIR))
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
