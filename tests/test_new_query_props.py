@@ -897,3 +897,54 @@ def test_benford_matches_python_counter(spark):
         chi2 += term
     for d in range(1, 10):
         assert abs(got[d]["chi2_total"] - chi2) < 1e-6
+
+
+def test_autocorr_matches_numpy(spark):
+    """Lag-k ACF vs numpy.corrcoef over positionally-lagged pairs."""
+    import numpy as np
+
+    odf = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    odf["month"] = odf["o_orderdate"].dt.strftime("%Y-%m")
+    got = {
+        (r["o_orderpriority"], r["lag"]): r
+        for r in _QUERIES["q_autocorr"](spark, SF_DIR).collect()
+    }
+    seen = set()
+    for prio, g in odf.groupby("o_orderpriority"):
+        series = g.groupby("month").size().sort_index().to_numpy(float)
+        for lag in (1, 12):
+            if len(series) <= lag + 1:
+                assert (prio, lag) not in got
+                continue
+            x, y = series[:-lag], series[lag:]
+            r_np = np.corrcoef(x, y)[0, 1]
+            r = got[(prio, lag)]
+            seen.add((prio, lag))
+            assert r["n_pairs"] == len(x)
+            assert abs(r["acf"] - r_np) < 1e-9, (prio, lag)
+    assert seen == set(got)
+
+
+def test_seasonality_matches_pandas(spark):
+    """Order share and AOV index vs direct pandas ratios."""
+    odf = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    odf["dow"] = (odf["o_orderdate"].dt.dayofweek + 1) % 7  # Sunday=0
+    odf["cents"] = (
+        odf["o_totalprice"].round(2).mul(100).round().astype("int64")
+    )
+    got = {
+        (r["o_orderpriority"], r["dow"]): r
+        for r in _QUERIES["q_seasonality"](spark, SF_DIR).collect()
+    }
+    n_rows = 0
+    for prio, g in odf.groupby("o_orderpriority"):
+        n_p, rev_p = len(g), int(g["cents"].sum())
+        for dow, gd in g.groupby("dow"):
+            n_pd, rev_pd = len(gd), int(gd["cents"].sum())
+            r = got[(prio, int(dow))]
+            n_rows += 1
+            assert (r["n_orders"], r["revenue_cents"]) == (n_pd, rev_pd)
+            assert r["order_share"] == (n_pd * 7) / n_p
+            aov_index = (rev_pd * n_p) / (n_pd * rev_p)
+            assert abs(r["aov_index"] - aov_index) < 1e-12
+    assert n_rows == len(got)
