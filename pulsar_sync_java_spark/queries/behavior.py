@@ -449,3 +449,125 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("touches"),
     )
     return credited.unionByName(direct)
+
+
+# ------------------------------------------------- conversion latency
+
+_LATENCY_SQL = f"""
+WITH tagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+              AS BIGINT) AS conv_id
+  FROM events
+  WHERE event_type IN ('purchase', {", ".join(f"'{t}'" for t in _TOUCH_TYPES)})
+), conv AS (
+  SELECT user_id, conv_id, epoch_us(ts) AS purchase_us
+  FROM tagged WHERE event_type = 'purchase'
+), first_touch AS (
+  SELECT user_id, conv_id, channel, touch_us FROM (
+    SELECT user_id, conv_id, event_type AS channel, epoch_us(ts) AS touch_us,
+           ROW_NUMBER() OVER (PARTITION BY user_id, conv_id
+                              ORDER BY ts, event_id) AS rk
+    FROM tagged WHERE event_type <> 'purchase' AND conv_id > 0
+  ) WHERE rk = 1
+), lat AS (
+  SELECT f.channel, c.purchase_us - f.touch_us AS latency_us
+  FROM first_touch f
+  JOIN conv c ON c.user_id = f.user_id AND c.conv_id = f.conv_id
+), r AS (
+  SELECT channel, latency_us,
+         ROW_NUMBER() OVER (PARTITION BY channel ORDER BY latency_us) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY channel) AS BIGINT) AS n
+  FROM lat
+)
+SELECT channel, n AS n_conversions,
+       CAST(MIN(latency_us) AS BIGINT) AS min_latency_us,
+       (MAX(CASE WHEN r = (n + 1) // 2 THEN latency_us END)
+        + MAX(CASE WHEN r = (n + 2) // 2 THEN latency_us END)) / 2
+         AS median_latency_us,
+       CAST(MAX(CASE WHEN r = (9 * n + 9) // 10 THEN latency_us END)
+            AS BIGINT) AS p90_latency_us,
+       CAST(MAX(latency_us) AS BIGINT) AS max_latency_us
+FROM r GROUP BY channel, n
+"""
+
+
+@query("q_conversion_latency", oracle=_LATENCY_SQL)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per first-touch channel: for every
+    purchase with a touch window (q_attribution's reverse-running-count
+    assignment), latency = purchase time − FIRST touch time; emits
+    n / min / median / p90 / max latency per channel — the funnel-
+    velocity readout next to q_attribution's credit totals.
+
+    Latencies are exact BIGINT microsecond differences; median and p90
+    are POSITIONAL (the q_mad_outliers order-statistic device — the
+    only float op is the median's (lo+hi)/2).  p90 rank is
+    (9n+9)//10, the q_rolling_quantile convention.
+
+    Scale: everything shares the per-user partitioning until the
+    conversion-grain frames (conversions are aggregate-scale relative
+    to events); the per-channel sort windows run on conversion rows
+    only."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", *_TOUCH_TYPES)
+    )
+    rev = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    tagged = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .over(rev)
+        .alias("conv_id"),
+    )
+    conv = tagged.filter(F.col("event_type") == "purchase").select(
+        "user_id", "conv_id", F.unix_micros("ts").alias("purchase_us")
+    )
+    ft_rk = F.row_number().over(
+        Window.partitionBy("user_id", "conv_id").orderBy("ts", "event_id")
+    )
+    first_touch = (
+        tagged.filter(
+            (F.col("event_type") != "purchase") & (F.col("conv_id") > 0)
+        )
+        .select(
+            "user_id",
+            "conv_id",
+            F.col("event_type").alias("channel"),
+            F.unix_micros("ts").alias("touch_us"),
+            ft_rk.alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    lat = first_touch.join(conv, ["user_id", "conv_id"]).select(
+        "channel", (F.col("purchase_us") - F.col("touch_us")).alias("latency_us")
+    )
+    by_c = Window.partitionBy("channel")
+    r = lat.select(
+        "channel",
+        "latency_us",
+        F.row_number().over(by_c.orderBy("latency_us")).alias("r"),
+        F.count(F.lit(1)).over(by_c).alias("n"),
+    )
+    lo = F.floor((F.col("n") + 1) / 2)
+    hi = F.floor((F.col("n") + 2) / 2)
+    p90r = F.floor((9 * F.col("n") + 9) / 10)
+    return r.groupBy("channel", F.col("n").alias("n_conversions")).agg(
+        F.min("latency_us").alias("min_latency_us"),
+        (
+            (
+                F.max(F.when(F.col("r") == lo, F.col("latency_us")))
+                + F.max(F.when(F.col("r") == hi, F.col("latency_us")))
+            )
+            / 2
+        ).alias("median_latency_us"),
+        F.max(F.when(F.col("r") == p90r, F.col("latency_us"))).alias(
+            "p90_latency_us"
+        ),
+        F.max("latency_us").alias("max_latency_us"),
+    )

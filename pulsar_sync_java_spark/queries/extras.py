@@ -1539,3 +1539,127 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _HITS_TOPN)
     )
     return top_a.unionByName(top_h)
+
+
+# ------------------------------------------- degree stats / assortativity
+
+_DEGREE_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0
+), e0 AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM li l1 JOIN li l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+), edges AS (
+  SELECT a AS src, b AS dst FROM e0
+  UNION ALL
+  SELECT b AS src, a AS dst FROM e0
+), deg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM edges GROUP BY src
+), pairs AS (
+  SELECT da.deg AS x, db.deg AS y
+  FROM edges e
+  JOIN deg da ON da.node = e.src
+  JOIN deg db ON db.node = e.dst
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pairs
+), g AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges,
+         (SELECT CAST(MIN(deg) AS BIGINT) FROM deg) AS min_degree,
+         (SELECT CAST(MAX(deg) AS BIGINT) FROM deg) AS max_degree
+)
+SELECT g.n_nodes, g.n_edges, g.min_degree, g.max_degree,
+       CAST(2 * g.n_edges AS DOUBLE) / g.n_nodes AS avg_degree,
+       (CAST(m.n AS DOUBLE) * m.sxy - CAST(m.sx AS DOUBLE) * m.sy)
+         / sqrt((CAST(m.n AS DOUBLE) * m.sxx
+                 - CAST(m.sx AS DOUBLE) * m.sx)
+                * (CAST(m.n AS DOUBLE) * m.syy
+                   - CAST(m.sy AS DOUBLE) * m.sy)) AS assortativity
+FROM m, g
+"""
+
+
+@query("q_degree_assortativity", oracle=_DEGREE_SQL)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global degree statistics + degree assortativity of the part
+    co-purchase graph (q_triangle_count's 1/5 slice): node/edge
+    counts, min/max/avg degree, and the Pearson correlation of
+    endpoint degrees over all DIRECTED edge instances (both
+    orientations — the standard symmetrized definition).  Negative
+    assortativity = hubs attach to leaves (typical for co-purchase);
+    the one-number health check run before committing to a
+    partitioning strategy for graph workloads.
+
+    Degrees are exact integers, so the correlation is the
+    q_corr_pearson exact-moment device end to end: BIGINT sums over
+    the degree pairs, one IEEE expression at the end.
+
+    Scale: edges build once (distinct within-basket self-join,
+    co-partitioned on orderkey); degrees are one partial+final count;
+    the degree join-back is node-keyed; the moment row is a 1-row
+    aggregate.  Nothing after the edge build exceeds edge
+    cardinality."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 5 == 0
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .distinct()
+    )
+    edges = e0.select(
+        F.col("x").alias("src"), F.col("y").alias("dst")
+    ).unionByName(e0.select(F.col("y").alias("src"), F.col("x").alias("dst")))
+    edges = edges.persist()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("deg").alias("x"))
+    db = deg.select(F.col("node").alias("dst"), F.col("deg").alias("y"))
+    pairs = edges.join(da, "src").join(db, "dst").select("x", "y")
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    g = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("deg").alias("min_degree"),
+        F.max("deg").alias("max_degree"),
+    ).crossJoin(e0.agg(F.count(F.lit(1)).alias("n_edges")))
+    nd, sxd, syd = (
+        F.col("n").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sy").cast("double"),
+    )
+    assort = (nd * F.col("sxy") - sxd * F.col("sy")) / F.sqrt(
+        (nd * F.col("sxx") - sxd * F.col("sx"))
+        * (nd * F.col("syy") - syd * F.col("sy"))
+    )
+    return m.crossJoin(F.broadcast(g)).select(
+        "n_nodes",
+        "n_edges",
+        "min_degree",
+        "max_degree",
+        ((F.col("n_edges") * 2).cast("double") / F.col("n_nodes")).alias(
+            "avg_degree"
+        ),
+        assort.alias("assortativity"),
+    )

@@ -384,3 +384,98 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_orders") * rev_tot).cast("double")
         ).alias("aov_index"),
     )
+
+
+# ------------------------------------------------ decayed leaderboard
+
+_DECAY_TOPN = 10
+_DECAY_FP_BITS = 30  # weights in 2^-30 fixed point; k > 30 days -> 0
+
+_DECAY_SQL = f"""
+WITH ref AS (
+  SELECT MAX(CAST(ts AS DATE)) AS ref_day FROM events
+), d AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT d.user_id, d.cnt,
+         datediff('day', d.day, ref.ref_day) AS k
+  FROM d CROSS JOIN ref
+), s AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN k <= {_DECAY_FP_BITS}
+                       THEN cnt * (CAST(1 AS BIGINT)
+                                   << ({_DECAY_FP_BITS} - k))
+                       ELSE 0 END) AS BIGINT) AS score_fp,
+         CAST(SUM(cnt) AS BIGINT) AS n_events,
+         CAST(MIN(k) AS BIGINT) AS days_since_last
+  FROM w GROUP BY user_id
+)
+SELECT user_id, score_fp,
+       CAST(score_fp AS DOUBLE) / {1 << _DECAY_FP_BITS} AS score,
+       n_events, days_since_last
+FROM s ORDER BY score_fp DESC, user_id LIMIT {_DECAY_TOPN}
+"""
+
+
+@query("q_decay_topk", oracle=_DECAY_SQL)
+def q_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed activity leaderboard: each event
+    contributes 0.5^k where k = whole days before the newest event
+    (one-day half-life), top-10 users by decayed score — the
+    recency-weighted ranking every engagement dashboard runs, and the
+    aggregation shape behind decayed heavy-hitters.
+
+    The exactness device: a ONE-DAY half-life makes every weight an
+    exact binary power, so the whole score is computed in 2^-30
+    FIXED POINT — cnt << (30 - k) summed as plain BIGINTs, exact in
+    any order; the float score is one cast + one division at the end.
+    Events older than 30 days contribute 0 (a documented cutoff 1e9x
+    below the newest day's weight).  An arbitrary half-life λ runs
+    the same plan with 31 Python-precomputed literal weights (the
+    q_benford injection trick) and the floor(x*1e12) fixed-point sum
+    (the q_hits device).
+
+    Scale: the corpus collapses to (user, day) counts in one
+    partial+final aggregate; the decay arithmetic and the second
+    (user) aggregate run on those rows; the 1-row ref-day aggregate
+    broadcasts; top-10 is a TakeOrdered.  Decayed scores are also
+    SUM-mergeable across slices (the weight depends only on the day),
+    which is what lets per-day partials roll up without replay."""
+    e = load_table(spark, sf_dir, "events")
+    ref = e.agg(F.max(F.to_date("ts")).alias("ref_day"))
+    d = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = d.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        "cnt",
+        F.datediff("ref_day", "day").alias("k"),
+    )
+    # python-API shiftleft takes a literal bit count; the SQL form
+    # accepts a column expression for it
+    weight = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({_DECAY_FP_BITS} - k AS INT))"
+    )
+    s = w.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("k") <= _DECAY_FP_BITS, F.col("cnt") * weight)
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("score_fp"),
+        F.sum("cnt").alias("n_events"),
+        F.min("k").cast("long").alias("days_since_last"),
+    )
+    return (
+        s.select(
+            "user_id",
+            "score_fp",
+            (F.col("score_fp").cast("double") / (1 << _DECAY_FP_BITS)).alias(
+                "score"
+            ),
+            "n_events",
+            "days_since_last",
+        )
+        .orderBy(F.col("score_fp").desc(), "user_id")
+        .limit(_DECAY_TOPN)
+    )

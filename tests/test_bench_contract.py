@@ -108,6 +108,7 @@ PERSIST_ALLOWLIST = {
     ("queries/aggregates.py", "q_hll_intersect"): 1,    # distinct (type, key) set (sketch agg + exact joins share it)
     ("queries/behavior.py", "q_assoc_rules"): 1,        # deduped guarded basket-item frame (pair join x2 + supports + basket count)
     ("queries/extras.py", "q_bfs_khop"): 1,             # symmetric edge table (3 expansion levels probe it)
+    ("queries/extras.py", "q_degree_assortativity"): 1, # symmetric edge table (degrees + pair join + edge count read it)
     ("queries/extras.py", "q_hits"): 3,                 # edge table + per-iteration score frames (max agg + join-back each read them; uncut the subtree doubles per iteration)
     ("queries/extras.py", "q_label_prop"): 1,           # symmetric co-purchase edge table (3 LPA iterations probe it)
     ("queries/pipeline.py", "q_char_diversity"): 1,     # (doc, char) count aggregate (diversity agg + argmax share it)

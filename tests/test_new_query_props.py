@@ -948,3 +948,104 @@ def test_seasonality_matches_pandas(spark):
             aov_index = (rev_pd * n_p) / (n_pd * rev_p)
             assert abs(r["aov_index"] - aov_index) < 1e-12
     assert n_rows == len(got)
+
+
+def test_decay_topk_matches_python_fixed_point(spark, events_pdf):
+    """Fixed-point decayed scores vs a Python dict replay."""
+    from collections import Counter, defaultdict
+
+    days = events_pdf["ts"].dt.date
+    ref = days.max()
+    per = defaultdict(Counter)
+    for uid, day in zip(events_pdf["user_id"], days):
+        per[uid][(ref - day).days] += 1
+    score = {
+        u: sum(c << (30 - k) for k, c in ks.items() if k <= 30)
+        for u, ks in per.items()
+    }
+    top = sorted(score, key=lambda u: (-score[u], u))[:10]
+    got = _QUERIES["q_decay_topk"](spark, SF_DIR).collect()
+    assert [r["user_id"] for r in got] == top or sorted(
+        (r["user_id"] for r in got)
+    ) == sorted(top)
+    for r in got:
+        u = r["user_id"]
+        assert r["score_fp"] == score[u]
+        assert r["score"] == score[u] / (1 << 30)
+        assert r["n_events"] == sum(per[u].values())
+        assert r["days_since_last"] == min(per[u])
+
+
+def test_conversion_latency_matches_python_replay(spark, events_pdf):
+    """Per-channel latency order statistics vs a direct replay."""
+    from collections import defaultdict
+
+    edf = events_pdf[
+        events_pdf["event_type"].isin(["purchase", "view", "click"])
+    ]
+    lats = defaultdict(list)
+    for _, g in edf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        window = []
+        for _, row in g.iterrows():
+            if row["event_type"] == "purchase":
+                if window:
+                    ch, t0 = window[0]
+                    us = (row["ts"] - t0) // pd.Timedelta(microseconds=1)
+                    lats[ch].append(int(us))
+                window = []
+            else:
+                window.append((row["event_type"], row["ts"]))
+    got = {
+        r["channel"]: r
+        for r in _QUERIES["q_conversion_latency"](spark, SF_DIR).collect()
+    }
+    assert set(got) == {ch for ch, v in lats.items() if v}
+    for ch, v in lats.items():
+        v = sorted(v)
+        n = len(v)
+        r = got[ch]
+        assert r["n_conversions"] == n
+        assert r["min_latency_us"] == v[0]
+        assert r["max_latency_us"] == v[-1]
+        assert r["median_latency_us"] == (
+            v[(n + 1) // 2 - 1] + v[(n + 2) // 2 - 1]
+        ) / 2
+        assert r["p90_latency_us"] == v[(9 * n + 9) // 10 - 1]
+
+
+def test_degree_assortativity_matches_networkx_style(spark):
+    """Assortativity vs the symmetrized-pair Pearson computed in
+    Python (the standard definition networkx implements)."""
+    from collections import defaultdict
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    li = li[li["l_orderkey"] % 5 == 0]
+    edges = set()
+    for _, g in li.groupby("l_orderkey"):
+        parts = sorted(set(g["l_partkey"]))
+        for i, a in enumerate(parts):
+            for b in parts[i + 1 :]:
+                edges.add((a, b))
+    deg = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    r_py = (n * sxy - sx * sy) / (
+        ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+    )
+    [r] = _QUERIES["q_degree_assortativity"](spark, SF_DIR).collect()
+    assert r["n_nodes"] == len(deg) and r["n_edges"] == len(edges)
+    assert r["min_degree"] == min(deg.values())
+    assert r["max_degree"] == max(deg.values())
+    assert r["avg_degree"] == 2 * len(edges) / len(deg)
+    assert abs(r["assortativity"] - r_py) < 1e-9

@@ -182,6 +182,9 @@ EXPECT = {
     "q_rrf_fusion": "item aggregate first; two rank windows over the item frame (top-N-sized in production fusion); TakeOrderedAndProject final",
     "q_hits": "persisted bipartite edge table reused by all 4 iteration joins; per iteration partial+final FIXED-POINT integer sums + 1-row max broadcast; top-10 rank windows over node-sized frames",
     "q_window_cume": "cume_dist + percent_rank in ONE Window over one (custkey) shuffle — the definitional correlated subquery exists only in the oracle",
+    "q_decay_topk": "corpus -> (user, day) count aggregate; 1-row ref-day BroadcastNestedLoopJoin; shifted-BIGINT decay inside codegen; TakeOrderedAndProject top-10",
+    "q_conversion_latency": "type filter pushed to parquet; reverse-count + first-touch windows share the user partitioning; per-channel order-statistic windows on conversion rows",
+    "q_degree_assortativity": "persisted symmetric edge table (degrees + both pair join-backs + edge count); co-partitioned basket self-join builds edges once; 1-row moment/global aggregates cross-joined",
 }
 
 _SECTION = """\
