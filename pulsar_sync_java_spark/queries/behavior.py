@@ -235,28 +235,43 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     P(p2|p1) and lift P(p1,p2)/(P(p1)P(p2)) — the classic affinity
     mining an order warehouse runs for recommendations.
 
-    Scale shape: ONE shuffle collapses the corpus to the per-basket
-    sorted item ARRAY (collect_set dedups in the same pass; the
-    ``<= _MAX_BASKET`` guard bounds the quadratic pair expansion —
-    the standard mega-basket defense, a no-op on this data where
-    baskets top out at ~13 lines).  That aggregate-shaped frame (one
-    row per basket) is the persisted working set for all three
-    consumers: pairs come from a zero-shuffle nested-transform
-    explode (never a corpus self-join), supports from an item
-    explode, the basket count from a plain count.  Pairs collapse in
-    a partial+final aggregate, the top-20 is a TakeOrdered (never a
-    global sort), and the tiny supports/total joins are broadcasts.
-    confidence and lift are single divisions of exact BIGINT counts /
-    cross-products — deterministic bits in both engines."""
+    Scale shape: the corpus collapses to per-basket sorted item
+    ARRAYS behind a COUNT-first mega-basket guard — the
+    ``<= _MAX_BASKET`` filter runs on bounded count state BEFORE any
+    array materializes, so a pathological basket never builds its
+    item array at all (it bounds both the aggregation buffer and the
+    quadratic pair expansion; a no-op on this data where baskets top
+    out at ~13 lines).  The guarded array frame (one row per basket)
+    is the persisted working set for all three consumers: pairs come
+    from a zero-shuffle nested-transform explode (never a corpus
+    self-join), supports from an item explode, the basket count from
+    a plain count.  Pairs collapse in a partial+final aggregate, the
+    top-20 is a TakeOrdered (never a global sort), and the tiny
+    supports/total joins are broadcasts.  confidence and lift are
+    single divisions of exact BIGINT counts / cross-products —
+    deterministic bits in both engines."""
     li = load_table(spark, sf_dir, "lineitem")
-    # per-basket sorted item arrays: aggregate rows (one per basket),
-    # persisted for the three consumers below — the corpus-cardinality
-    # (orderkey, partkey) frame is never cached (SCALE.md §9 contract:
-    # session-lifetime caches hold aggregate rows only)
+    # The mega-basket guard must run BEFORE any array materializes: a
+    # collect_set-then-filter shape would build a pathological
+    # basket's full item array in the aggregation buffer before
+    # discarding it — the exact blow-up _MAX_BASKET exists to prevent.
+    # So: dedup rows, COUNT-guard (bounded agg state), and only then
+    # collect the qualifying baskets into sorted arrays.
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    ok = (
+        d.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .filter(F.col("_k") <= _MAX_BASKET)
+        .select("l_orderkey")
+    )
+    # per-basket sorted item arrays: aggregate rows (one per basket,
+    # ≤ _MAX_BASKET items each), persisted for the three consumers
+    # below — the corpus-cardinality (orderkey, partkey) frame is
+    # never cached (SCALE.md §9 contract: aggregate rows only)
     baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
-        .filter(F.size("items") <= _MAX_BASKET)
+        d.join(ok, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("items"))
         .select("items")
     ).persist()
     n_baskets = baskets.agg(

@@ -1601,15 +1601,22 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_corr_pearson exact-moment device end to end: BIGINT sums over
     the degree pairs, one IEEE expression at the end.
 
-    Scale: edges build once (distinct within-basket self-join,
-    co-partitioned on orderkey); degrees are one partial+final count;
-    the degree join-back is node-keyed; the moment row is a 1-row
-    aggregate.  Nothing after the edge build exceeds edge
-    cardinality."""
+    Scale: the PAIR SET builds once (distinct within-basket self-join,
+    co-partitioned on orderkey) and is persisted — the symmetrized
+    union, the edge count and the degree aggregate are all
+    projections/aggregates of that cache, so the quadratic join never
+    re-runs; the node-sized degree table is persisted for its three
+    consumers (both pair-join sides + the global stats aggregate);
+    the moment row is a 1-row aggregate.  Nothing after the pair
+    build exceeds edge cardinality."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_orderkey") % 5 == 0
     )
     a, b = li.alias("a"), li.alias("b")
+    # persist the PAIR SET (not the symmetrized union): every
+    # downstream branch — both union arms, the edge count — would
+    # otherwise rebuild the quadratic within-basket self-join; the
+    # union is a cheap projection of the cached pairs
     e0 = (
         a.join(
             b,
@@ -1620,14 +1627,15 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
         )
         .distinct()
-    )
+    ).persist()
     edges = e0.select(
         F.col("x").alias("src"), F.col("y").alias("dst")
     ).unionByName(e0.select(F.col("y").alias("src"), F.col("x").alias("dst")))
-    edges = edges.persist()
+    # node-sized degree table: read by both pair-join sides AND the
+    # global min/max/count aggregate
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
-    )
+    ).persist()
     da = deg.select(F.col("node").alias("src"), F.col("deg").alias("x"))
     db = deg.select(F.col("node").alias("dst"), F.col("deg").alias("y"))
     pairs = edges.join(da, "src").join(db, "dst").select("x", "y")

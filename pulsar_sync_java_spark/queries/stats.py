@@ -1076,8 +1076,8 @@ WITH digits AS (
   FROM t
 )
 SELECT digit, n_obs, n_total, obs_share, exp_share, chi2_term,
-       CAST(SUM(CAST(FLOOR(chi2_term * 1e12) AS BIGINT)) OVER ()
-            AS DOUBLE) / 1e12 AS chi2_total
+       CAST(SUM(CAST(FLOOR(chi2_term * 1e9) AS BIGINT)) OVER ()
+            AS DOUBLE) / 1e9 AS chi2_total
 FROM c
 """
 
@@ -1095,9 +1095,14 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python and injected as the same literals into BOTH plans, so no
     engine evaluates a logarithm.  chi-square terms are identical IEEE
     expressions on exact counts x literal shares; the total crosses
-    rows as FIXED-POINT integers (floor(term*1e12) -> BIGINT, the
+    rows as FIXED-POINT integers (floor(term*1e9) -> BIGINT, the
     q_hits device — a double->DECIMAL cast would round, and the two
-    engines break the 12th-decimal rounding tie differently).
+    engines break the rounding tie differently).  1e9 scale on
+    purpose: chi2_total grows O(n_orders) under real deviation
+    (~0.4n measured here), and Spark's long window SUM wraps
+    silently past 2^63 where DuckDB promotes to HUGEINT — 1e9
+    keeps the summed terms inside int64 to ~2e10 orders while
+    still carrying 9 fractional digits.
 
     Scale: one partial+final 9-group count aggregate over the scan;
     the digit frame is a 9-row literal; all windows run on 9 rows."""
@@ -1140,10 +1145,10 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return c.withColumn(
         "chi2_total",
-        F.sum(F.floor(F.col("chi2_term") * F.lit(1e12)).cast("long"))
+        F.sum(F.floor(F.col("chi2_term") * F.lit(1e9)).cast("long"))
         .over(w)
         .cast("double")
-        / F.lit(1e12),
+        / F.lit(1e9),
     )
 
 

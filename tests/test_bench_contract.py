@@ -106,9 +106,9 @@ PERSIST_ALLOWLIST = {
     ("queries/dedup_scale.py", "q_incremental_dedup"): 1,    # minhash sigs (plan-matched with the other sig users)
     ("queries/dedup_scale.py", "q_minhash_lsh"): 1,
     ("queries/aggregates.py", "q_hll_intersect"): 1,    # distinct (type, key) set (sketch agg + exact joins share it)
-    ("queries/behavior.py", "q_assoc_rules"): 1,        # deduped guarded basket-item frame (pair join x2 + supports + basket count)
+    ("queries/behavior.py", "q_assoc_rules"): 1,        # per-basket sorted item arrays, guarded BEFORE collect (pair explode + supports explode + basket count)
     ("queries/extras.py", "q_bfs_khop"): 1,             # symmetric edge table (3 expansion levels probe it)
-    ("queries/extras.py", "q_degree_assortativity"): 1, # symmetric edge table (degrees + pair join + edge count read it)
+    ("queries/extras.py", "q_degree_assortativity"): 2, # pair set (union arms + edge count) and node-sized degree table (pair joins + global stats)
     ("queries/extras.py", "q_hits"): 3,                 # edge table + per-iteration score frames (max agg + join-back each read them; uncut the subtree doubles per iteration)
     ("queries/extras.py", "q_label_prop"): 1,           # symmetric co-purchase edge table (3 LPA iterations probe it)
     ("queries/pipeline.py", "q_char_diversity"): 1,     # (doc, char) count aggregate (diversity agg + argmax share it)

@@ -965,9 +965,7 @@ def test_decay_topk_matches_python_fixed_point(spark, events_pdf):
     }
     top = sorted(score, key=lambda u: (-score[u], u))[:10]
     got = _QUERIES["q_decay_topk"](spark, SF_DIR).collect()
-    assert [r["user_id"] for r in got] == top or sorted(
-        (r["user_id"] for r in got)
-    ) == sorted(top)
+    assert [r["user_id"] for r in got] == top
     for r in got:
         u = r["user_id"]
         assert r["score_fp"] == score[u]

@@ -170,7 +170,7 @@ EXPECT = {
     "q_ewma_smooth": "one (type, day) count aggregate; the EWMA fold is a zero-shuffle higher-order array expression over calendar-sized arrays",
     "q_autocorr": "month-grain aggregate first; the lag pairing is a within-priority equi-join on the tiny series frame (broadcast), moment sums partial+final",
     "q_seasonality": "one partial+final (priority, dow) aggregate to 35 rows; share/index windows over those rows only",
-    "q_assoc_rules": "ONE shuffle to persisted per-basket item arrays (aggregate rows); pairs via zero-shuffle nested-transform Generate — never a corpus self-join; pair partial+final agg; top-20 = TakeOrderedAndProject; supports/total broadcast",
+    "q_assoc_rules": "COUNT-first mega-basket guard (bounded agg state) before the persisted per-basket item arrays; pairs via zero-shuffle nested-transform Generate — never a corpus self-join; top-20 = TakeOrderedAndProject; supports/total broadcast",
     "q_attribution": "type filter pushed to parquet; reverse running-count + rank windows share the per-user partitioning; channel aggregate partial+final — no corpus join",
     "q_label_prop": "persisted symmetric edge table (InMemoryTableScan x3); per iteration ONE label join + (node,label) partial+final count + node-keyed argmax window — no fixpoint loop, no single-reducer stage",
     "q_hll_intersect": "persisted distinct (type,key) set feeds the 3-sketch aggregate AND the exact pair joins; hll_union is register algebra on broadcast-sized rows — intersection never rescans data",
