@@ -333,10 +333,15 @@ def pagerank(
 
     Cross-engine determinism (the reason this can be hash-gated): each
     per-edge contribution rank/outdeg is an IEEE double op on
-    bit-identical inputs; it is then cast to DECIMAL(38,12) — binary
-    doubles can never land exactly on a .5 decimal-rounding tie, so
-    Spark and DuckDB round identically — summed EXACTLY
-    (order-independent), and the damping update runs in doubles again.
+    bit-identical inputs; it is then cast to DECIMAL(38,12), summed
+    EXACTLY (order-independent), and the damping update runs in
+    doubles again.  CAVEAT (measured in round 10, SCALE.md §4e): the
+    double->DECIMAL(38,12) cast is NOT tie-proof across engines — the
+    q_hits first draft hit 63 off-by-1e-12 sums at sf0.1 from exactly
+    this cast.  This operator stays green on the fixed test data (its
+    contribution values happen never to straddle a divergent
+    rounding), but new cross-row sums of computed doubles should use
+    the tie-free floor(x*1e12) fixed-point device instead.
     Dangling nodes (no out-edges) still receive mass but leak their
     own, matching the oracle's unrolled-CTE formulation.
     """
