@@ -229,3 +229,49 @@ def nearest_centroid_udf(centroids: list[list[float]]):
         return pd.Series(d2.argmin(axis=1).astype(np.int32))
 
     return nearest
+
+
+def pq_encode_udf(centroids: list[list[float]], codebooks):
+    """array<numeric> vector -> array<int> [cell, code_0..code_{M-1}]:
+    coarse-quantize to the nearest IVF centroid, then product-quantize
+    the RESIDUAL (vector - centroid) subspace by subspace against the
+    trained codebooks (similarity.pq_train) — the IVF-PQ encoding of
+    Jegou et al., "Product Quantization for Nearest Neighbor Search"
+    (TPAMI 2011).
+
+    One kernel computes both the cell and the codes so the k x d
+    coarse-distance loop runs ONCE per row (a separate
+    nearest_centroid_udf pass would pay it twice); JVM-side the caller
+    splits the array with element_at/slice.  Codes are argmin over the
+    subspace codebook (squared L2; ties -> lowest index) — same
+    determinism contract as nearest_centroid_udf.
+
+    Vectors are L2-NORMALIZED first (zero rows pass through) — the PQ
+    metric contract: the quantizers are trained on the unit sphere,
+    where squared L2 is monotone in cosine, so ADC ranking agrees with
+    the exact cosine re-rank (see similarity.py's IVF-PQ section)."""
+    C = np.asarray(centroids, dtype=np.float64)  # (k, d)
+    cn = (C * C).sum(axis=1)
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, k_sub, d_sub)
+    m, k_sub, d_sub = B.shape
+    bn = (B * B).sum(axis=2)  # (m, k_sub)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        norms = np.sqrt((V * V).sum(axis=1, keepdims=True))
+        norms[norms == 0.0] = 1.0
+        V = V / norms
+        cells = (cn[None, :] - 2.0 * (V @ C.T)).argmin(axis=1)
+        R = (V - C[cells]).reshape(len(V), m, d_sub)  # residual subvecs
+        out = np.empty((len(V), m + 1), dtype=np.int32)
+        out[:, 0] = cells
+        for j in range(m):
+            # ||r - b||^2 ranking: ||b||^2 - 2 r.b (||r||^2 constant/row)
+            d2 = bn[j][None, :] - 2.0 * (R[:, j, :] @ B[j].T)
+            out[:, j + 1] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return encode

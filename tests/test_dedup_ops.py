@@ -1386,3 +1386,103 @@ def test_repeated_spans_matches_bruteforce(spark):
         assert got == brute(docs)
 
     check()
+
+
+def test_ivf_pq_topk_recall_vs_exact(spark, embeddings):
+    """IVF-PQ: ADC candidate ranking + exact re-rank must recover >=0.9
+    of the exact cosine top-10 at the query dials (the q_ann_pq_topk
+    gate, measured 0.9/1.0/1.0 across sf0.001/0.01/0.1)."""
+    from pulsar_sync_java_spark.operators.similarity import ivf_pq_topk
+
+    row = embeddings.filter(F.col("vec_id") == 0).first()
+    qv = [float(x) for x in row.embedding]
+    exact = [r.vec_id for r in cosine_topk(embeddings, qv, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in ivf_pq_topk(
+            embeddings, qv, k=10, n_centroids=16, nprobe=14, m=16,
+            k_sub=256, rerank=64, iters=1,
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9, f"recall {recall}: exact={exact} approx={approx}"
+
+
+def test_ivf_pq_indexed_round_trip(spark, embeddings, tmp_path):
+    """The materialized IVF-PQ index (r9 verdict #4 'index round-trip'):
+
+    (a) the indexed probe returns exactly what the in-memory path
+        returns for the same seeds/dials (same training sample ->
+        same quantizers -> same codes -> same ADC ranking);
+    (b) the ADC candidate scan is partition-pruned AND column-pruned —
+        its parquet ReadSchema must NOT carry the embedding column
+        (the M-bytes-per-vector payload story, asserted in the plan);
+    (c) the index grows through ivf_index_append (codes ride along as
+        an ordinary column), replays append nothing, and the appended
+        vector is immediately findable as its own nearest neighbor.
+    """
+    from pulsar_sync_java_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_pq_index_write,
+        ivf_pq_topk,
+        ivf_pq_topk_indexed,
+    )
+    from pulsar_sync_java_spark.operators.vectorized import pq_encode_udf
+
+    path = str(tmp_path / "ivfpq_index")
+    cents, books = ivf_pq_index_write(
+        embeddings, path, n_centroids=8, m=16, k_sub=64, iters=1
+    )
+    assert len(cents) == 8 and len(books) == 16 and len(books[0]) == 64
+
+    row = embeddings.filter(F.col("vec_id") == 0).first()
+    qv = [float(x) for x in row.embedding]
+    got = [
+        (r.vec_id, r.cos_sim)
+        for r in ivf_pq_topk_indexed(
+            spark, path, cents, books, qv, k=10, nprobe=3, rerank=32
+        ).collect()
+    ]
+    want = [
+        (r.vec_id, r.cos_sim)
+        for r in ivf_pq_topk(
+            embeddings, qv, k=10, n_centroids=8, nprobe=3, m=16,
+            k_sub=64, rerank=32, iters=1,
+        ).collect()
+    ]
+    assert got == want
+
+    # (b) codes scan: pruned to the probed cells, embedding never read
+    probe = [0, 1]
+    codes_scan = (
+        spark.read.parquet(path)
+        .where(F.col("ivf_cell").isin(probe))
+        .select("vec_id", "pq_codes")
+    )
+    plan = codes_scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "ivf_cell" in plan
+    read_schema = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ]
+    assert read_schema and all("embedding" not in ln for ln in read_schema)
+
+    # (c) append a fresh vector, coded against the STORED quantizers
+    new_vec = [float(x) * -1.0 for x in row.embedding]  # antipode: unique
+    delta = spark.createDataFrame(
+        [(999_999, new_vec, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    enc = pq_encode_udf(cents, books)(F.col("embedding"))
+    assigned = (
+        delta.withColumn("__enc", enc)
+        .withColumn("__cluster", F.element_at("__enc", 1))
+        .withColumn("pq_codes", F.slice("__enc", 2, 16))
+        .drop("__enc")
+    )
+    appended = ivf_index_append(delta, path, cents, assigned=assigned)
+    assert appended == 1
+    assert ivf_index_append(delta, path, cents, assigned=assigned) == 0
+    top1 = ivf_pq_topk_indexed(
+        spark, path, cents, books, new_vec, k=1, nprobe=3, rerank=32
+    ).collect()
+    assert [r.vec_id for r in top1] == [999_999]
