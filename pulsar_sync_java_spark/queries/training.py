@@ -909,7 +909,18 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy pack, so the hash gate proves the distributed rewrite
     exact.  Corpus cost: ONE scan into the file-stats aggregate;
     everything after is metadata-sized.  Integer discipline
-    throughout; fill_ratio is the single final division."""
+    throughout; fill_ratio is the single final division.
+
+    Since r10 the planner machinery lives in sinks/writers.py
+    (`plan_compaction` per-file assignments -> `compaction_groups`
+    summary) and the plan EXECUTES: `apply_compaction_plan` rewrites
+    one key-sorted file per group and verifies plan == landed files
+    (tests/test_sinks.py)."""
+    from pulsar_sync_java_spark.sinks.writers import (
+        compaction_groups,
+        plan_compaction,
+    )
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     files = li.groupBy(
         F.expr(f"l_orderkey div {_COMPACT_FILE_KEYS}").alias("file_id")
@@ -918,37 +929,7 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey").alias("min_key"),
         F.max("l_orderkey").alias("max_key"),
     )
-    under = files.filter(F.col("n_rows") < _COMPACT_UNDER).withColumn(
-        "bucket", F.expr(f"file_id div {_COMPACT_RANGE}")
+    assign = plan_compaction(
+        files, _COMPACT_TARGET, _COMPACT_UNDER, _COMPACT_RANGE
     )
-    totals = under.groupBy("bucket").agg(F.sum("n_rows").alias("bucket_rows"))
-    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    offsets = totals.select(
-        "bucket",
-        (F.sum("bucket_rows").over(wb) - F.col("bucket_rows")).alias("offset"),
-    )
-    ww = (
-        Window.partitionBy("bucket")
-        .orderBy("file_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    g = (
-        under.join(F.broadcast(offsets), "bucket")
-        .withColumn(
-            "start",
-            F.col("offset") + F.sum("n_rows").over(ww) - F.col("n_rows"),
-        )
-        .withColumn(
-            "group_id", F.expr(f"start div {_COMPACT_TARGET}").cast("bigint")
-        )
-    )
-    return g.groupBy("group_id").agg(
-        F.count(F.lit(1)).alias("n_files"),
-        F.sum("n_rows").cast("long").alias("total_rows"),
-        F.min("min_key").alias("min_key"),
-        F.max("max_key").alias("max_key"),
-        (
-            F.sum("n_rows").cast("long").cast("double")
-            / F.lit(_COMPACT_TARGET)
-        ).alias("fill_ratio"),
-    )
+    return compaction_groups(assign, _COMPACT_TARGET)

@@ -509,3 +509,180 @@ def idempotent_append(
             fresh.unpersist()
         base.unpersist()
     return n
+
+
+# ---------------------------------------------------------------------------
+# Plan-driven compaction: the EXECUTION half of q_compaction_plan
+# (queries/training.py) — r9 verdict #5: "wire one writer-planning
+# query to an actual write".  plan_compaction produces per-FILE group
+# assignments (the planner's working set, which the group summary the
+# query emits is an aggregate of); apply_compaction_plan routes the
+# undersized files' rows to their groups, writes ONE key-sorted file
+# per group, and verifies the landed files against the plan before
+# returning — a rewrite that silently diverged from its plan is a
+# corrupted maintenance job, not a best-effort one.
+# ---------------------------------------------------------------------------
+
+
+def plan_compaction(
+    files: DataFrame,
+    target_rows: int,
+    under_rows: int,
+    bucket_range: int = 16,
+) -> DataFrame:
+    """Per-file compaction assignments over a FILE-STATS table with
+    columns (file_id, n_rows, min_key, max_key): files at/above
+    `under_rows` are right-sized and stay untouched (absent from the
+    output); undersized files are bin-packed IN KEY ORDER into
+    ~`target_rows`-row groups, so merged files stay range-prunable.
+
+    group id = exclusive-prefix-sum(n_rows) div target, computed as a
+    TWO-LEVEL distributed prefix sum (`bucket_range` files per leaf
+    bucket, per-bucket totals cumulated over the tiny bucket table,
+    broadcast offsets, per-bucket parallel windows) — at 100 TB the
+    planner's input is itself big (~10^6 files at a 128 MB target) and
+    a naive `SUM() OVER (ORDER BY file_id)` over it is the single-task
+    window this engine never emits.  Returns (file_id, n_rows,
+    min_key, max_key, group_id)."""
+    from pyspark.sql.window import Window
+
+    under = files.filter(F.col("n_rows") < under_rows).withColumn(
+        "bucket", F.expr(f"file_id div {int(bucket_range)}")
+    )
+    totals = under.groupBy("bucket").agg(F.sum("n_rows").alias("bucket_rows"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    offsets = totals.select(
+        "bucket",
+        (F.sum("bucket_rows").over(wb) - F.col("bucket_rows")).alias("offset"),
+    )
+    ww = (
+        Window.partitionBy("bucket")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        under.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "start",
+            F.col("offset") + F.sum("n_rows").over(ww) - F.col("n_rows"),
+        )
+        .withColumn(
+            "group_id",
+            F.expr(f"start div {int(target_rows)}").cast("bigint"),
+        )
+        .select("file_id", "n_rows", "min_key", "max_key", "group_id")
+    )
+
+
+def compaction_groups(assign: DataFrame, target_rows: int) -> DataFrame:
+    """Group summary of a `plan_compaction` assignment — file count,
+    merged key range, fill ratio per compaction group (what
+    q_compaction_plan reports).  Integer discipline; fill_ratio is the
+    single final division."""
+    return assign.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.min("min_key").alias("min_key"),
+        F.max("max_key").alias("max_key"),
+        (
+            F.sum("n_rows").cast("long").cast("double")
+            / F.lit(int(target_rows))
+        ).alias("fill_ratio"),
+    )
+
+
+def apply_compaction_plan(
+    rows: DataFrame,
+    assign: DataFrame,
+    path: str,
+    file_id: F.Column,
+    key_col: str,
+) -> dict:
+    """Execute a `plan_compaction` assignment: route each data row to
+    its file's compaction group (`file_id` is the same deterministic
+    row -> file expression the planner's stats were built from),
+    rewrite ONE key-sorted parquet file per group, Hive-partitioned by
+    group_id, and VERIFY the landed files against the plan.
+
+    Routing is a broadcast equi-join on file_id (the assignment table
+    is metadata-sized), NOT a key-range join: a right-sized file's key
+    range can sit INSIDE a group's merged [min_key, max_key] span
+    (groups merge consecutive undersized files, skipping right-sized
+    ones between them), so range routing would swallow rows the plan
+    explicitly left in place.  Rows of unplanned files drop out of the
+    inner join — they keep their existing files.
+
+    One file per group by construction: the shuffle hashes on
+    group_id, so a group's rows land wholly in one task, and the
+    partitionBy writer emits one file per (task, value) pair.  Sorting
+    within partitions on (group_id, key) keeps each landed file
+    key-ordered — merged files stay range-prunable, the planner's
+    stated contract.
+
+    Verification reads the result back and checks, per group: row
+    count == planned total_rows and key min/max == the planned merged
+    range, plus exactly one landed file per planned group; any
+    mismatch raises with the offending groups.  Deterministic inputs
+    => re-running overwrites to the identical layout (the idempotency
+    the maintenance scheduler leans on).  Returns
+    {"groups": n, "rows": n, "files": n}."""
+    spark = rows.sparkSession
+    tagged = rows.withColumn("__file_id", file_id).join(
+        F.broadcast(assign.select(F.col("file_id").alias("__file_id"), "group_id")),
+        "__file_id",
+    )
+    (
+        tagged.drop("__file_id")
+        .repartition(F.col("group_id"))
+        .sortWithinPartitions("group_id", key_col)
+        .write.mode("overwrite")
+        .partitionBy("group_id")
+        .parquet(path)
+    )
+
+    landed = spark.read.parquet(path).withColumn(
+        # project BEFORE the aggregate: input_file_name() is
+        # non-deterministic to the analyzer and rejected inside agg()
+        "__file", F.input_file_name()
+    )
+    got = (
+        landed.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("got_rows"),
+            F.min(key_col).alias("got_min"),
+            F.max(key_col).alias("got_max"),
+            F.count_distinct(F.col("__file")).alias("got_files"),
+        )
+    )
+    plan = assign.groupBy("group_id").agg(
+        F.sum("n_rows").cast("long").alias("want_rows"),
+        F.min("min_key").alias("want_min"),
+        F.max("max_key").alias("want_max"),
+    )
+    bad = (
+        plan.join(got, "group_id", "full_outer")
+        .filter(
+            ~(
+                (F.col("got_rows") == F.col("want_rows"))
+                & (F.col("got_min") == F.col("want_min"))
+                & (F.col("got_max") == F.col("want_max"))
+                & (F.col("got_files") == F.lit(1))
+            )
+        )
+        .limit(20)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            "apply_compaction_plan: landed files diverge from the plan "
+            f"(first {len(bad)} groups): "
+            + "; ".join(str(r.asDict()) for r in bad)
+        )
+    totals = plan.agg(
+        F.count(F.lit(1)).alias("g"), F.sum("want_rows").alias("r")
+    ).first()
+    return {
+        "groups": int(totals["g"]),
+        "rows": int(totals["r"]),
+        "files": int(totals["g"]),
+    }
