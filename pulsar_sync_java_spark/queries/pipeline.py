@@ -558,10 +558,15 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-million token rate cut points -> integer weights.  Rates (not raw
 # counts) keep the weight table scale-free: the same model text works
 # at sf0.001 and at 100 TB.  Integer div (`div` / `//`) throughout —
-# no float enters until the final per-doc mean.
-_CLS_RARE_PPM = 5_000  # 'dup'-marker band: rare tokens signal noise
-_CLS_MID_PPM = 33_000
-_CLS_KEEP_MIN = 1.45
+# no float enters until the final per-doc mean.  The model itself
+# (train + apply) lives in operators/quality.py since r10, shared with
+# the streaming ingest gate (streaming/neardup.py); the constants are
+# re-exported here for the oracle SQL.
+from pulsar_sync_java_spark.operators.quality import (  # noqa: E402
+    CLS_KEEP_MIN as _CLS_KEEP_MIN,
+    CLS_MID_PPM as _CLS_MID_PPM,
+    CLS_RARE_PPM as _CLS_RARE_PPM,
+)
 
 _CLASSIFIER_SQL = f"""
 WITH toks AS (
@@ -618,29 +623,16 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan contract: two corpus passes (train: vocab aggregate; apply:
     scored stream), zero extra corpus shuffles — the only exchanges
     are the vocab-sized count aggregate and the doc-sized score
-    aggregate; the weight join is a BroadcastHashJoin."""
+    aggregate; the weight join is a BroadcastHashJoin.  Train and
+    apply are `operators/quality.py:classifier_weights/_scores` —
+    the exact kernels the streaming ingest gate freezes and reuses."""
+    from pulsar_sync_java_spark.operators.quality import (
+        classifier_scores,
+        classifier_weights,
+    )
+
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(_spark_tokens()).alias("token"))
-    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = vocab.agg(F.sum("cnt").cast("long").alias("tok_total"))
-    w = vocab.crossJoin(F.broadcast(tot)).select(
-        "token",
-        F.expr(
-            f"CASE WHEN (cnt * 1000000) div tok_total < {_CLS_RARE_PPM} THEN -4 "
-            f"WHEN (cnt * 1000000) div tok_total < {_CLS_MID_PPM} THEN 1 "
-            "ELSE 2 END"
-        ).alias("wt"),
-    )
-    score = F.sum("wt").cast("bigint").cast("double") / F.count(F.lit(1))
-    return (
-        toks.join(F.broadcast(w), "token")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_toks"),
-            score.alias("score"),
-            (score >= F.lit(_CLS_KEEP_MIN)).alias("keep"),
-        )
-    )
+    return classifier_scores(d, classifier_weights(d))
 
 
 # ------------------------------------------- chi-square term selection

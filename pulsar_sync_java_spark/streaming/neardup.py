@@ -130,3 +130,66 @@ def neardup_ingest_stream(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
+
+
+def gated_ingest_batch(
+    batch_df: DataFrame,
+    weights: DataFrame,
+    corpus_sig_dir: str,
+    sink_dir: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> int:
+    """Quality-gated ingestion of one batch (r9 verdict #6): the FROZEN
+    classifier (operators/quality.py — the q_classifier_score model,
+    trained ONCE on a reference corpus, never on the arriving batch)
+    gates the batch first, then the survivors run the near-dup decision
+    against the accumulated corpus and append — gate → near-dup →
+    append, the streaming twin of the batch corpus-materialization
+    composition.
+
+    Order matters twice over: gating first means dropped-quality docs
+    never enter the signature index (they must not suppress later
+    GOOD near-copies of themselves), and a frozen model means the gate
+    is a pure per-row function — so it commutes with micro-batching
+    and the stream equals the batch pipeline on the same rows
+    (tests/test_neardup_stream.py).  Returns keepers appended."""
+    from pulsar_sync_java_spark.operators.quality import classifier_gate
+
+    gated = classifier_gate(batch_df, weights, id_col, text_col)
+    return ingest_batch(
+        gated, corpus_sig_dir, sink_dir, threshold=threshold,
+        id_col=id_col, text_col=text_col, **kwargs,
+    )
+
+
+def gated_neardup_ingest_stream(
+    doc_stream: DataFrame,
+    weights_path: str,
+    corpus_sig_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    **kwargs,
+) -> DataStreamWriter:
+    """Wire `gated_ingest_batch` into a foreachBatch streaming query.
+    The weight table is read from `weights_path` (the persisted,
+    immutable model artifact) inside each batch — every micro-batch,
+    and every restart from the same checkpoint, gates under the
+    identical frozen model; retraining is an explicit redeploy to a
+    NEW path, never a side effect of ingestion."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        weights = batch_df.sparkSession.read.parquet(weights_path)
+        gated_ingest_batch(
+            batch_df, weights, corpus_sig_dir, sink_dir,
+            threshold=threshold, **kwargs,
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )

@@ -131,3 +131,81 @@ def test_ingest_batch_drop_rule_matches_pair_derivation(spark, tmp_path):
     ingest_batch(docs, str(tmp_path / "sigs"), sink, threshold=0.5)
     kept = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
     assert kept == all_ids - dropped
+
+
+@pytest.mark.slow
+def test_gated_stream_matches_batch_composition_across_restart(
+    spark, tmp_path, doc_batches
+):
+    """The quality-gated ingest twin (r9 verdict #6): a checkpointed
+    stream that gates each micro-batch with the FROZEN classifier and
+    near-dups the survivors must equal the batch composition
+    (classifier_gate -> sequential ingest_batch) on the same rows —
+    including across a stop/restart between the two batches, the
+    failure point where a drifting model or a re-derived keeper set
+    would diverge."""
+    from pulsar_sync_java_spark.operators.quality import (
+        classifier_gate,
+        classifier_weights,
+    )
+    from pulsar_sync_java_spark.streaming.neardup import (
+        gated_ingest_batch,
+        gated_neardup_ingest_stream,
+    )
+
+    b1, b2 = doc_batches
+    # the frozen model: trained once on the reference corpus, persisted
+    ref = load_table(spark, SF_DIR, "documents")
+    weights_path = str(tmp_path / "weights")
+    classifier_weights(ref).write.parquet(weights_path)
+    weights = spark.read.parquet(weights_path)
+
+    # the gate must actually cut something, or the test is vacuous
+    n_b1 = b1.count()
+    n_gated = classifier_gate(b1, weights).count()
+    assert 0 < n_gated < n_b1
+
+    # streaming side: batch 1, stop, RESTART from checkpoint, batch 2
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sig_s = str(tmp_path / "sigs_s")
+    sink_s = str(tmp_path / "corpus_s")
+    stream_df = lambda: spark.readStream.schema(  # noqa: E731
+        "doc_id long, text string"
+    ).parquet(src)
+    b1.repartition(1).write.mode("append").parquet(src)
+    q = (
+        gated_neardup_ingest_stream(
+            stream_df(), weights_path, sig_s, sink_s, checkpoint_dir=ckpt
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    b2.repartition(1).write.mode("append").parquet(src)
+    q = (
+        gated_neardup_ingest_stream(
+            stream_df(), weights_path, sig_s, sink_s, checkpoint_dir=ckpt
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # batch side: same frozen weights, same batch order
+    sig_b = str(tmp_path / "sigs_b")
+    sink_b = str(tmp_path / "corpus_b")
+    gated_ingest_batch(b1, weights, sig_b, sink_b)
+    gated_ingest_batch(b2, weights, sig_b, sink_b)
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(sink_s).collect())
+    want = sorted(r["doc_id"] for r in spark.read.parquet(sink_b).collect())
+    assert got == want and got
+    # every accepted doc passed the gate
+    gated_all = {
+        r["doc_id"]
+        for r in classifier_gate(b1.unionByName(b2), weights)
+        .select("doc_id")
+        .collect()
+    }
+    assert set(got) <= gated_all
