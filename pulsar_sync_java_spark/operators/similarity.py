@@ -1270,3 +1270,106 @@ def ivf_pq_topk_indexed(
         .join(F.broadcast(topc.select(id_col)), id_col)
     )
     return cosine_topk(fetch, query_vec, k, id_col, vec_col)
+
+
+def ivf_pq_index_refresh(
+    spark,
+    path: str,
+    df_new: DataFrame,
+    centroids: list[list[float]],
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rebuild_path: str | None = None,
+    growth_factor: float = 2.0,
+    cell_share_factor: float = 4.0,
+    drift_tv_threshold: float = 0.25,
+    n_centroids: int | None = None,
+    m: int | None = None,
+    k_sub: int | None = None,
+    iters: int = 2,
+    pq_iters: int = 3,
+    seed: int = 42,
+) -> dict:
+    """One maintenance step of a standing IVF-PQ index — the
+    `ivf_index_refresh` decision model (size staleness OR delta cell
+    drift => rebuild; else append) carried over to the coded layout:
+
+    - **append**: the delta is encoded against the STORED quantizers
+      (one Arrow kernel pass computes cell + codes; a coarse/PQ model
+      is deliberately never retrained per batch — ADC error is
+      corrected by the exact re-rank) and idempotently appended,
+      partition-pruned by cell.
+    - **rebuild**: retrains BOTH quantizer levels (coarse centroids
+      and the residual codebooks — residuals move when centroids
+      move, so the codebooks can never be kept across a coarse
+      retrain) over index ∪ delta into a NEW directory via
+      `ivf_pq_index_write`; the caller swaps the active pointer.
+
+    The drift signal reuses `ivf_delta_drift` over the coded
+    assignment (cell occupancy is layout-level — identical machinery
+    whether cells carry raw vectors or codes).  Returns the
+    `ivf_index_refresh`-shaped decision record plus `codebooks`.
+    """
+    from pulsar_sync_java_spark.operators.vectorized import pq_encode_udf
+
+    mm = len(codebooks)
+    enc = pq_encode_udf(centroids, codebooks)(F.col(vec_col))
+    delta_coded = (
+        spread(df_new)
+        .withColumn("__enc", enc)
+        .withColumn("__cluster", F.element_at("__enc", 1))
+        .withColumn("pq_codes", F.slice("__enc", 2, mm))
+        .drop("__enc")
+    )
+    drift_tv = ivf_delta_drift(spark, path, delta_coded)
+    report = ivf_index_staleness(spark, path)
+    size_stale = report.should_rebuild(growth_factor, cell_share_factor)
+    drifted = drift_tv >= drift_tv_threshold
+    record = {
+        "growth": report.growth,
+        "max_cell_share": report.max_cell_share,
+        "drift_tv": drift_tv,
+        "size_stale": size_stale,
+        "drifted": drifted,
+    }
+    if not (size_stale or drifted):
+        appended = ivf_index_append(
+            df_new, path, centroids, id_col, vec_col, assigned=delta_coded
+        )
+        return {
+            **record,
+            "action": "append",
+            "appended": appended,
+            "path": path,
+            "centroids": centroids,
+            "codebooks": codebooks,
+        }
+    target = rebuild_path or f"{path}_rebuilt"
+    # delta wins deterministically — the ivf_index_refresh contract
+    delta_u = (
+        df_new.select(id_col, vec_col)
+        .groupBy(id_col)
+        .agg(F.min(vec_col).alias(vec_col))
+    )
+    full = (
+        spark.read.parquet(path)
+        .select(id_col, vec_col)
+        .join(delta_u.select(id_col), id_col, "left_anti")
+        .unionByName(delta_u)
+    )
+    meta = spark.read.parquet(f"{path}/_ivf_meta").collect()[0]
+    k = n_centroids if n_centroids is not None else int(meta["n_centroids"])
+    new_m = m if m is not None else mm
+    new_ks = k_sub if k_sub is not None else len(codebooks[0])
+    cents, books = ivf_pq_index_write(
+        full, target, id_col, vec_col, k, new_m, new_ks, iters, pq_iters, seed
+    )
+    return {
+        **record,
+        "action": "rebuild",
+        "appended": 0,
+        "path": target,
+        "centroids": cents,
+        "codebooks": books,
+    }

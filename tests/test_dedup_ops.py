@@ -1505,3 +1505,63 @@ def test_ivf_pq_indexed_round_trip(spark, embeddings, tmp_path):
         spark, path, cents, books, new_vec, k=1, nprobe=3, rerank=32
     ).collect()
     assert [r.vec_id for r in top1] == [999_999]
+
+
+@pytest.mark.slow
+def test_ivf_pq_refresh_append_then_rebuild(spark, tmp_path):
+    """The IVF-PQ maintenance twin of the ivf_index_refresh pipeline:
+    a same-distribution delta appends (encoded against the STORED
+    quantizers, idempotently — codes ride the append), a planted
+    distribution shift trips the TV trigger and retrains BOTH
+    quantizer levels into a new versioned directory, and the rebuilt
+    index clears the recall gate for a drifted-region query."""
+    from pulsar_sync_java_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_index_refresh,
+        ivf_pq_index_write,
+        ivf_pq_topk_indexed,
+    )
+    from pulsar_sync_java_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "ivfpq")
+    cents, books = ivf_pq_index_write(
+        e, path, n_centroids=8, m=16, k_sub=64, iters=1
+    )
+
+    clean = e.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    ).filter(F.col("vec_id") % 5 == 0)
+    step1 = ivf_pq_index_refresh(spark, path, clean, cents, books)
+    assert step1["action"] == "append", step1
+    assert step1["appended"] == clean.count()
+    # appended rows carry codes: the coded scan sees the new ids
+    coded = spark.read.parquet(path).filter(F.col("vec_id") >= 100_000)
+    assert coded.count() == clean.count()
+    assert coded.filter(F.size("pq_codes") != 16).count() == 0
+    replay = ivf_pq_index_refresh(spark, path, clean, cents, books)
+    assert replay["action"] == "append" and replay["appended"] == 0
+
+    drifted = e.select(
+        (F.col("vec_id") + 200_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(3.0)).alias("embedding"),
+    ).filter(F.col("vec_id") % 3 == 0)
+    step2 = ivf_pq_index_refresh(spark, path, drifted, cents, books)
+    assert step2["action"] == "rebuild", step2
+    assert step2["drifted"] and step2["path"] != path
+    assert step2["centroids"] != cents and step2["codebooks"] != books
+
+    # recall on the rebuilt coded index for a drifted-region query
+    corpus = spark.read.parquet(step2["path"]).select("vec_id", "embedding")
+    assert corpus.count() == e.count() + clean.count() + drifted.count()
+    qrow = corpus.filter(F.col("vec_id") >= 200_000).orderBy("vec_id").first()
+    qv = [float(x) for x in qrow.embedding]
+    exact = {r.vec_id for r in cosine_topk(corpus, qv, k=10).collect()}
+    got = {
+        r.vec_id
+        for r in ivf_pq_topk_indexed(
+            spark, step2["path"], step2["centroids"], step2["codebooks"],
+            qv, k=10, nprobe=6, rerank=64,
+        ).collect()
+    }
+    assert len(exact & got) / 10 >= 0.9, (exact, got)
