@@ -178,6 +178,28 @@ def test_ann_ivf_stays_vectorized_topk(spark, queries):
     assert "Sort " not in plan  # top-k must not globally sort
 
 
+def test_ann_pq_adc_stays_jvm_side(spark, queries):
+    """q_ann_pq_topk: ONE Arrow stage (the cell+codes encode kernel —
+    never row-at-a-time BatchEvalPython); the ADC distance itself is
+    JVM higher-order expressions over the broadcast LUT join, so no
+    second Python stage appears; both the candidate cut and the final
+    top-k are TakeOrderedAndProject; every join broadcasts (the LUT
+    table is nprobe rows, the rerank id set is `rerank` rows) — a
+    SortMergeJoin or CartesianProduct would mean something
+    corpus-sized shuffled or paired."""
+    plan = plan_of(queries["q_ann_pq_topk"](spark, SF_DIR))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Sort " not in plan  # candidate cut + top-k never globally sort
+    joins = re.findall(r"\(\d+\) (\w*Join\w*)", plan)
+    assert joins and all(
+        j in ("BroadcastHashJoin", "BroadcastNestedLoopJoin") for j in joins
+    ), joins
+
+
 def test_join_salted_broadcasts_hot_set(spark, queries):
     """q_join_salted: the detected hot-key set must reach both branch
     filters as a BROADCAST (LeftSemi picks the hot rows, LeftAnti the
