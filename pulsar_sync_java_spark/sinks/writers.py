@@ -659,16 +659,19 @@ def apply_compaction_plan(
         F.min("min_key").alias("want_min"),
         F.max("max_key").alias("want_max"),
     )
+    # null-SAFE compares: a group present on only one side (planned but
+    # never landed, or landed but never planned) yields NULLs, and a
+    # plain `==` would evaluate to NULL — silently passing the exact
+    # divergence this check exists to catch
+    ok = (
+        F.col("got_rows").eqNullSafe(F.col("want_rows"))
+        & F.col("got_min").eqNullSafe(F.col("want_min"))
+        & F.col("got_max").eqNullSafe(F.col("want_max"))
+        & F.col("got_files").eqNullSafe(F.lit(1))
+    )
     bad = (
         plan.join(got, "group_id", "full_outer")
-        .filter(
-            ~(
-                (F.col("got_rows") == F.col("want_rows"))
-                & (F.col("got_min") == F.col("want_min"))
-                & (F.col("got_max") == F.col("want_max"))
-                & (F.col("got_files") == F.lit(1))
-            )
-        )
+        .filter(~ok)
         .limit(20)
         .collect()
     )

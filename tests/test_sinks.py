@@ -524,3 +524,16 @@ def test_apply_compaction_plan_matches_plan_and_is_idempotent(
         for f in _parquet_files(path)
     )
     assert out2 == out and [s for _, s in before] == [s for _, s in after]
+
+    # divergence detection fires: rows missing vs the plan's stats must
+    # raise, not silently land a plan-violating layout (and the
+    # null-safe compare catches a planned group that never lands at all
+    # — drop every row of the last group's key range)
+    last = max(groups.values(), key=lambda g: g.group_id)
+    short = rows.filter(
+        (F.col("k") % 11 != 0) & ~F.col("k").between(last.min_key, last.max_key)
+    )
+    with pytest.raises(ValueError, match="diverge"):
+        apply_compaction_plan(
+            short, assign, str(tmp_path / "diverged"), file_id, "k"
+        )
