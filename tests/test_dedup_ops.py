@@ -1565,3 +1565,58 @@ def test_ivf_pq_refresh_append_then_rebuild(spark, tmp_path):
         ).collect()
     }
     assert len(exact & got) / 10 >= 0.9, (exact, got)
+
+
+def test_pq_adc_distance_law_bit_exact(spark):
+    """The ADC scan's JVM zip_with/aggregate must equal the textbook
+    lookup-table sum Σ_m LUT[m][code_m] computed sequentially in
+    float64 — same addends, same left-fold order, so the comparison is
+    BIT-exact, pinning both the 1-based element_at indexing and the
+    LUT row/code alignment (an off-by-one would still produce
+    plausible-looking distances and survive a recall gate)."""
+    from pulsar_sync_java_spark.operators.similarity import (
+        _pq_adc_topc,
+        _pq_lut_rows,
+        _pq_probe_order,
+        kmeans_centroids,
+        pq_train,
+        _l2_normalize,
+        _seeded_sample,
+    )
+    from pulsar_sync_java_spark.operators.vectorized import pq_encode_udf
+
+    docs = load_table(spark, SF_DIR, "embeddings").limit(64)
+    X = _l2_normalize(_seeded_sample(docs, "vec_id", "embedding", 64, 42))
+    cents = kmeans_centroids(docs, k=4, iters=1, sample=X)
+    books = pq_train(docs, cents, m=8, k_sub=16, iters=2, sample=X)
+
+    enc = pq_encode_udf(cents, books)(F.col("embedding"))
+    coded = (
+        docs.select("vec_id", enc.alias("__enc"))
+        .select(
+            "vec_id",
+            F.element_at("__enc", 1).alias("__cell"),
+            F.slice("__enc", 2, 8).alias("__codes"),
+        )
+    )
+    qrow = docs.first()
+    qv = [float(x) for x in qrow.embedding]
+    order, q_norm = _pq_probe_order(qv, cents)
+    probe = order[:4]  # all cells: every row keeps an ADC value
+    lut_rows = _pq_lut_rows(q_norm, cents, books, probe)
+    lut = {cell: t for cell, t in lut_rows}
+
+    got = {
+        r["vec_id"]: r["__adc"]
+        for r in _pq_adc_topc(coded, lut_rows, rerank=64, id_col="vec_id")
+        .collect()
+    }
+    codes = {
+        r["vec_id"]: (r["__cell"], list(r["__codes"])) for r in coded.collect()
+    }
+    assert set(got) == set(codes)
+    for vid, (cell, cs) in codes.items():
+        want = 0.0
+        for j, c in enumerate(cs):  # sequential left fold, like aggregate()
+            want = want + lut[cell][j][c]
+        assert got[vid] == want, (vid, got[vid], want)
