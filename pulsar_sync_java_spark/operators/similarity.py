@@ -288,7 +288,12 @@ def assign_clusters(
 
 
 def _seeded_sample(
-    df: DataFrame, id_col: str, vec_col: str, n: int, seed: int
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n: int,
+    seed: int,
+    caller: str = "kmeans_centroids",
 ):
     """The quantizer training sample: the `n` vectors with the smallest
     seeded xxhash64 of their id — reproducible, no data-order
@@ -306,7 +311,7 @@ def _seeded_sample(
     )
     if not rows:
         raise ValueError(
-            "quantizer sample: input has no rows — cannot train "
+            f"{caller}: input has no rows — cannot train a quantizer "
             f"(vec_col={vec_col!r})"
         )
     return np.asarray([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
@@ -1028,7 +1033,7 @@ def pq_train(
         )
     d_sub = d // m
     X = sample if sample is not None else _l2_normalize(
-        _seeded_sample(df, id_col, vec_col, 256 * k, seed)
+        _seeded_sample(df, id_col, vec_col, 256 * k, seed, caller="pq_train")
     )
     cells = ((C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
     R = (X - C[cells]).reshape(len(X), m, d_sub)
@@ -1142,7 +1147,10 @@ def ivf_pq_topk(
     Training (coarse + codebooks) shares ONE bounded driver-side
     sample; everything distributed is one Arrow encode projection, a
     broadcast LUT join, and a top-C."""
-    X = _l2_normalize(_seeded_sample(df, id_col, vec_col, 256 * n_centroids, seed))
+    X = _l2_normalize(
+        _seeded_sample(df, id_col, vec_col, 256 * n_centroids, seed,
+                       caller="ivf_pq_topk")
+    )
     cents = kmeans_centroids(
         df, id_col, vec_col, n_centroids, iters, seed, sample=X
     )
@@ -1197,7 +1205,10 @@ def ivf_pq_index_write(
     onto an `ivf_index_write` directory."""
     from pulsar_sync_java_spark.operators.vectorized import pq_encode_udf
 
-    X = _l2_normalize(_seeded_sample(df, id_col, vec_col, 256 * n_centroids, seed))
+    X = _l2_normalize(
+        _seeded_sample(df, id_col, vec_col, 256 * n_centroids, seed,
+                       caller="ivf_pq_index_write")
+    )
     cents = kmeans_centroids(
         df, id_col, vec_col, n_centroids, iters, seed, sample=X
     )

@@ -375,10 +375,13 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     row = e.filter(F.col("vec_id") == 0).select("embedding").first()
     qv = [float(x) for x in row.embedding]
+    # the 10-row approx result feeds BOTH the cardinality agg and the
+    # recall join — persist so the encode+ADC lineage runs once, not
+    # twice (measured ~0.4s at sf0.01; the k-row cache is trivial)
     approx = ivf_pq_topk(
         e, qv, k=10, n_centroids=16, nprobe=14, m=16, k_sub=256,
         rerank=64, iters=1,
-    )
+    ).persist()
     exact = cosine_topk(e, qv, k=10)
     hits = approx.join(exact.select("vec_id"), "vec_id", "inner")
     return (
