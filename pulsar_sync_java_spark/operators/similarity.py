@@ -1162,7 +1162,15 @@ def ivf_pq_topk(
 
     from pulsar_sync_java_spark.operators.vectorized import pq_encode_udf
 
-    enc = pq_encode_udf(cents, books)(F.col(vec_col))
+    # asNondeterministic is a PUSHDOWN BARRIER, not a semantics claim:
+    # the kernel is pure, but letting Catalyst push the cell filter
+    # below the projection substitutes element_at(encode(v),1) into
+    # the predicate and ExtractPythonUDFs then plans TWO
+    # ArrowEvalPython stages — the full k x d + M-subspace encode ran
+    # twice over the corpus (caught by plan inspection; the contract
+    # is ONE encode pass per row).  The filter stays above the single
+    # encode stage.
+    enc = pq_encode_udf(cents, books).asNondeterministic()(F.col(vec_col))
     coded = (
         spread(df)
         .select(F.col(id_col), enc.alias("__enc"))
@@ -1258,7 +1266,6 @@ def ivf_pq_topk_indexed(
     exact cosine re-rank."""
     order, q_norm = _pq_probe_order(query_vec, centroids)
     probe = order[:nprobe]
-    m = len(codebooks)
     codes_scan = (
         spark.read.parquet(path)
         .where(F.col("ivf_cell").isin(probe))
@@ -1326,36 +1333,44 @@ def ivf_pq_index_refresh(
 
     mm = len(codebooks)
     enc = pq_encode_udf(centroids, codebooks)(F.col(vec_col))
+    # persist: the drift check (groupBy collect) and the append's
+    # existence probe + write are separate ACTIONS — passing the
+    # DataFrame shares only the lineage, so without a cache the
+    # encode kernel (the expensive half of an append) would run twice
     delta_coded = (
         spread(df_new)
         .withColumn("__enc", enc)
         .withColumn("__cluster", F.element_at("__enc", 1))
         .withColumn("pq_codes", F.slice("__enc", 2, mm))
         .drop("__enc")
-    )
-    drift_tv = ivf_delta_drift(spark, path, delta_coded)
-    report = ivf_index_staleness(spark, path)
-    size_stale = report.should_rebuild(growth_factor, cell_share_factor)
-    drifted = drift_tv >= drift_tv_threshold
-    record = {
-        "growth": report.growth,
-        "max_cell_share": report.max_cell_share,
-        "drift_tv": drift_tv,
-        "size_stale": size_stale,
-        "drifted": drifted,
-    }
-    if not (size_stale or drifted):
-        appended = ivf_index_append(
-            df_new, path, centroids, id_col, vec_col, assigned=delta_coded
-        )
-        return {
-            **record,
-            "action": "append",
-            "appended": appended,
-            "path": path,
-            "centroids": centroids,
-            "codebooks": codebooks,
+    ).persist()
+    try:
+        drift_tv = ivf_delta_drift(spark, path, delta_coded)
+        report = ivf_index_staleness(spark, path)
+        size_stale = report.should_rebuild(growth_factor, cell_share_factor)
+        drifted = drift_tv >= drift_tv_threshold
+        record = {
+            "growth": report.growth,
+            "max_cell_share": report.max_cell_share,
+            "drift_tv": drift_tv,
+            "size_stale": size_stale,
+            "drifted": drifted,
         }
+        if not (size_stale or drifted):
+            appended = ivf_index_append(
+                df_new, path, centroids, id_col, vec_col,
+                assigned=delta_coded,
+            )
+            return {
+                **record,
+                "action": "append",
+                "appended": appended,
+                "path": path,
+                "centroids": centroids,
+                "codebooks": codebooks,
+            }
+    finally:
+        delta_coded.unpersist()
     target = rebuild_path or f"{path}_rebuilt"
     # delta wins deterministically — the ivf_index_refresh contract
     delta_u = (
@@ -1369,8 +1384,8 @@ def ivf_pq_index_refresh(
         .join(delta_u.select(id_col), id_col, "left_anti")
         .unionByName(delta_u)
     )
-    meta = spark.read.parquet(f"{path}/_ivf_meta").collect()[0]
-    k = n_centroids if n_centroids is not None else int(meta["n_centroids"])
+    # the staleness report already collected _ivf_meta — no second read
+    k = n_centroids if n_centroids is not None else report.n_centroids
     new_m = m if m is not None else mm
     new_ks = k_sub if k_sub is not None else len(codebooks[0])
     cents, books = ivf_pq_index_write(

@@ -627,6 +627,14 @@ def apply_compaction_plan(
     the maintenance scheduler leans on).  Returns
     {"groups": n, "rows": n, "files": n}."""
     spark = rows.sparkSession
+    # empty plan (every file already right-sized) is a healthy no-op:
+    # writing the empty tagged frame would leave a part-less directory
+    # whose verification read-back fails UNABLE_TO_INFER_SCHEMA, and
+    # the totals collect would TypeError on a NULL sum — a routine
+    # maintenance tick on a compacted table must return zeros, not
+    # abort.  The probe is metadata-sized (limit 1 on the assignment).
+    if not assign.limit(1).count():
+        return {"groups": 0, "rows": 0, "files": 0}
     tagged = rows.withColumn("__file_id", file_id).join(
         F.broadcast(assign.select(F.col("file_id").alias("__file_id"), "group_id")),
         "__file_id",

@@ -1620,3 +1620,23 @@ def test_pq_adc_distance_law_bit_exact(spark):
         for j, c in enumerate(cs):  # sequential left fold, like aggregate()
             want = want + lut[cell][j][c]
         assert got[vid] == want, (vid, got[vid], want)
+
+
+def test_ivf_pq_single_encode_stage(spark, embeddings):
+    """The encode kernel must appear as exactly ONE ArrowEvalPython
+    stage: Catalyst would otherwise push the cell filter below the
+    projection (substituting element_at(encode(v),1) into the
+    predicate) and ExtractPythonUDFs would plan the full k x d +
+    M-subspace encode TWICE over the corpus — the asNondeterministic
+    pushdown barrier in ivf_pq_topk exists for exactly this."""
+    from pulsar_sync_java_spark.operators.similarity import ivf_pq_topk
+
+    row = embeddings.filter(F.col("vec_id") == 0).first()
+    qv = [float(x) for x in row.embedding]
+    out = ivf_pq_topk(
+        embeddings, qv, k=10, n_centroids=8, nprobe=3, m=16, k_sub=64,
+        rerank=32, iters=1,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan

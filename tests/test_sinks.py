@@ -537,3 +537,13 @@ def test_apply_compaction_plan_matches_plan_and_is_idempotent(
         apply_compaction_plan(
             short, assign, str(tmp_path / "diverged"), file_id, "k"
         )
+
+    # an EMPTY plan (every file right-sized) is a healthy no-op tick,
+    # not a crash: zeros returned, nothing written
+    healthy = plan_compaction(files, target_rows=64, under_rows=1)
+    assert healthy.count() == 0
+    out0 = apply_compaction_plan(
+        rows, healthy, str(tmp_path / "noop"), file_id, "k"
+    )
+    assert out0 == {"groups": 0, "rows": 0, "files": 0}
+    assert not os.path.exists(str(tmp_path / "noop"))

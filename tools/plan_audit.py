@@ -49,7 +49,7 @@ EXPECT = {
     "q_boilerplate": "one inverted-index shuffle for doc frequencies; boilerplate set joins back via broadcast",
     "q_embedding_neardup": "one persisted signature projection feeds banded bucketing + both join-backs (3x InMemoryTableScan); candidates from collect_list bucket agg; join-backs broadcast the tiny pair set",
     "q_ann_ivf_topk": "ArrowEvalPython cluster assignment (never BatchEvalPython), IN-filter probe, TakeOrderedAndProject top-k; r7 recall-gate joins are k-row/1-row broadcast only — no SortMergeJoin, no global sort",
-    "q_ann_pq_topk": "IVF-PQ: one ArrowEvalPython encode stage (cell+codes in a single kernel); ADC = JVM zip_with/aggregate over the BROADCAST per-cell LUT join; candidate cut and top-k both TakeOrderedAndProject; rerank id set broadcasts — no SortMergeJoin, no global sort",
+    "q_ann_pq_topk": "IVF-PQ: exactly ONE ArrowEvalPython encode stage (cell+codes in a single kernel; asNondeterministic blocks the cell-filter pushdown that would plan the encode twice); ADC = JVM zip_with/aggregate over the BROADCAST per-cell LUT join; candidate cut and top-k both TakeOrderedAndProject; approx side persisted for its two consumers — no SortMergeJoin, no global sort",
     "q_join_salted": "hot-key set broadcast to both branches (BroadcastHashJoin LeftSemi/LeftAnti); salt expansion is a Generate on the build side",
     "q_knn_join": "queries broadcast (BroadcastNestedLoopJoin BuildRight); MapInPandas partition-local top-k BEFORE the single hashpartitioning(query_id) ranking shuffle",
     "q_dedup_cluster": "contracted forest read from cache (InMemoryTableScan); contraction kernels MapInPandas; label resolution via BroadcastHashJoin only",
