@@ -220,3 +220,190 @@ def serve_ann_stream(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
+
+
+def probe_queries_pq(
+    spark: SparkSession,
+    path: str,
+    centroids: Sequence[Sequence[float]],
+    codebooks,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch-route queries against a materialized IVF-PQ index
+    (`ivf_pq_index_write`) in ONE lazy plan: the codes column is
+    scanned once with the union-of-cells partition filter (column
+    pruning keeps the embedding bytes out of this scan), per-(query,
+    cell) ADC lookup tables — computed driver-side, nprobe x M x
+    k_sub doubles per query — broadcast onto it, a per-query window
+    cuts the `rerank` best by ADC, and only those (query, candidate)
+    pairs fetch full vectors for the exact cosine top-k.
+
+    Matches `ivf_pq_topk_indexed` per query bit-for-bit: same
+    normalized probe ranking, same LUT math, same (ADC ASC, id ASC)
+    candidate cut and (cosine DESC, id ASC) final tie-breaks — the
+    equivalence the serving tests pin.  Broadcast budget:
+    len(queries) x nprobe x M x k_sub doubles (~32 KB per probed cell
+    at M=16, k_sub=256) — serving batches, not corpora."""
+    from pulsar_sync_java_spark.operators.similarity import (
+        _pq_lut_rows,
+        _pq_probe_order,
+    )
+
+    lut_rows = []
+    for qid, vec in queries:
+        order, q_norm = _pq_probe_order([float(v) for v in vec], centroids)
+        probe = order[:nprobe]
+        for cell, lut in _pq_lut_rows(q_norm, centroids, codebooks, probe):
+            lut_rows.append((int(qid), [float(v) for v in vec], cell, lut))
+    ludf = spark.createDataFrame(
+        lut_rows,
+        "query_id long, qvec array<double>, ivf_cell int, "
+        "__lut array<array<double>>",
+    )
+    cells_union = sorted({r[2] for r in lut_rows})
+    codes = (
+        spark.read.parquet(path)
+        .where(F.col("ivf_cell").isin(cells_union))
+        .select(id_col, F.col("ivf_cell").cast("int").alias("ivf_cell"), "pq_codes")
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("__lut"),
+            F.col("pq_codes"),
+            lambda sub, c: F.element_at(sub, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = codes.join(F.broadcast(ludf), "ivf_cell").select(
+        "query_id", "qvec", F.col(id_col), adc.alias("__adc")
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col(id_col).asc()
+    )
+    cand = (
+        scored.withColumn("__r", F.row_number().over(wc))
+        .filter(F.col("__r") <= rerank)
+        .select("query_id", "qvec", id_col)
+    )
+    vecs = (
+        spark.read.parquet(path)
+        .where(F.col("ivf_cell").isin(cells_union))
+        .select(id_col, vec_col)
+    )
+    exact = vecs.join(F.broadcast(cand), id_col).select(
+        "query_id",
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("qvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+class IvfPqServer(IvfServer):
+    """Active-pointer for a PQ-coded index: (path, centroids,
+    codebooks).  Same swap discipline as IvfServer; refresh records
+    from `ivf_pq_index_refresh` carry the codebooks."""
+
+    def __init__(self, path, centroids, codebooks):
+        super().__init__(path, centroids)
+        self._codebooks = [
+            [[float(v) for v in row] for row in book] for book in codebooks
+        ]
+
+    def snapshot(self):
+        with self._lock:
+            return self._path, self._centroids, self._codebooks
+
+    def apply_refresh(self, record: dict) -> None:
+        with self._lock:
+            self._path = record["path"]
+            self._centroids = [
+                list(map(float, c)) for c in record["centroids"]
+            ]
+            self._codebooks = [
+                [[float(v) for v in row] for row in book]
+                for book in record["codebooks"]
+            ]
+
+
+def serve_ann_stream_pq(
+    query_stream: DataFrame,
+    server: IvfPqServer,
+    sink_dir: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 64,
+    delta_staging: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refresh_kwargs: dict | None = None,
+) -> DataStreamWriter:
+    """The PQ twin of `serve_ann_stream`: same foreachBatch shape
+    (staged-delta refresh gate -> one-plan batch probe -> keyed
+    idempotent sink), with `ivf_pq_index_refresh` as the in-stream
+    maintenance step (append encodes the delta against the STORED
+    quantizers; rebuild retrains both levels and swaps the pointer —
+    codebooks travel in the decision record) and `probe_queries_pq`
+    as the serving kernel, so each batch's candidate scan reads
+    M bytes/vector instead of full embeddings."""
+    from pulsar_sync_java_spark.operators.similarity import (
+        ivf_pq_index_refresh,
+    )
+    from pulsar_sync_java_spark.sinks.writers import idempotent_append
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if delta_staging is not None:
+            delta, delta_files = _consume_staging(spark, delta_staging)
+            if delta is not None:
+                path, cents, books = server.snapshot()
+                record = ivf_pq_index_refresh(
+                    spark,
+                    path,
+                    delta,
+                    cents,
+                    books,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    rebuild_path=f"{path}_r{batch_id}",
+                    **(refresh_kwargs or {}),
+                )
+                server.apply_refresh(record)
+                consumed = f"{delta_staging}_consumed"
+                os.makedirs(consumed, exist_ok=True)
+                for fp in delta_files:
+                    os.replace(
+                        fp,
+                        os.path.join(
+                            consumed, f"b{batch_id}_{os.path.basename(fp)}"
+                        ),
+                    )
+        queries = [
+            (r["query_id"], list(r["qvec"]))
+            for r in batch_df.select("query_id", "qvec").collect()
+        ]
+        if not queries:
+            return
+        path, cents, books = server.snapshot()
+        topk = probe_queries_pq(
+            spark, path, cents, books, queries, k, nprobe, rerank,
+            id_col, vec_col,
+        )
+        idempotent_append(topk, sink_dir, keys=["query_id", "rank"])
+
+    return (
+        query_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )

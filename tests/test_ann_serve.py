@@ -245,3 +245,130 @@ def test_probe_queries_single_job_matches_per_query_probe(spark, tmp_path):
         got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
     expect = _expected_ids(spark, idx, cents, qrows)
     assert {q: [v for _, v in sorted(rs)] for q, rs in got.items()} == expect
+
+
+def test_pq_probe_queries_matches_indexed_per_query(spark, tmp_path):
+    """probe_queries_pq (one-plan batch routing over the coded index)
+    must equal ivf_pq_topk_indexed per query bit-for-bit — same probe
+    ranking, LUT math, ADC candidate cut and cosine tie-breaks."""
+    from pulsar_sync_java_spark.operators.similarity import (
+        ivf_pq_index_write,
+        ivf_pq_topk_indexed,
+    )
+    from pulsar_sync_java_spark.streaming.ann_serve import probe_queries_pq
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "pq_v0")
+    cents, books = ivf_pq_index_write(
+        emb, idx, n_centroids=8, m=16, k_sub=64, iters=1
+    )
+    qrows = _query_rows(spark, [0, 1, 2, 3, 4], first_qid=500)
+    got = {}
+    for r in probe_queries_pq(
+        spark, idx, cents, books, qrows, k=K, nprobe=NPROBE, rerank=32
+    ).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["cos_sim"])
+        )
+    assert set(got) == {qid for qid, _ in qrows}
+    for qid, vec in qrows:
+        want = [
+            (i + 1, r["vec_id"], r["cos_sim"])
+            for i, r in enumerate(
+                ivf_pq_topk_indexed(
+                    spark, idx, cents, books, vec, k=K,
+                    nprobe=NPROBE, rerank=32,
+                ).collect()
+            )
+        ]
+        assert sorted(got[qid]) == want, qid
+
+
+@pytest.mark.slow
+def test_pq_serving_stream_with_in_stream_append(spark, tmp_path):
+    """The PQ serving loop end-to-end: batch 1 probes the v0 coded
+    index; a staged same-distribution delta is consumed by batch 2's
+    refresh gate (append path — codes ride the keyed append) and the
+    batch's own queries immediately see the appended vector."""
+    from pulsar_sync_java_spark.operators.similarity import (
+        ivf_pq_index_write,
+    )
+    from pulsar_sync_java_spark.streaming.ann_serve import (
+        IvfPqServer,
+        probe_queries_pq,
+        serve_ann_stream_pq,
+    )
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "pq_v0")
+    src = str(tmp_path / "queries")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    staging = str(tmp_path / "staging")
+    cents, books = ivf_pq_index_write(
+        emb, idx, n_centroids=8, m=16, k_sub=64, iters=1
+    )
+    server = IvfPqServer(idx, cents, books)
+
+    def run():
+        stream = (
+            spark.readStream.schema(QUERY_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            serve_ann_stream_pq(
+                stream, server, sink_dir=sink, checkpoint_dir=ckpt,
+                k=K, nprobe=NPROBE, rerank=32, delta_staging=staging,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        exc = q.exception()
+        if exc is not None:
+            raise exc
+
+    q1 = _query_rows(spark, [0, 1, 2], first_qid=1000)
+    spark.createDataFrame(q1, QUERY_SCHEMA).coalesce(1).write.parquet(src)
+    run()
+    got1 = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    want1 = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in probe_queries_pq(
+            spark, idx, cents, books, q1, k=K, nprobe=NPROBE, rerank=32
+        ).collect()
+    }
+    assert got1 == want1 and len(got1) == 3 * K
+
+    # stage a delta: existing vectors under fresh ids (append path),
+    # including a NEW vector that batch 2 then queries for
+    os.makedirs(staging, exist_ok=True)
+    delta = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 900_000).alias("vec_id"), "embedding"
+    )
+    delta.coalesce(1).write.parquet(str(tmp_path / "delta_tmp"))
+    import glob
+    import shutil
+
+    for f in glob.glob(str(tmp_path / "delta_tmp" / "*.parquet")):
+        shutil.copy(f, os.path.join(staging, os.path.basename(f)))
+
+    q2 = _query_rows(spark, [7], first_qid=2000)
+    spark.createDataFrame(q2, QUERY_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    path2, cents2, books2 = server.snapshot()
+    assert path2 == idx and cents2 == cents  # append kept the pointer
+    # vec 7's duplicate under id 900_007 was appended and is findable:
+    # it ties vec 7 at cosine 1.0 and ranks right after it by id
+    rows2 = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in spark.read.parquet(sink).collect()
+        if r["query_id"] == 2000
+    }
+    assert rows2[(2000, 1)] == 7 and rows2[(2000, 2)] == 900_007
