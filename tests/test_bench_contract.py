@@ -103,8 +103,10 @@ PERSIST_ALLOWLIST = {
     ("operators/heavy_hitters.py", "heavy_hitters"): 1, # MG summaries (tiny: P*(k+1) rows, session-lifetime)
     ("operators/similarity.py", "embedding_near_pairs"): 1,  # signature projection (session-lifetime)
     ("queries/clustering.py", "q_semantic_dedup"): 1,   # (vec_id, cluster) assignment table (narrow, 3 consumers)
+    ("queries/dedup_scale.py", "q_ann_pq_topk"): 1,     # 10-row approx result (cardinality agg + recall join share the encode+ADC lineage)
     ("queries/dedup_scale.py", "q_incremental_dedup"): 1,    # minhash sigs (plan-matched with the other sig users)
     ("queries/dedup_scale.py", "q_minhash_lsh"): 1,
+    ("operators/similarity.py", "ivf_pq_index_refresh"): 1,  # coded delta (drift collect + append are separate actions); unpersists in finally
     ("queries/aggregates.py", "q_hll_intersect"): 1,    # distinct (type, key) set (sketch agg + exact joins share it)
     ("queries/behavior.py", "q_assoc_rules"): 1,        # per-basket sorted item arrays, guarded BEFORE collect (pair explode + supports explode + basket count)
     ("queries/extras.py", "q_bfs_khop"): 1,             # symmetric edge table (3 expansion levels probe it)
