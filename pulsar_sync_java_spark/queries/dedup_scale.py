@@ -195,6 +195,134 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, bands=16).filter(F.col("est_jaccard") >= 0.5)
 
 
+_CALIBRATION_SQL = _MINHASH_CTES + """
+, sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+), hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
+), pruned AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN hot USING (shingle)
+), inter_ex AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), ok_buckets AS (
+  SELECT band, slice FROM slices GROUP BY band, slice HAVING COUNT(*) <= 1000
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM slices x
+  JOIN ok_buckets ob ON x.band = ob.band AND x.slice = ob.slice
+  JOIN slices y
+    ON x.band = y.band AND x.slice = y.slice AND x.doc_id < y.doc_id
+), est AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT e.doc_a, e.doc_b, e.n_match,
+       CAST(e.n_match AS DOUBLE) / 64 AS est_jaccard,
+       CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+       CAST(za.set_size + zb.set_size - COALESCE(i.inter, 0) AS BIGINT)
+         AS union_size,
+       CAST(COALESCE(i.inter, 0) AS DOUBLE)
+         / (za.set_size + zb.set_size - COALESCE(i.inter, 0)) AS exact_jaccard,
+       ABS(CAST(e.n_match AS DOUBLE) / 64
+           - CAST(COALESCE(i.inter, 0) AS DOUBLE)
+             / (za.set_size + zb.set_size - COALESCE(i.inter, 0))) AS abs_err
+FROM est e
+JOIN sizes za ON za.doc_id = e.doc_a
+JOIN sizes zb ON zb.doc_id = e.doc_b
+LEFT JOIN inter_ex i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+"""
+
+
+@query("q_sketch_calibration", oracle=_CALIBRATION_SQL)
+def q_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch QA — MinHash estimate vs exact ground truth, per LSH
+    candidate pair, with NO similarity threshold: the sketch's error
+    is measured exactly where the pipeline would act on it, including
+    the false-positive tail (band collisions whose exact Jaccard is ~0
+    — the rows a threshold query never shows).  Emits (pair, n_match,
+    est_jaccard, inter, union_size, exact_jaccard, abs_err) — the
+    monitoring table a production dedup pipeline samples to decide
+    whether its banding dials still fit the corpus.
+
+    Fully hash-gated (no partial oracle): portable-hash signatures are
+    bit-replayed by DuckDB (the q_minhash_lsh machinery) and the exact
+    side is the q_ngram_jaccard inverted index, so est, exact and
+    their |difference| are each single IEEE operations on identical
+    integer operands in both engines.  The exact side inherits the
+    max_bucket=1000 hot-shingle cap — "exact" means exact over the
+    capped index, the same answer q_ngram_jaccard serves.
+
+    Plan shape: candidate pairs from the banded shuffle
+    (lsh_candidate_pairs), exact intersections from the shingle
+    inverted index (_shingle_overlap — plan-matched cache SHARED with
+    q_ngram_jaccard/q_containment_dedup over the same corpus); the
+    est-pairs LEFT JOIN exact-inters shuffles on the pair key ON
+    PURPOSE (both sides scale with the corpus — broadcasting either
+    is the 100 TB bug), while the doc-sized size lookups broadcast
+    the tiny pair side (AQE BuildLeft, plan-audited).
+    At 100 TB this runs on a SAMPLE of candidate pairs — the
+    calibration statistic converges long before the pair set does —
+    but sampling is the caller's dial, not baked into the metric."""
+    from pulsar_sync_java_spark.functions.text import (
+        shingles_from_tokens,
+        tokens,
+    )
+    from pulsar_sync_java_spark.operators.dedup import _shingle_overlap
+    from pulsar_sync_java_spark.operators.util import spread
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=64, portable=True)
+    pairs = lsh_candidate_pairs(sigs, bands=16).select(
+        "doc_a",
+        "doc_b",
+        (F.col("est_jaccard") * 64).cast("long").alias("n_match"),
+        "est_jaccard",
+    )
+    ov = _shingle_overlap(d, "doc_id", "text", 3, 1000, True).select(
+        "doc_a", "doc_b", "inter"
+    )
+    toks = spread(d, full=True).select(
+        "doc_id", tokens("text").alias("__toks")
+    )
+    sizes = toks.select(
+        "doc_id",
+        F.size(shingles_from_tokens(F.col("__toks"), 3)).alias("set_size"),
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
+    )
+    j = (
+        pairs.join(ov, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)).cast("long"))
+        .withColumn(
+            "union_size",
+            (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("long"),
+        )
+    )
+    exact = F.col("inter").cast("double") / F.col("union_size")
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "n_match",
+        "est_jaccard",
+        "inter",
+        "union_size",
+        exact.alias("exact_jaccard"),
+        F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
+    )
+
+
 # Portable SimHash oracle: md5-based signed 64-bit token hashes
 # (functions/text.py:portable_hash64), per-bit strict-majority votes,
 # then ALL-pairs bit_count(xor) <= 3 — exactly the answer the engine's
