@@ -43,21 +43,59 @@ def minhash_family(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 _PORTABLE_P = 2147483647  # 2^31 - 1 (Mersenne prime)
 
 
+def _md5_32(tag: str, i: int) -> int:
+    """Deterministic 32-bit constant from md5(tag || i) — the same
+    construction both engines can regenerate (DuckDB:
+    ('0x' || substr(md5(tag || i), 1, 8))::BIGINT), though the oracles
+    INLINE the resulting integers as VALUES so SQL never recomputes."""
+    from hashlib import md5
+
+    return int.from_bytes(md5(f"{tag}{i}".encode("ascii")).digest()[:4], "big")
+
+
 def portable_minhash_family(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
-    """The SQL-replayable affine family over Z_p, p = 2^31-1:
-    a_i = ((i+1) * 2654435761) mod p  (never 0: p is prime, i+1 < p,
-    and 2654435761 is not a multiple of p), b_i = ((i+1) * 97531) mod p.
-    Derived from i by plain integer arithmetic so a DuckDB oracle can
-    regenerate the exact constants — see queries/dedup_scale.py.
+    """The SQL-replayable affine family over Z_p, p = 2^31-1, with
+    md5-derived per-row constants: a_i = md5_32('a', i) mod p (forced
+    nonzero), b_i = md5_32('b', i) mod p.
+
+    The original formulation (a_i = (i+1)*K1 mod p, b_i = (i+1)*K2
+    mod p) was DEGENERATE: a_i*h + b_i = (i+1)*(K1*h + K2) mod p, so
+    all `num_hashes` rows were multiples of the single per-shingle
+    value C(h) = (K1*h + K2) mod p — ONE hash function wearing 64
+    hats.  A shingle whose C lands small wins the min in EVERY row of
+    every document containing it, driving est_jaccard to ~1.0 for
+    pairs whose true Jaccard is ~0 (q_sketch_calibration caught this:
+    measured est 0.984 vs exact 0.006 on a pair sharing ONE shingle
+    whose C was 22067 of p=2^31).  md5-derived (a_i, b_i) are
+    pairwise unrelated across rows, restoring the independent-trials
+    estimator the /64 division assumes.
 
     Overflow bound (exact, not a margin): max(a*h + b) =
     (p-1)*(2^32-1) + (p-1) ~= 2^63 - 2^33 < 2^63 - 1, so the arithmetic
     fits int64/BIGINT but would NOT survive widening the 32-bit base
     hash or the modulus — the static assert below guards that edit."""
-    i = np.arange(1, num_hashes + 1, dtype=np.int64)
-    a, b = (i * 2654435761) % _PORTABLE_P, (i * 97531) % _PORTABLE_P
+    a = np.fromiter(
+        ((_md5_32("a", i) % _PORTABLE_P) or 1 for i in range(num_hashes)),
+        dtype=np.int64,
+        count=num_hashes,
+    )
+    b = np.fromiter(
+        (_md5_32("b", i) % _PORTABLE_P for i in range(num_hashes)),
+        dtype=np.int64,
+        count=num_hashes,
+    )
     assert (_PORTABLE_P - 1) * (2**32 - 1) + (_PORTABLE_P - 1) < 2**63 - 1
     return a, b
+
+
+def portable_family_sql_values(num_hashes: int) -> str:
+    """The family as a SQL VALUES body '(i, a_i, b_i), ...' — the ONE
+    source of the constants for every DuckDB oracle (inlined, so the
+    j<->(a,b) mapping cannot diverge between engine and oracle)."""
+    a, b = portable_minhash_family(num_hashes)
+    return ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_hashes)
+    )
 
 
 def minhash_signature_udf(num_hashes: int = 64, seed: int = 42):

@@ -679,15 +679,21 @@ _CM_W = 32
 _CM_P = 2147483647
 _CM_TOPK = 10
 
-# j is emitted EXPLICITLY in each VALUES tuple: deriving it from
-# row_number() OVER () with no ORDER BY over a VALUES list is
-# unspecified SQL — the fam CTE is referenced twice (hashed, coords)
-# and the j<->(a,b) mapping could silently diverge between the two
-# references or across DuckDB versions, corrupting the sketch join.
-_CM_FAM = ", ".join(
-    f"({j}, ({j + 1} * 2654435761) % {_CM_P}, ({j + 1} * 97531) % {_CM_P})"
+# md5-derived per-row constants (r10): the old (j+1)*K construction
+# made every row a multiple of ONE per-key value — rows correlated,
+# so the min-over-rows error bound lost its e^-d independence (the
+# same degeneracy q_sketch_calibration exposed in the MinHash family;
+# see operators/vectorized.py:portable_minhash_family).  One Python
+# tuple list feeds BOTH the engine columns and the oracle VALUES, and
+# j stays explicit in each tuple (r9 advice: row_number() over a
+# VALUES list is unspecified SQL).
+from pulsar_sync_java_spark.operators.vectorized import _md5_32  # noqa: E402
+
+_CM_FAM_TUPLES = [
+    (j, (_md5_32("cma", j) % _CM_P) or 1, _md5_32("cmb", j) % _CM_P)
     for j in range(_CM_D)
-)
+]
+_CM_FAM = ", ".join(f"({j}, {a}, {b})" for j, a, b in _CM_FAM_TUPLES)
 
 _COUNTMIN_SQL = f"""
 WITH fam AS (
@@ -744,10 +750,7 @@ def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables.  At 100 TB the sketch stays 128 rows no matter what —
     that is the point of CM."""
     e = load_table(spark, sf_dir, "events").select("user_id", "event_id")
-    fam = [
-        (j, ((j + 1) * 2654435761) % _CM_P, ((j + 1) * 97531) % _CM_P)
-        for j in range(_CM_D)
-    ]
+    fam = _CM_FAM_TUPLES
 
     def hash_cols(df: DataFrame) -> DataFrame:
         return df.select(

@@ -43,8 +43,17 @@ from pulsar_sync_java_spark.operators.similarity import (
     ivf_topk,
     lsh_topk,
 )
+from pulsar_sync_java_spark.operators.vectorized import (
+    portable_family_sql_values,
+)
 from pulsar_sync_java_spark.queries import query
 from pulsar_sync_java_spark.sources.tables import load_table
+
+
+# The portable MinHash family constants, INLINED into every oracle
+# (md5-derived independent rows — see portable_minhash_family for the
+# degeneracy the r10 calibration query exposed in the old family).
+_FAM64 = portable_family_sql_values(64)
 
 # Shared inverted-index CTE chain for the exact-overlap oracles
 # (mirrors operators/dedup._shingle_overlap): distinct 3-gram shingles,
@@ -117,19 +126,20 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Portable MinHash oracle: md5-prefix 32-bit base hashes + the affine
-# mod-(2^31-1) family of operators/vectorized.py:portable_minhash_family,
-# replayed in plain BIGINT arithmetic (a*h+b < 2^63 - 1, exact in
-# both engines).  Band membership needs no bucket hash at all: two docs
-# share a band iff their 4-long signature slices are EQUAL, which SQL
-# expresses directly (the engine's xxhash64 bucket id is just a grouping
-# key for that same equality).
+# mod-(2^31-1) family of operators/vectorized.py:portable_minhash_family
+# — per-row (a_i, b_i) are md5-derived constants INLINED below as a
+# VALUES list (one Python source of truth; a*h+b < 2^63 - 1, exact
+# BIGINT in both engines).  Band membership needs no bucket hash at
+# all: two docs share a band iff their 4-long signature slices are
+# EQUAL, which SQL expresses directly (the engine's xxhash64 bucket id
+# is just a grouping key for that same equality).
 # Shared portable-MinHash CTE chain (tokens -> shingles -> md5 base
 # hashes -> affine family -> 64-long signatures -> 16 band slices):
 # both the symmetric (q_minhash_lsh) and asymmetric
 # (q_incremental_dedup) pair builders append only their candidate
 # SELECTs, so the signature semantics cannot diverge between them —
 # same discipline as _OVERLAP_CTES above.
-_MINHASH_CTES = """
+_MINHASH_CTES = f"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
@@ -142,10 +152,8 @@ WITH toks AS (
 ), hs AS (
   SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh
 ), fam AS (
-  SELECT i,
-         ((i + 1) * 2654435761) % 2147483647 AS a,
-         ((i + 1) * 97531) % 2147483647 AS b
-  FROM (SELECT unnest(range(64)) AS i)
+  SELECT CAST(i AS BIGINT) AS i, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+  FROM (VALUES {_FAM64}) t(i, a, b)
 ), sig AS (
   SELECT doc_id, f.i, MIN((f.a * h + f.b) % 2147483647) AS s
   FROM hs CROSS JOIN fam f
@@ -762,7 +770,7 @@ def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------- sketch mergeability
 
-_MINHASH_MERGE_SQL = """
+_MINHASH_MERGE_SQL = f"""
 WITH toks AS (
   SELECT doc_id, lang,
          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
@@ -775,10 +783,8 @@ WITH toks AS (
 ), hs AS (
   SELECT lang, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh
 ), fam AS (
-  SELECT i,
-         ((i + 1) * 2654435761) % 2147483647 AS a,
-         ((i + 1) * 97531) % 2147483647 AS b
-  FROM (SELECT unnest(range(64)) AS i)
+  SELECT CAST(i AS BIGINT) AS i, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+  FROM (VALUES {_FAM64}) t(i, a, b)
 )
 SELECT lang, CAST(f.i AS INT) AS i,
        MIN((f.a * h + f.b) % 2147483647) AS s

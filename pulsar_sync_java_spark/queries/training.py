@@ -25,6 +25,9 @@ from pulsar_sync_java_spark.operators.graph import connected_components
 from pulsar_sync_java_spark.operators.util import spread
 from pulsar_sync_java_spark.queries import query
 from pulsar_sync_java_spark.queries.reference import TS_FMT_DUCK, fmt_ts
+from pulsar_sync_java_spark.operators.vectorized import (
+    portable_family_sql_values,
+)
 from pulsar_sync_java_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------- repetition
@@ -381,12 +384,14 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------- dedup decision
+_FAM64 = portable_family_sql_values(64)
+
 
 # End-to-end dedup decision over the PORTABLE MinHash pair set
 # (queries/dedup_scale.py:_MINHASH_SQL semantics): candidate pairs with
 # est_jaccard >= 0.5, transitively closed (recursive CTE), each
 # non-minimum doc dropped in favor of its component minimum.
-_KEEPERS_SQL = """
+_KEEPERS_SQL = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
@@ -399,10 +404,8 @@ WITH RECURSIVE toks AS (
 ), hs AS (
   SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh
 ), fam AS (
-  SELECT i,
-         ((i + 1) * 2654435761) % 2147483647 AS a,
-         ((i + 1) * 97531) % 2147483647 AS b
-  FROM (SELECT unnest(range(64)) AS i)
+  SELECT CAST(i AS BIGINT) AS i, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+  FROM (VALUES {_FAM64}) t(i, a, b)
 ), sig AS (
   SELECT doc_id, f.i, MIN((f.a * h + f.b) % 2147483647) AS s
   FROM hs CROSS JOIN fam f

@@ -1640,3 +1640,27 @@ def test_ivf_pq_single_encode_stage(spark, embeddings):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_sketch_calibration_error_is_bounded(spark, documents):
+    """The calibration table must show a CALIBRATED sketch, not just a
+    reproducible one: estimates and exact values live in [0,1], inter
+    never exceeds union, and the mean |est - exact| over all candidate
+    pairs stays within 3 standard errors of the 64-hash MinHash
+    estimator (sqrt(j(1-j)/64) <= 1/16) — a broken hash family or
+    misaligned signature join would blow straight through this while
+    still being deterministic."""
+    from pulsar_sync_java_spark.queries.dedup_scale import (
+        q_sketch_calibration,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = q_sketch_calibration(spark, SF_DIR).collect()
+    assert rows, "no candidate pairs at test SF — fixture vacuous"
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        assert 0 <= r["inter"] <= r["union_size"]
+        assert r["abs_err"] == abs(r["est_jaccard"] - r["exact_jaccard"])
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err <= 3 / 16, f"mean |est-exact| {mean_err:.4f}"

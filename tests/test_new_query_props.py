@@ -289,7 +289,14 @@ def test_countmin_overcount_law_bruteforce(spark, events_pdf):
     engine's estimate must equal the brute-force sketch estimate and
     never undercount the true count."""
     P, W, D = 2147483647, 32, 4
-    fam = [((j + 1) * 2654435761 % P, (j + 1) * 97531 % P) for j in range(D)]
+    from pulsar_sync_java_spark.operators.vectorized import _md5_32
+
+    # the md5-derived family (r10 — see portable_minhash_family),
+    # re-derived here independently of the engine's tuple list
+    fam = [
+        ((_md5_32("cma", j) % P) or 1, _md5_32("cmb", j) % P)
+        for j in range(D)
+    ]
     sketch = {}
     truth = {}
     for u in events_pdf["user_id"]:
