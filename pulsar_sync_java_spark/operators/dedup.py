@@ -59,6 +59,52 @@ def shingle_rows(
     return toks.select(F.col(id_col), F.explode(sh).alias("shingle"))
 
 
+def _shingle_arrays(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    hash_shingles: bool,
+) -> DataFrame:
+    """The ONE persisted (id, __sh shingle-array) projection every
+    shingle consumer builds — byte-identical logical plan => ONE
+    plan-matched cache entry shared across _shingle_overlap's two
+    branches, both overlap metrics, `shingle_set_sizes`, and every
+    other query over the same corpus (q_dedup_cluster reuses it;
+    measured 2.6s -> 1.3s cold at sf0.1).  With `hash_shingles` the
+    xxhash64 runs INSIDE the persisted projection so the cache already
+    holds longs: explode, shuffle, and collect_list downstream never
+    touch a shingle string again.  Re-persisting an already-cached
+    plan is a CacheManager no-op (the 'already cached' warning), not a
+    second copy."""
+    ds = spread(df, full=True)
+    toks = ds.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    sh_arr = shingles_from_tokens(F.col("__toks"), n)
+    if hash_shingles:
+        sh_arr = F.transform(sh_arr, lambda s: F.xxhash64(s))
+    return spread(
+        toks.select(F.col(id_col), sh_arr.alias("__sh")),
+        full=True,
+    ).persist()
+
+
+def shingle_set_sizes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """(id, set_size) — distinct-shingle set sizes per document, read
+    from the SAME persisted projection the overlap metrics use (size
+    is invariant under the per-element hash), so a consumer that also
+    runs an overlap metric pays ZERO extra corpus scans for sizes
+    (the q_sketch_calibration review finding: its private unhashed
+    sizes branch re-tokenized the whole corpus)."""
+    arr = _shingle_arrays(df, id_col, text_col, n, hash_shingles)
+    return arr.select(F.col(id_col), F.size("__sh").alias("set_size"))
+
+
 def _shingle_overlap(
     df: DataFrame,
     id_col: str,
@@ -75,24 +121,7 @@ def _shingle_overlap(
     because both build the IDENTICAL logical plan up to here, Spark's
     plan-matched cache shares one persisted shingle projection between
     them."""
-    ds = spread(df, full=True)
-    toks = ds.select(F.col(id_col), tokens(text_col).alias("__toks"))
-    sh_arr = shingles_from_tokens(F.col("__toks"), n)
-    if hash_shingles:
-        # hash INSIDE the persisted projection so the cache already
-        # holds longs: explode, shuffle, and collect_list all downstream
-        # of here never touch a shingle string again
-        sh_arr = F.transform(sh_arr, lambda s: F.xxhash64(s))
-    # persist the shingle arrays: the sizes branch and the inverted-index
-    # branch both consume this projection and AQE does not share the
-    # exchange between them (same finding as lsh_candidate_pairs) —
-    # caching halves the tokenize+shingle work, and Spark's plan-matched
-    # cache additionally serves every other query over the same corpus
-    # (q_dedup_cluster reuses it; measured 2.6s -> 1.3s cold at sf0.1)
-    arr = spread(
-        toks.select(F.col(id_col), sh_arr.alias("__sh")),
-        full=True,
-    ).persist()
+    arr = _shingle_arrays(df, id_col, text_col, n, hash_shingles)
     sizes = arr.select(F.col(id_col), F.size("__sh").alias("set_size"))
     sh = arr.select(F.col(id_col), F.explode("__sh").alias("shingle"))
     buckets = (

@@ -43,7 +43,7 @@ def minhash_family(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 _PORTABLE_P = 2147483647  # 2^31 - 1 (Mersenne prime)
 
 
-def _md5_32(tag: str, i: int) -> int:
+def md5_32(tag: str, i: int) -> int:
     """Deterministic 32-bit constant from md5(tag || i) — the same
     construction both engines can regenerate (DuckDB:
     ('0x' || substr(md5(tag || i), 1, 8))::BIGINT), though the oracles
@@ -75,12 +75,12 @@ def portable_minhash_family(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
     fits int64/BIGINT but would NOT survive widening the 32-bit base
     hash or the modulus — the static assert below guards that edit."""
     a = np.fromiter(
-        ((_md5_32("a", i) % _PORTABLE_P) or 1 for i in range(num_hashes)),
+        ((md5_32("a", i) % _PORTABLE_P) or 1 for i in range(num_hashes)),
         dtype=np.int64,
         count=num_hashes,
     )
     b = np.fromiter(
-        (_md5_32("b", i) % _PORTABLE_P for i in range(num_hashes)),
+        (md5_32("b", i) % _PORTABLE_P for i in range(num_hashes)),
         dtype=np.int64,
         count=num_hashes,
     )

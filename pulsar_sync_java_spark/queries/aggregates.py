@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pulsar_sync_java_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from pulsar_sync_java_spark.operators.vectorized import md5_32
 from pulsar_sync_java_spark.queries import query
 from pulsar_sync_java_spark.sources.tables import load_table
 
@@ -687,10 +688,8 @@ _CM_TOPK = 10
 # tuple list feeds BOTH the engine columns and the oracle VALUES, and
 # j stays explicit in each tuple (r9 advice: row_number() over a
 # VALUES list is unspecified SQL).
-from pulsar_sync_java_spark.operators.vectorized import _md5_32  # noqa: E402
-
 _CM_FAM_TUPLES = [
-    (j, (_md5_32("cma", j) % _CM_P) or 1, _md5_32("cmb", j) % _CM_P)
+    (j, (md5_32("cma", j) % _CM_P) or 1, md5_32("cmb", j) % _CM_P)
     for j in range(_CM_D)
 ]
 _CM_FAM = ", ".join(f"({j}, {a}, {b})" for j, a, b in _CM_FAM_TUPLES)

@@ -53,26 +53,37 @@ _K = 8
 _ITERS = 2
 _DEC = "decimal(30,12)"
 
-# mini-batch sampling: the portable multiplicative hash shared with
-# q_sample_stratified (extras.py) — deterministic, engine-portable,
-# salted per iteration so successive mini-batches are independent
+# mini-batch sampling: per-iteration AFFINE hashes with md5-derived
+# constants — deterministic, engine-portable, and INDEPENDENT across
+# salts.  The previous (vec_id + salt) * K form was the same
+# degeneracy the r10 calibration query exposed in the MinHash family:
+# bucket(v, s+1) - bucket(v, s) is a near-constant shift mod 100, so
+# successive mini-batches were structured rotations of each other,
+# not the independent samples the comment claimed.  Per-salt (a, b)
+# from md5_32 restores 2-universal independence; products bounded
+# (2^31)*(2^31-1) < 2^62, exact BIGINT in both engines.
 _MB_PCT = 50
+_MB_P = 2147483647
+
+
+def _mb_ab(salt: int) -> tuple[int, int]:
+    from pulsar_sync_java_spark.operators.vectorized import md5_32
+
+    return (md5_32("mba", salt) % _MB_P) or 1, md5_32("mbb", salt) % _MB_P
 
 
 def _mb_bucket(vec_id, salt: int):
-    """Portable per-iteration sample bucket in [0, 100) — Knuth's
-    2654435761 over (vec_id + salt), pre-reduced mod 2^31 so the
-    product stays exactly representable (the r6 overflow fix)."""
+    a, b = _mb_ab(salt)
     return (
-        ((vec_id + F.lit(salt)) % F.lit(2147483648))
-        * F.lit(2654435761)
-    ) % F.lit(4294967296) % F.lit(100)
+        ((vec_id % F.lit(2147483648)) + F.lit(1)) * F.lit(a) + F.lit(b)
+    ) % F.lit(_MB_P) % F.lit(100)
 
 
 def _mb_bucket_sql(salt: int) -> str:
+    a, b = _mb_ab(salt)
     return (
-        f"(((vec_id + {salt}) % 2147483648) * 2654435761)"
-        " % 4294967296 % 100"
+        f"((((vec_id % 2147483648) + 1) * {a} + {b})"
+        f" % {_MB_P}) % 100"
     )
 
 

@@ -58,19 +58,13 @@ _FAM64 = portable_family_sql_values(64)
 # Shared inverted-index CTE chain for the exact-overlap oracles
 # (mirrors operators/dedup._shingle_overlap): distinct 3-gram shingles,
 # set sizes, the max_bucket=1000 stop-shingle guard, and per-pair
-# intersection counts.  Both metric oracles append only their scoring
+# intersection counts.  Every consumer appends only its scoring
 # SELECT, so the pipeline semantics cannot diverge between them.
-_OVERLAP_CTES = """
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
-  FROM documents
-), dims AS (
-  SELECT unnest(generate_series(1, (SELECT MAX(len(t)) FROM toks))) AS i
-), sh AS (
-  SELECT DISTINCT doc_id, t[d.i] || ' ' || t[d.i+1] || ' ' || t[d.i+2] AS shingle
-  FROM toks, dims d WHERE d.i <= len(t) - 2
-), sizes AS (
+# _OVERLAP_TAIL is the sizes/hot/pruned/inter block factored out so
+# the calibration oracle (which needs these CTEs on top of the
+# MinHash chain — both start from the IDENTICAL `sh`) shares the ONE
+# definition instead of a copy that could silently drift.
+_OVERLAP_TAIL = """, sizes AS (
   SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
 ), hot AS (
   SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
@@ -82,6 +76,18 @@ WITH toks AS (
   GROUP BY 1, 2
 )
 """
+
+_OVERLAP_CTES = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), dims AS (
+  SELECT unnest(generate_series(1, (SELECT MAX(len(t)) FROM toks))) AS i
+), sh AS (
+  SELECT DISTINCT doc_id, t[d.i] || ' ' || t[d.i+1] || ' ' || t[d.i+2] AS shingle
+  FROM toks, dims d WHERE d.i <= len(t) - 2
+)""" + _OVERLAP_TAIL
 
 _JACCARD_SQL = _OVERLAP_CTES + """
 SELECT doc_a, doc_b,
@@ -203,18 +209,8 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, bands=16).filter(F.col("est_jaccard") >= 0.5)
 
 
-_CALIBRATION_SQL = _MINHASH_CTES + """
-, sizes AS (
-  SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
-), hot AS (
-  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
-), pruned AS (
-  SELECT sh.doc_id, sh.shingle FROM sh JOIN hot USING (shingle)
-), inter_ex AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), ok_buckets AS (
+_CALIBRATION_SQL = _MINHASH_CTES.rstrip() + _OVERLAP_TAIL + """
+, ok_buckets AS (
   SELECT band, slice FROM slices GROUP BY band, slice HAVING COUNT(*) <= 1000
 ), cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -243,7 +239,7 @@ SELECT e.doc_a, e.doc_b, e.n_match,
 FROM est e
 JOIN sizes za ON za.doc_id = e.doc_a
 JOIN sizes zb ON zb.doc_id = e.doc_b
-LEFT JOIN inter_ex i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
 """
 
 
@@ -277,15 +273,16 @@ def q_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this runs on a SAMPLE of candidate pairs — the
     calibration statistic converges long before the pair set does —
     but sampling is the caller's dial, not baked into the metric."""
-    from pulsar_sync_java_spark.functions.text import (
-        shingles_from_tokens,
-        tokens,
+    from pulsar_sync_java_spark.operators.dedup import (
+        _shingle_overlap,
+        shingle_set_sizes,
     )
-    from pulsar_sync_java_spark.operators.dedup import _shingle_overlap
-    from pulsar_sync_java_spark.operators.util import spread
 
     d = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, num_hashes=64, portable=True)
+    # persist: the banded subtree + both signature lookups re-run the
+    # md5 kernel otherwise — the q_minhash_lsh discipline (measured
+    # 'once instead of three times' there); plan-matched with its cache
+    sigs = minhash_signatures(d, num_hashes=64, portable=True).persist()
     pairs = lsh_candidate_pairs(sigs, bands=16).select(
         "doc_a",
         "doc_b",
@@ -295,13 +292,9 @@ def q_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ov = _shingle_overlap(d, "doc_id", "text", 3, 1000, True).select(
         "doc_a", "doc_b", "inter"
     )
-    toks = spread(d, full=True).select(
-        "doc_id", tokens("text").alias("__toks")
-    )
-    sizes = toks.select(
-        "doc_id",
-        F.size(shingles_from_tokens(F.col("__toks"), 3)).alias("set_size"),
-    )
+    # sizes read the SAME persisted shingle projection the overlap
+    # metric just built (size is hash-invariant) — zero extra scans
+    sizes = shingle_set_sizes(d)
     sa = sizes.select(
         F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
     )

@@ -95,7 +95,7 @@ def test_compact_line_pathological_key_still_fits():
 #: population is a declared, reviewed set.  If you add a persist, add
 #: it here AND to SCALE.md §9 with its release story.
 PERSIST_ALLOWLIST = {
-    ("operators/dedup.py", "_shingle_overlap"): 1,      # shared shingle arrays (session-lifetime, plan-matched)
+    ("operators/dedup.py", "_shingle_arrays"): 1,       # THE shared shingle-array projection (session-lifetime, plan-matched; serves overlap metrics + set sizes)
     ("operators/graph.py", "connected_components"): 2,  # forest iterates; intermediates released in-loop
     ("operators/graph.py", "count_triangles"): 2,       # edge + oriented-edge tables (session-lifetime)
     ("operators/graph.py", "pagerank"): 2,              # edges + degree join (released: nodes/ed unpersist)
@@ -104,6 +104,7 @@ PERSIST_ALLOWLIST = {
     ("operators/similarity.py", "embedding_near_pairs"): 1,  # signature projection (session-lifetime)
     ("queries/clustering.py", "q_semantic_dedup"): 1,   # (vec_id, cluster) assignment table (narrow, 3 consumers)
     ("queries/dedup_scale.py", "q_ann_pq_topk"): 1,     # 10-row approx result (cardinality agg + recall join share the encode+ADC lineage)
+    ("queries/dedup_scale.py", "q_sketch_calibration"): 1,   # portable sigs (banded subtree + 2 lookups; plan-matched with q_minhash_lsh)
     ("queries/dedup_scale.py", "q_incremental_dedup"): 1,    # minhash sigs (plan-matched with the other sig users)
     ("queries/dedup_scale.py", "q_minhash_lsh"): 1,
     ("operators/similarity.py", "ivf_pq_index_refresh"): 1,  # coded delta (drift collect + append are separate actions); unpersists in finally

@@ -289,12 +289,12 @@ def test_countmin_overcount_law_bruteforce(spark, events_pdf):
     engine's estimate must equal the brute-force sketch estimate and
     never undercount the true count."""
     P, W, D = 2147483647, 32, 4
-    from pulsar_sync_java_spark.operators.vectorized import _md5_32
+    from pulsar_sync_java_spark.operators.vectorized import md5_32
 
     # the md5-derived family (r10 — see portable_minhash_family),
     # re-derived here independently of the engine's tuple list
     fam = [
-        ((_md5_32("cma", j) % P) or 1, _md5_32("cmb", j) % P)
+        ((md5_32("cma", j) % P) or 1, md5_32("cmb", j) % P)
         for j in range(D)
     ]
     sketch = {}
