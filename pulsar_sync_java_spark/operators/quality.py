@@ -60,21 +60,35 @@ def classifier_scores(
 ) -> DataFrame:
     """APPLY: per-document (n_toks, score, keep) under a trained weight
     table — one map-side broadcast equi-join over the token stream plus
-    the per-doc aggregate.  Documents with NO scored token (every token
-    outside the model vocabulary) are absent from the result — at the
-    gate they drop, the conservative choice for an out-of-distribution
-    document."""
+    the per-doc aggregate.
+
+    Out-of-vocabulary handling (r10 advice): the join is LEFT, so a
+    document whose EVERY token is outside the model vocabulary still
+    emits a row — score NULL, keep FALSE.  The gate decision is
+    unchanged (OOV docs drop, the conservative out-of-distribution
+    choice), but the drop is now OBSERVABLE: at ingest, a burst of
+    `score IS NULL` rows is an OOV surge (new language, encoding
+    glitch) and monitors can alarm on it separately from scored
+    rejections instead of watching docs vanish.  The score itself is
+    still the mean weight over SCORED tokens only (`n_scored`), so
+    partially-OOV documents score identically to the inner-join
+    formulation; `n_toks` counts the full token stream."""
     toks = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("token")
     )
-    score = F.sum("wt").cast("bigint").cast("double") / F.count(F.lit(1))
+    n_scored = F.count("wt")
+    score = F.when(
+        n_scored > 0, F.sum("wt").cast("bigint").cast("double") / n_scored
+    )
     return (
-        toks.join(F.broadcast(weights), "token")
+        toks.join(F.broadcast(weights), "token", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_toks"),
             score.alias("score"),
-            (score >= F.lit(CLS_KEEP_MIN)).alias("keep"),
+            F.coalesce(score >= F.lit(CLS_KEEP_MIN), F.lit(False)).alias(
+                "keep"
+            ),
         )
     )
 

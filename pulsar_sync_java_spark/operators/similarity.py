@@ -343,7 +343,20 @@ def kmeans_centroids(
 
     `sample` lets a caller that already collected the seeded sample
     (the IVF-PQ trainer, which fits coarse + subspace codebooks from
-    the SAME rows) pass it in, skipping the collect."""
+    the SAME rows) pass it in, skipping the collect.  METRIC-SPACE
+    CONTRACT (r10 advice): pass the sample in the SAME space the
+    index assigns cells in — the IVF-PQ path trains on L2-NORMALIZED
+    rows (its cells are assigned on normalized vectors), the plain-IVF
+    path on RAW rows; a caller mixing the two gets a quantizer in the
+    wrong metric space.  The guard below only catches emptiness — the
+    normalization choice is the caller's, stated here so both callers
+    (`ivf_pq_index_write`: normalized; `ivf_index_write`/`ivf_topk`:
+    raw) are auditable against it."""
+    if sample is not None and len(sample) == 0:
+        raise ValueError(
+            "kmeans_centroids: empty `sample` — cannot train a "
+            f"quantizer (vec_col={vec_col!r})"
+        )
     X = sample if sample is not None else _seeded_sample(
         df, id_col, vec_col, 256 * k, seed
     )
@@ -1032,6 +1045,13 @@ def pq_train(
             "pick m | d (PQ splits the vector into equal subvectors)"
         )
     d_sub = d // m
+    if sample is not None and len(sample) == 0:
+        raise ValueError(
+            "pq_train: empty `sample` — cannot train codebooks "
+            f"(vec_col={vec_col!r})"
+        )
+    # `sample` contract: rows must already be L2-NORMALIZED (the
+    # kmeans_centroids sample-sharing contract — see its docstring)
     X = sample if sample is not None else _l2_normalize(
         _seeded_sample(df, id_col, vec_col, 256 * k, seed, caller="pq_train")
     )
@@ -1134,6 +1154,8 @@ def ivf_pq_topk(
     iters: int = 1,
     pq_iters: int = 3,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    codebooks=None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: coarse-quantize (normalized) vectors
     into `n_centroids` cells, product-quantize the residuals to M
@@ -1146,17 +1168,31 @@ def ivf_pq_topk(
     of the bytes, and the exact metric touches only `rerank` rows.
     Training (coarse + codebooks) shares ONE bounded driver-side
     sample; everything distributed is one Arrow encode projection, a
-    broadcast LUT join, and a top-C."""
-    X = _l2_normalize(
-        _seeded_sample(df, id_col, vec_col, 256 * n_centroids, seed,
-                       caller="ivf_pq_topk")
-    )
-    cents = kmeans_centroids(
-        df, id_col, vec_col, n_centroids, iters, seed, sample=X
-    )
-    books = pq_train(
-        df, cents, id_col, vec_col, m, k_sub, pq_iters, seed, sample=X
-    )
+    broadcast LUT join, and a top-C.
+
+    Pass `centroids` + `codebooks` (together) to probe with an
+    EXTERNAL model — the calibration harness (`ann_calibration`) uses
+    this to audit a given model rather than retrain; production callers
+    leave them None and get the deterministic seeded training."""
+    if (centroids is None) != (codebooks is None):
+        raise ValueError(
+            "ivf_pq_topk: pass centroids and codebooks together — a "
+            "coarse model and codebooks from different trainings rank "
+            "in inconsistent metric spaces"
+        )
+    if centroids is not None:
+        cents, books = centroids, codebooks
+    else:
+        X = _l2_normalize(
+            _seeded_sample(df, id_col, vec_col, 256 * n_centroids, seed,
+                           caller="ivf_pq_topk")
+        )
+        cents = kmeans_centroids(
+            df, id_col, vec_col, n_centroids, iters, seed, sample=X
+        )
+        books = pq_train(
+            df, cents, id_col, vec_col, m, k_sub, pq_iters, seed, sample=X
+        )
     order, q_norm = _pq_probe_order(query_vec, cents)
     probe = order[:nprobe]
 
@@ -1177,7 +1213,7 @@ def ivf_pq_topk(
         .select(
             id_col,
             F.element_at("__enc", 1).alias("__cell"),
-            F.slice("__enc", 2, m).alias("__codes"),
+            F.slice("__enc", 2, len(books)).alias("__codes"),
         )
         .filter(F.col("__cell").isin(*probe))
     )
@@ -1355,6 +1391,14 @@ def ivf_pq_index_refresh(
             "drift_tv": drift_tv,
             "size_stale": size_stale,
             "drifted": drifted,
+            # observability (r10 advice): the meta the decision was
+            # judged against plus the coded dials actually in force,
+            # so an operator auditing refresh decisions sees the full
+            # picture — on append these are the STORED model's (the
+            # meta is deliberately not rewritten by appends: staleness
+            # measures growth since the last TRAIN)
+            "trained_rows": report.trained_rows,
+            "n_centroids": report.n_centroids,
         }
         if not (size_stale or drifted):
             appended = ivf_index_append(
@@ -1368,6 +1412,8 @@ def ivf_pq_index_refresh(
                 "path": path,
                 "centroids": centroids,
                 "codebooks": codebooks,
+                "pq_m": mm,
+                "pq_k_sub": len(codebooks[0]),
             }
     finally:
         delta_coded.unpersist()
@@ -1398,4 +1444,8 @@ def ivf_pq_index_refresh(
         "path": target,
         "centroids": cents,
         "codebooks": books,
+        # the rebuild's n_centroids supersedes the stored meta's
+        "n_centroids": k,
+        "pq_m": new_m,
+        "pq_k_sub": new_ks,
     }

@@ -268,6 +268,147 @@ def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------- tokenizer-true pack / mix
+
+# The r10 twins (verdict #1): q_pack_sequences / q_mix_budget budget on
+# whitespace token counts; these budget on the BPE token counts of the
+# shared tokenizer (queries/pipeline.py:bpe_doc_token_counts — the
+# q_bpe_encode encode-as-equi-join device), which is what a real
+# pretraining pipeline packs by: the context window is measured in
+# TOKENIZER tokens, not words.  Budgets scale with the finer unit
+# (3-merge BPE tokens ~ characters on this corpus).
+
+_PACK_BPE_BUDGET = 4096
+_MIX_BPE_BUDGETS = "CASE lang WHEN 'en' THEN 8000 WHEN 'zh' THEN 4000 ELSE 2000 END"
+
+
+def _pack_bpe_sql() -> str:
+    from pulsar_sync_java_spark.queries.pipeline import BPE_DOC_TOKENS_CTES
+
+    return (
+        "WITH " + BPE_DOC_TOKENS_CTES + f""",
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM bpetok
+)
+SELECT doc_id, lang, n_tokens,
+       CAST((cum - n_tokens) // {_PACK_BPE_BUDGET} AS BIGINT) AS pack_id,
+       CAST(cum - n_tokens AS BIGINT) AS tok_start
+FROM c
+"""
+    )
+
+
+@query("q_pack_sequences_bpe", oracle=_pack_bpe_sql())
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing with TOKENIZER-TRUE budgets (r10 verdict #1):
+    q_pack_sequences' greedy per-language cumulative packing, but sized
+    by each document's BPE token count under the shared `_bpe_learn`
+    vocabulary (the exact per-doc `n_bpe_tokens` q_bpe_encode emits —
+    pinned equal by a property test) against a 4096-token context
+    window.  This is the promise q_bpe_encode was built on: the packing
+    a training run ships budgets in tokenizer tokens, not words.
+
+    Scale shape: the corpus pays one tokenize scan reduced to (doc,
+    word) counts; the trained vocab (word -> post-merge symbol array)
+    joins back unique-keyed; packing itself is the same one-shuffle
+    per-stratum running-sum window as the whitespace query — no new
+    corpus pass over the whitespace version, just the truer sizes.
+    Oracle: the full train+encode CTE chain unrolled (the q_bpe_encode
+    oracle pattern) feeding the identical window — all-integer, so the
+    whole row hash-gates."""
+    from pulsar_sync_java_spark.queries.pipeline import bpe_doc_token_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    t = bpe_doc_token_counts(d)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("__cum"),
+    )
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr(f"(__cum - n_tokens) div {_PACK_BPE_BUDGET}").alias("pack_id"),
+        (F.col("__cum") - F.col("n_tokens")).alias("tok_start"),
+    )
+
+
+def _mix_bpe_sql() -> str:
+    from pulsar_sync_java_spark.queries.pipeline import BPE_DOC_TOKENS_CTES
+
+    return (
+        "WITH " + BPE_DOC_TOKENS_CTES + f""",
+h AS (
+  SELECT doc_id, lang, n_tokens,
+         ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hh
+  FROM bpetok
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY hh, doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM h
+)
+SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+FROM c
+WHERE cum - n_tokens < ({_MIX_BPE_BUDGETS})
+"""
+    )
+
+
+@query("q_mix_budget_bpe", oracle=_mix_bpe_sql())
+def q_mix_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling by TOKENIZER-TRUE token budget (r10 verdict
+    #1): q_mix_budget's greedy portable-hash-order quota fill per
+    language, with quotas measured in BPE tokens of the shared trained
+    vocabulary (8000 en / 4000 zh / 2000 other — scaled for the finer
+    unit) instead of whitespace words.  Domain weights in a pretraining
+    mixture are TOKEN targets under the run's own tokenizer; this is
+    that exact semantics, reproducible on any engine via the portable
+    hash order.
+
+    Same plan as the whitespace query downstream of the sizing: one
+    shuffle (partitionBy lang) into the running-sum window, budget cap
+    bounds the output per stratum.  Oracle: unrolled train+encode CTEs
+    feeding the identical hash-ordered window — all-integer arithmetic,
+    whole row hash-gated."""
+    from pulsar_sync_java_spark.queries.pipeline import bpe_doc_token_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    t = bpe_doc_token_counts(d).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (
+            ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+            % F.lit(4294967296)
+        ).alias("__h"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("__h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.select(
+        "doc_id", "lang", "n_tokens", F.sum("n_tokens").over(w).alias("cum_tokens")
+    )
+    return c.filter(
+        F.col("cum_tokens") - F.col("n_tokens") < F.expr(_MIX_BPE_BUDGETS)
+    ).select("doc_id", "lang", "n_tokens", "cum_tokens")
+
+
 # ------------------------------------------------------------- boilerplate
 
 _BOILER_SQL = """

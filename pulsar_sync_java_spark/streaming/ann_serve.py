@@ -246,26 +246,36 @@ def probe_queries_pq(
     Matches `ivf_pq_topk_indexed` per query bit-for-bit: same
     normalized probe ranking, same LUT math, same (ADC ASC, id ASC)
     candidate cut and (cosine DESC, id ASC) final tie-breaks — the
-    equivalence the serving tests pin.  Broadcast budget:
-    len(queries) x nprobe x M x k_sub doubles (~32 KB per probed cell
-    at M=16, k_sub=256) — serving batches, not corpora."""
+    equivalence the serving tests pin.
+
+    Payload discipline (r10 advice): the broadcast LUT frame carries
+    ONLY (query_id, cell, lut) — nprobe x M x k_sub doubles per query,
+    never the query vector — and the candidate-scan shuffle into the
+    per-query window cut carries ONLY (query_id, id, adc), so the
+    scored rows stay M-byte-code-sized as the docstring's payload
+    story requires.  The d-double query vectors live in a separate
+    len(queries)-row frame that is broadcast-joined once onto the
+    `rerank` SURVIVORS at the exact re-rank — k-row scale, not
+    candidate scale."""
     from pulsar_sync_java_spark.operators.similarity import (
         _pq_lut_rows,
         _pq_probe_order,
     )
 
     lut_rows = []
+    qvec_rows = []
     for qid, vec in queries:
         order, q_norm = _pq_probe_order([float(v) for v in vec], centroids)
         probe = order[:nprobe]
+        qvec_rows.append((int(qid), [float(v) for v in vec]))
         for cell, lut in _pq_lut_rows(q_norm, centroids, codebooks, probe):
-            lut_rows.append((int(qid), [float(v) for v in vec], cell, lut))
+            lut_rows.append((int(qid), cell, lut))
     ludf = spark.createDataFrame(
         lut_rows,
-        "query_id long, qvec array<double>, ivf_cell int, "
-        "__lut array<array<double>>",
+        "query_id long, ivf_cell int, __lut array<array<double>>",
     )
-    cells_union = sorted({r[2] for r in lut_rows})
+    qv = spark.createDataFrame(qvec_rows, "query_id long, qvec array<double>")
+    cells_union = sorted({r[1] for r in lut_rows})
     codes = (
         spark.read.parquet(path)
         .where(F.col("ivf_cell").isin(cells_union))
@@ -281,7 +291,7 @@ def probe_queries_pq(
         lambda acc, x: acc + x,
     )
     scored = codes.join(F.broadcast(ludf), "ivf_cell").select(
-        "query_id", "qvec", F.col(id_col), adc.alias("__adc")
+        "query_id", F.col(id_col), adc.alias("__adc")
     )
     wc = Window.partitionBy("query_id").orderBy(
         F.col("__adc").asc(), F.col(id_col).asc()
@@ -289,7 +299,8 @@ def probe_queries_pq(
     cand = (
         scored.withColumn("__r", F.row_number().over(wc))
         .filter(F.col("__r") <= rerank)
-        .select("query_id", "qvec", id_col)
+        .select("query_id", id_col)
+        .join(F.broadcast(qv), "query_id")
     )
     vecs = (
         spark.read.parquet(path)

@@ -1054,3 +1054,58 @@ def test_degree_assortativity_matches_networkx_style(spark):
     assert r["max_degree"] == max(deg.values())
     assert r["avg_degree"] == 2 * len(edges) / len(deg)
     assert abs(r["assortativity"] - r_py) < 1e-9
+
+
+def test_pack_bpe_tokens_match_bpe_encode(spark):
+    """r10 verdict #1 pin: the tokenizer-true packer must budget on the
+    EXACT per-doc BPE token counts q_bpe_encode reports (same trained
+    vocabulary, same encode), and its pack assignment must replay the
+    greedy per-language cumulative rule over those counts."""
+    enc = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in _QUERIES["q_bpe_encode"](spark, SF_DIR).collect()
+    }
+    packed = _QUERIES["q_pack_sequences_bpe"](spark, SF_DIR).collect()
+    assert {r["doc_id"] for r in packed} == set(enc)
+    for r in packed:
+        assert r["n_tokens"] == enc[r["doc_id"]], r["doc_id"]
+    # replay the greedy packing per language in plain Python
+    by_lang = defaultdict(list)
+    for r in packed:
+        by_lang[r["lang"]].append(r)
+    for lang, rows in by_lang.items():
+        cum = 0
+        for r in sorted(rows, key=lambda x: x["doc_id"]):
+            assert r["tok_start"] == cum, (lang, r["doc_id"])
+            assert r["pack_id"] == cum // 4096, (lang, r["doc_id"])
+            cum += r["n_tokens"]
+
+
+def test_mix_budget_bpe_greedy_fill(spark):
+    """The BPE mix-budget fill must keep exactly the hash-order prefix
+    of each language whose cumulative BPE token count strays below the
+    quota, with the boundary-crossing doc kept (greedy fill)."""
+    enc = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in _QUERIES["q_bpe_encode"](spark, SF_DIR).collect()
+    }
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[["doc_id", "lang"]]
+    budgets = {"en": 8000, "zh": 4000}
+    got = {
+        r["doc_id"]: r
+        for r in _QUERIES["q_mix_budget_bpe"](spark, SF_DIR).collect()
+    }
+    for lang, g in docs.groupby("lang"):
+        budget = budgets.get(lang, 2000)
+        order = sorted(
+            g["doc_id"].tolist(),
+            key=lambda d: (((d % 2147483648) * 2654435761) % 4294967296, d),
+        )
+        cum = 0
+        for d in order:
+            keep = cum < budget
+            if keep:
+                cum += enc[d]
+                assert d in got and got[d]["cum_tokens"] == cum, (lang, d)
+            else:
+                assert d not in got, (lang, d)
