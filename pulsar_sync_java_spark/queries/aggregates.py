@@ -669,6 +669,171 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- quantile sketch merge law
+
+# Rank-error budget for the merge flags: datasketches KLL at the
+# default k=200 guarantees ~1.65% normalized rank error (99% conf,
+# single sketch); 5% gives >= 3x slack PLUS the +-1/n inclusive-rank
+# convention wobble, so only a genuinely broken merge (or sketch) can
+# flip a flag — the q_hll_merge bound philosophy.
+_KLL_EPS = 0.05
+
+_QUANTILE_MERGE_SQL = """
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_exact,
+       MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END)
+         AS exact_p50,
+       MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END)
+         AS exact_p90,
+       TRUE AS merge_ok, TRUE AS oneshot_ok
+FROM r GROUP BY event_type
+"""
+
+
+@query("q_quantile_merge", oracle=_QUANTILE_MERGE_SQL)
+def q_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch MERGE law gated as data (r10 verdict #4) — the
+    fourth member of the mergeable-summary family (q_minhash_merge:
+    MIN-merge; q_hll_merge: register-MAX merge; q_countmin_topk:
+    SUM-merge; here: the KLL compactor merge): per-slice
+    ``kll_sketch_agg_double`` partials collapsed with
+    ``kll_merge_agg_double`` under TWO different row splits (8-way by
+    event_id, 4-way by user_id), beside the unsplit one-shot sketch
+    and the EXACT order statistics.
+
+    What production relies on — and what the flags gate — is the KLL
+    mergeability THEOREM: merging per-shard sketches never degrades
+    the rank-error guarantee, so a merged p50/p90 estimate's exact
+    normalized rank must sit within the sketch bound of its target
+    (the rank INTERVAL [count(<est), count(<=est)]/n comes within 5%
+    of p — >= 3x the k=200 guarantee; the interval form keeps a
+    duplicate-heavy median from reading as rank 1.0).  A rollup
+    pipeline merges per-day/per-partition sketches exactly like the
+    two split paths here; a broken merge (or a sketch whose quantile
+    query ignores the merged compactors) lands whole percentage points
+    away and trips the flag.
+
+    PARTIAL ORACLE (the q_hll_merge pattern): hash covers the group
+    key, the exact count, and the exact discrete p50/p90 (the value at
+    rank ceil(p*n) — both engines replay the identical row_number
+    selection, no interpolation); `merge_ok` (both merged paths, both
+    quantiles in bound) and `oneshot_ok` (direct sketch in bound) are
+    flags the oracle emits as literals.
+
+    Plan: three sketch aggregates over one events scan each — the
+    shuffles carry KLL sketches (bounded by k log n, ~KB) or count
+    partials, never raw values; the six estimates join back onto the
+    scan as a 5-row broadcast for the exact-rank audit; the exact
+    order statistics pay the one per-group sort window the AUDIT
+    needs (at 100 TB the audit side runs on a sampled slice — the
+    sketches themselves never sort anything)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id", "user_id"
+    )
+
+    def qcols(sk, tag: str):
+        return [
+            F.kll_sketch_get_quantile_double(sk, F.lit(0.5)).alias(
+                f"_q50_{tag}"
+            ),
+            F.kll_sketch_get_quantile_double(sk, F.lit(0.9)).alias(
+                f"_q90_{tag}"
+            ),
+        ]
+
+    def merged(slice_col, tag: str) -> DataFrame:
+        partials = e.groupBy("event_type", slice_col.alias("_sl")).agg(
+            F.kll_sketch_agg_double("value").alias("_sk")
+        )
+        return partials.groupBy("event_type").agg(
+            F.kll_merge_agg_double("_sk").alias("_m")
+        ).select("event_type", *qcols(F.col("_m"), tag))
+
+    a = merged(F.col("event_id") % 8, "a")
+    b = merged(F.col("user_id") % 4, "b")
+    d = (
+        e.groupBy("event_type")
+        .agg(F.kll_sketch_agg_double("value").alias("_m"))
+        .select("event_type", *qcols(F.col("_m"), "d"))
+    )
+    est = a.join(b, "event_type").join(d, "event_type")
+
+    tags = ["q50_a", "q90_a", "q50_b", "q90_b", "q50_d", "q90_d"]
+    # a repeated estimate value occupies a rank INTERVAL [lt, le]:
+    # count(value < est) .. count(value <= est); the sketch guarantee
+    # is about that interval, so both ends are audited (a median made
+    # of duplicates would otherwise read as rank 1.0 and flap the flag)
+    ranks = (
+        e.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            *[
+                F.sum(
+                    (F.col("value") <= F.col(f"_{t}")).cast("long")
+                ).alias(f"_rle_{t}")
+                for t in tags
+            ],
+            *[
+                F.sum(
+                    (F.col("value") < F.col(f"_{t}")).cast("long")
+                ).alias(f"_rlt_{t}")
+                for t in tags
+            ],
+        )
+    )
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    exact = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("_rn") == F.ceil(F.lit(0.5) * F.col("_n")),
+                F.col("value"),
+            )
+        ).alias("exact_p50"),
+        F.max(
+            F.when(
+                F.col("_rn") == F.ceil(F.lit(0.9) * F.col("_n")),
+                F.col("value"),
+            )
+        ).alias("exact_p90"),
+    )
+
+    def ok(tag: str, p: float):
+        lo = F.col(f"_rlt_{tag}").cast("double") / F.col("n_exact")
+        hi = F.col(f"_rle_{tag}").cast("double") / F.col("n_exact")
+        return (lo - F.lit(_KLL_EPS) <= F.lit(p)) & (
+            F.lit(p) <= hi + F.lit(_KLL_EPS)
+        )
+
+    return exact.join(ranks, "event_type").select(
+        "event_type",
+        "n_exact",
+        "exact_p50",
+        "exact_p90",
+        (ok("q50_a", 0.5) & ok("q90_a", 0.9) & ok("q50_b", 0.5) & ok("q90_b", 0.9)).alias("merge_ok"),
+        (ok("q50_d", 0.5) & ok("q90_d", 0.9)).alias("oneshot_ok"),
+    )
+
+
 # ------------------------------------------- Count-Min sketch
 
 # d x w Count-Min: d=4 portable multiplicative hash rows, w=32 buckets.

@@ -37,6 +37,7 @@ from pulsar_sync_java_spark.operators.multimodal import (
     resize_images,
 )
 from pulsar_sync_java_spark.operators.similarity import (
+    ann_calibration,
     cosine_topk,
     embedding_near_pairs,
     ivf_pq_topk,
@@ -522,6 +523,68 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits") >= F.lit(9)).alias("recall_ok"),
         )
     )
+
+
+_ANN_CAL_QIDS = [0, 101, 202]
+
+_ANN_CAL_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN ({", ".join(str(i) for i in _ANN_CAL_QIDS)})
+), dims AS (
+  SELECT unnest(generate_series(1, (SELECT MAX(len(embedding)) FROM embeddings))) AS i
+), pairs AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(e.embedding[d.i] AS DOUBLE) AS x,
+         CAST(q.qv[d.i] AS DOUBLE) AS y
+  FROM embeddings e, q, dims d
+  WHERE d.i <= len(e.embedding)
+), scored AS (
+  SELECT query_id, vec_id,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS nx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS ny
+  FROM pairs GROUP BY query_id, vec_id
+), ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC,
+                                     vec_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id,
+       CAST(MAX(CASE WHEN rk = 1 THEN vec_id END) AS BIGINT) AS exact_top1,
+       CAST(SUM(vec_id) AS BIGINT) AS exact_id_sum,
+       TRUE AS recall_lsh_ok, TRUE AS recall_ivf_ok, TRUE AS recall_pq_ok,
+       TRUE AS rank_corr_ok, TRUE AS adc_err_ok
+FROM ranked WHERE rk <= 10 GROUP BY query_id
+"""
+
+
+@query("q_ann_calibration", oracle=_ANN_CAL_SQL)
+def q_ann_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN twin of q_sketch_calibration (r10 verdict #3): a
+    per-query monitoring table over a 3-probe batch — recall@10 of the
+    LSH, IVF and IVF-PQ paths (each at its production dials) against
+    the exact top-10, plus Spearman rank correlation and max absolute
+    distance error of the PQ coded metric over the exact-top-k ∪
+    background audit set (operators/similarity.py:ann_calibration has
+    the full metric definitions and the measured healthy/garbage
+    margins).
+
+    PARTIAL ORACLE (the q_hll_intersect pattern): the EXACT side —
+    top-1 id and top-10 id-sum per probe, decimal-exact cosine — is
+    hash-gated against a full DuckDB replay; the approx side is
+    bounded flags the oracle emits as literals.  This is the r10
+    lesson institutionalized: an in-plan recall flag computed from the
+    same model it judges can rot silently, so the anchor is the exact
+    answer, and a mis-trained codebook is pinned to FAIL the gate by
+    tests/test_dedup_ops.py.  Flag bounds (recall >= 8/10, rho >=
+    0.5, err <= 0.6) sit well outside measured healthy variation
+    (worst 8/10, 0.87, 0.41 across sf0.001/0.01/0.1 x 3 probes) and
+    well inside mis-trained failure."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ann_calibration(e, _ANN_CAL_QIDS)
 
 
 _MULTIMODAL_SQL = """

@@ -102,6 +102,7 @@ PERSIST_ALLOWLIST = {
     ("operators/graph.py", "tree_roots"): 4,            # pointer-doubling states; released in-loop / on finish
     ("operators/heavy_hitters.py", "heavy_hitters"): 1, # MG summaries (tiny: P*(k+1) rows, session-lifetime)
     ("operators/similarity.py", "embedding_near_pairs"): 1,  # signature projection (session-lifetime)
+    ("operators/similarity.py", "ann_calibration"): 1,  # exact top-k anchor (|Q| x k rows; 6 consumers: base agg, 3 recall joins, audit union, audit fetch)
     ("queries/clustering.py", "q_semantic_dedup"): 1,   # (vec_id, cluster) assignment table (narrow, 3 consumers)
     ("queries/dedup_scale.py", "q_ann_pq_topk"): 1,     # 10-row approx result (cardinality agg + recall join share the encode+ADC lineage)
     ("queries/dedup_scale.py", "q_sketch_calibration"): 1,   # portable sigs (banded subtree + 2 lookups; plan-matched with q_minhash_lsh)

@@ -1664,3 +1664,52 @@ def test_sketch_calibration_error_is_bounded(spark, documents):
         assert r["abs_err"] == abs(r["est_jaccard"] - r["exact_jaccard"])
     mean_err = sum(r["abs_err"] for r in rows) / len(rows)
     assert mean_err <= 3 / 16, f"mean |est-exact| {mean_err:.4f}"
+
+
+def test_ann_calibration_fails_mistrained_codebook(spark, embeddings):
+    """r10 verdict #3 pin: the calibration gate must DETECT a corrupted
+    model, not merely reproduce a healthy one.  A zeroed codebook (every
+    reconstruction collapses to its cell centroid) must fail the gate —
+    PQ recall and ADC error flags go false — while the healthy seeded
+    model passes every flag (the q_ann_calibration driver row).  This is
+    the failure mode the r10 degenerate-hash-family episode proved
+    partial oracles can hide: the flag inputs and the model degrade
+    together unless the anchor is exact."""
+    from pulsar_sync_java_spark.operators.similarity import (
+        _l2_normalize,
+        _seeded_sample,
+        ann_calibration,
+        kmeans_centroids,
+    )
+
+    qids = [0, 101, 202]
+    healthy = ann_calibration(embeddings, qids).collect()
+    assert healthy and all(
+        r["recall_lsh_ok"]
+        and r["recall_ivf_ok"]
+        and r["recall_pq_ok"]
+        and r["rank_corr_ok"]
+        and r["adc_err_ok"]
+        for r in healthy
+    ), [r.asDict() for r in healthy]
+
+    X = _l2_normalize(
+        _seeded_sample(embeddings, "vec_id", "embedding", 256 * 16, 42)
+    )
+    cents = kmeans_centroids(
+        embeddings, "vec_id", "embedding", 16, 1, 42, sample=X
+    )
+    garbage = [[[0.0] * 4 for _ in range(256)] for _ in range(16)]
+    bad = ann_calibration(
+        embeddings, qids, centroids=cents, codebooks=garbage
+    ).collect()
+    # every probe must trip the gate (some flag false); the coded-path
+    # flags specifically must catch it on every probe
+    for r in bad:
+        assert not (r["recall_pq_ok"] and r["adc_err_ok"]), r.asDict()
+        assert not r["adc_err_ok"], r.asDict()
+    # and the exact anchor must be identical under both models — it is
+    # the model-independent side the driver hash-gates
+    hmap = {r["query_id"]: (r["exact_top1"], r["exact_id_sum"]) for r in healthy}
+    for r in bad:
+        assert hmap[r["query_id"]] == (r["exact_top1"], r["exact_id_sum"])

@@ -1109,3 +1109,61 @@ def test_mix_budget_bpe_greedy_fill(spark):
                 assert d in got and got[d]["cum_tokens"] == cum, (lang, d)
             else:
                 assert d not in got, (lang, d)
+
+
+def test_kll_merge_split_invariance_property(spark):
+    """The merge law behind q_quantile_merge under ARBITRARY row
+    splits: for any values and any assignment of rows to slices, the
+    quantile read from kll_merge_agg over per-slice sketches must have
+    an exact normalized rank within the sketch bound of its target —
+    merging never degrades the guarantee.  (Bit-equality across splits
+    is deliberately NOT asserted: KLL compaction is insertion-order
+    dependent by design, same reason q_hll_merge gates bounds.)  Small
+    example budget: each example is a Spark round-trip."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        vals=st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, width=32),
+            min_size=20,
+            max_size=250,
+        ),
+        nsplits=st.integers(1, 7),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(vals, nsplits, seed):
+        rng = random.Random(seed)
+        df = spark.createDataFrame(
+            [(float(v), rng.randrange(nsplits)) for v in vals],
+            "v double, sl int",
+        )
+        merged = (
+            df.groupBy("sl")
+            .agg(F.kll_sketch_agg_double("v").alias("sk"))
+            .agg(F.kll_merge_agg_double("sk").alias("m"))
+            .select(
+                F.kll_sketch_get_quantile_double("m", F.lit(0.5)).alias("q50"),
+                F.kll_sketch_get_quantile_double("m", F.lit(0.9)).alias("q90"),
+            )
+            .first()
+        )
+        n = len(vals)
+        s = sorted(vals)
+        for p, est in ((0.5, merged["q50"]), (0.9, merged["q90"])):
+            import bisect
+
+            # a repeated value occupies a rank INTERVAL [lo, hi]; the
+            # sketch guarantee is that the interval comes within the
+            # bound of the target rank (all-duplicate input: est is
+            # the duplicate, interval is [0, 1], any p qualifies)
+            lo = bisect.bisect_left(s, est) / n
+            hi = bisect.bisect_right(s, est) / n
+            eps = 0.05 + 1.0 / n  # bound + inclusive-convention wobble
+            assert lo - eps <= p <= hi + eps, (p, est, lo, hi, n)
+
+    check()
