@@ -27,7 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, IntegerType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 
 
 def minhash_family(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -310,6 +310,48 @@ def pq_encode_udf(centroids: list[list[float]], codebooks):
             # ||r - b||^2 ranking: ||b||^2 - 2 r.b (||r||^2 constant/row)
             d2 = bn[j][None, :] - 2.0 * (R[:, j, :] @ B[j].T)
             out[:, j + 1] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return encode
+
+
+def pq_flat_encode_udf(codebooks):
+    """array<numeric> vector -> array<double>
+    [eps, code_0 .. code_{M-1}]: product-quantize the L2-NORMALIZED
+    vector directly (no coarse level — the "zero centroid" flat-PQ
+    layout the semantic-dedup prefilter uses) and emit the exact
+    residual norm eps = ||v_hat - reconstruction|| beside the codes.
+
+    eps is what makes the downstream ADC prefilter PROVABLY lossless:
+    for unit vectors, |dot(a_hat, b_hat) - dot(rec_a, rec_b)| <=
+    eps_a + eps_b + eps_a*eps_b (split the difference as
+    dot(e_a, b_hat) + dot(rec_a, e_b) with ||b_hat|| = 1 and
+    ||rec_a|| <= 1 + eps_a), so a pair can be discarded on coded
+    arithmetic alone only when NO exact cosine above the threshold is
+    possible.  Codes are emitted as doubles for a homogeneous Arrow
+    array; they are exact small integers (k_sub <= 2^53), cast back
+    JVM-side."""
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, k_sub, d_sub)
+    m, k_sub, d_sub = B.shape
+    bn = (B * B).sum(axis=2)  # (m, k_sub)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def encode(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        norms = np.sqrt((V * V).sum(axis=1, keepdims=True))
+        norms[norms == 0.0] = 1.0
+        V = V / norms
+        R = V.reshape(len(V), m, d_sub)
+        out = np.empty((len(V), m + 1), dtype=np.float64)
+        eps2 = np.zeros(len(V))
+        for j in range(m):
+            d2 = bn[j][None, :] - 2.0 * (R[:, j, :] @ B[j].T)
+            codes = d2.argmin(axis=1)
+            out[:, j + 1] = codes
+            eps2 += ((R[:, j, :] - B[j][codes]) ** 2).sum(axis=1)
+        out[:, 0] = np.sqrt(eps2)
         return pd.Series(list(out))
 
     return encode

@@ -697,3 +697,271 @@ def apply_compaction_plan(
         "rows": int(totals["r"]),
         "files": int(totals["g"]),
     }
+
+
+# ---------------------------------------------------------------------------
+# In-stream compaction lifecycle (r10 verdict #5): the standing
+# maintenance tick that composes plan_compaction (what to merge) and
+# apply_compaction_plan (verified rewrite) over a LIVE table directory
+# a stream keeps appending small files into — plan, apply, verify,
+# publish, retire, exactly the serve_ann_stream refresh discipline.
+# ---------------------------------------------------------------------------
+
+_COMPACTED_PREFIX = "compacted-"
+_MANIFEST_PREFIX = "_compact_manifest_"
+
+
+def _fs_for(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _read_small_file(jvm, fs, jpath) -> str:
+    # py4j passes byte[] by value, so stream.read(buf) cannot fill a
+    # Python bytearray — drain JVM-side via commons-io (bundled with
+    # Hadoop) and let py4j convert the returned String
+    stream = fs.open(jpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def _write_small_file(fs, jpath, text: str) -> None:
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def _recover_compaction_commits(spark: SparkSession, path: str) -> int:
+    """Complete or roll back compaction commits interrupted mid-publish
+    (the rename-then-retire window): each manifest records one group's
+    destination file and the source files it replaces.  Destination
+    present => the publish happened, so finish by retiring the listed
+    sources (idempotent — already-deleted is fine).  Destination absent
+    => the crash hit before the atomic rename, so the sources are still
+    the only copy; drop the manifest and let the next plan redo the
+    group.  Torn manifests (crash mid-write) are safely 'absent': the
+    protocol writes and closes the manifest BEFORE the rename, so an
+    unparseable manifest implies nothing was published."""
+    import json
+
+    jvm, fs, hpath = _fs_for(spark, path)
+    recovered = 0
+    for st in fs.listStatus(hpath):
+        nm = st.getPath().getName()
+        if not (st.isFile() and nm.startswith(_MANIFEST_PREFIX)):
+            continue
+        try:
+            rec = json.loads(_read_small_file(jvm, fs, st.getPath()))
+            dest, sources = rec["dest"], rec["sources"]
+        except (ValueError, KeyError):
+            fs.delete(st.getPath(), False)
+            continue
+        dpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{dest}")
+        if fs.exists(dpath):
+            for s in sources:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{s}"), False)
+            recovered += 1
+        fs.delete(st.getPath(), False)
+    return recovered
+
+
+def compact_table_files(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    target_rows: int,
+    under_rows: int,
+    bucket_range: int = 16,
+) -> dict:
+    """One plan-driven compaction tick over a live parquet directory
+    (flat layout — the idempotent_append stream sink): stat every
+    data file, `plan_compaction` the undersized ones into key-ordered
+    ~target_rows groups, `apply_compaction_plan` them into a staging
+    dir (verified: one key-sorted file per group, planned rows + key
+    range or it raises), then COMMIT each group — manifest, atomic
+    rename into the table, retire the sources, drop the manifest.
+
+    Exactly-once discipline without a table format: per group the
+    commit order is (1) write+close a manifest naming the destination
+    and its source files, (2) fs.rename the staged file to
+    `compacted-<minkey>-<maxkey>-<digest>.parquet` (digest of the
+    sorted source names — replaying the same group regenerates the
+    same name and overwrites identical content; different groups can
+    never clobber each other even with coinciding key ranges),
+    (3) delete sources, (4) delete manifest;
+    `_recover_compaction_commits` (run at every tick start) replays
+    step 3-4 for any manifest whose destination exists and discards
+    manifests whose destination does not — so a crash at ANY point
+    leaves either the sources or the published file authoritative,
+    never both and never neither.
+
+    Convergence shape: compacted files RE-ENTER planning (the
+    manifest recovery is what makes that safe — by plan time either
+    sources or destination exist, never both), so an undersized tail
+    keeps absorbing new arrivals toward target_rows; SINGLETON groups
+    are skipped (rewriting one file into itself is pure churn), so
+    the converged layout — right-sized compacted files plus at most
+    one undersized tail — plans nothing and the tick is a no-op.
+    Rows merge up through intermediate files on the way to target
+    (leveled-compaction write amplification — `compact_every` is the
+    amortization dial).
+
+    Scale notes: the per-file stats aggregate is one footer-cheap scan
+    grouped by input_file_name; the plan itself is the two-level
+    prefix-sum planner (metadata-sized at ~10^6 files).  file_id is
+    assigned by (min_key, path) rank so groups merge KEY-ADJACENT
+    files and stay range-prunable — at real file counts that rank
+    assignment would reuse the planner's bucketed prefix trick; here
+    the stats collect is the maintenance tick's driver-side working
+    set, same class as the staleness report.  Returns
+    {"groups", "rows", "consumed_files", "recovered"}."""
+    import json
+
+    jvm, fs, hpath = _fs_for(spark, path)
+    zero = {"groups": 0, "rows": 0, "consumed_files": 0, "recovered": 0}
+    if not fs.exists(hpath):
+        return zero
+    recovered = _recover_compaction_commits(spark, path)
+    zero["recovered"] = recovered
+    plannable = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(hpath)
+        if st.isFile() and not st.getPath().getName().startswith(("_", "."))
+    )
+    if not plannable:
+        return zero
+    src = spark.read.parquet(
+        *[f"{path}/{nm}" for nm in plannable]
+    ).withColumn("__path", F.input_file_name())
+    stats = src.groupBy("__path").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(key_col).alias("min_key"),
+        F.max(key_col).alias("max_key"),
+    ).collect()
+    stats.sort(key=lambda r: (r["min_key"], r["__path"]))
+    files_df = spark.createDataFrame(
+        [
+            (i, int(r["n_rows"]), r["min_key"], r["max_key"])
+            for i, r in enumerate(stats)
+        ],
+        ["file_id", "n_rows", "min_key", "max_key"],
+    )
+    assign_all = plan_compaction(
+        files_df, target_rows, under_rows, bucket_range
+    ).collect()
+    groups: dict[int, list] = {}
+    for r in assign_all:
+        groups.setdefault(int(r["group_id"]), []).append(r)
+    # singleton groups are pure churn (one undersized file rewritten
+    # into itself) — defer them until siblings arrive; this is also
+    # what makes the converged layout a fixpoint
+    groups = {g: ms for g, ms in groups.items() if len(ms) >= 2}
+    if not groups:
+        return zero
+    arows = [r for ms in groups.values() for r in ms]
+    assign = spark.createDataFrame(
+        [
+            (r["file_id"], r["n_rows"], r["min_key"], r["max_key"],
+             r["group_id"])
+            for r in arows
+        ],
+        ["file_id", "n_rows", "min_key", "max_key", "group_id"],
+    )
+    uri_by_fid = {i: r["__path"] for i, r in enumerate(stats)}
+    name_by_fid = {i: u.rsplit("/", 1)[-1] for i, u in uri_by_fid.items()}
+    planned = {r["file_id"] for r in arows}
+    map_df = spark.createDataFrame(
+        [(uri_by_fid[fid], fid) for fid in sorted(planned)],
+        "__path string, __file_id long",
+    )
+    rows = src.join(F.broadcast(map_df), "__path").drop("__path")
+    tmp = f"{path}/_compact_tmp"
+    out = apply_compaction_plan(rows, assign, tmp, F.col("__file_id"), key_col)
+
+    consumed = 0
+    import hashlib
+
+    for gid in sorted(groups):
+        members = groups[gid]
+        mn = min(r["min_key"] for r in members)
+        mx = max(r["max_key"] for r in members)
+        gdir = jvm.org.apache.hadoop.fs.Path(f"{tmp}/group_id={gid}")
+        part = [
+            st.getPath()
+            for st in fs.listStatus(gdir)
+            if st.isFile() and not st.getPath().getName().startswith(("_", "."))
+        ]
+        assert len(part) == 1, f"group {gid}: {len(part)} staged files"
+        sources = sorted(name_by_fid[int(r["file_id"])] for r in members)
+        digest = hashlib.md5("\n".join(sources).encode()).hexdigest()[:10]
+        dest_name = f"{_COMPACTED_PREFIX}{mn}-{mx}-{digest}.parquet"
+        mpath = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{_MANIFEST_PREFIX}{gid}.json"
+        )
+        _write_small_file(
+            fs, mpath, json.dumps({"dest": dest_name, "sources": sources})
+        )
+        dpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{dest_name}")
+        # a replayed tick regenerates identical content — clear the
+        # old copy so the rename is never blocked
+        fs.delete(dpath, False)
+        if not fs.rename(part[0], dpath):
+            raise IOError(
+                f"compact_table_files: publish rename failed for {dest_name}"
+            )
+        for s in sources:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{s}"), False)
+            consumed += 1
+        fs.delete(mpath, False)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    return {
+        "groups": out["groups"],
+        "rows": out["rows"],
+        "consumed_files": consumed,
+        "recovered": recovered,
+    }
+
+
+def compacting_append_stream(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    key_col: str,
+    target_rows: int,
+    under_rows: int,
+    compact_every: int = 2,
+):
+    """Streaming ingestion with standing compaction maintenance: each
+    micro-batch lands through `idempotent_append` (replay-safe), and
+    every `compact_every`-th batch runs one `compact_table_files` tick
+    over the sink — so the small files a trigger cadence produces are
+    continuously folded into ~target_rows key-sorted files while the
+    stream runs.  Checkpoint-wipe replay composes safely: re-appended
+    batches are key-deduped no-ops, and a maintenance tick on the
+    already-converged layout (right-sized compacted files + at most
+    one undersized tail, a singleton) plans nothing; an interrupted
+    tick is completed or rolled back by the manifest recovery at the
+    next tick."""
+    from pyspark.sql.streaming import DataStreamWriter  # noqa: F401
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        idempotent_append(batch_df, sink_dir, keys)
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            compact_table_files(
+                batch_df.sparkSession, sink_dir, key_col, target_rows,
+                under_rows,
+            )
+
+    return (
+        stream_df.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )

@@ -796,6 +796,29 @@ def test_semantic_dedup_pairs_are_cluster_keyed_never_allpairs(
     )
 
 
+def test_semantic_dedup_pair_shuffle_carries_codes_not_vectors(
+    spark, queries
+):
+    """r10 verdict #6: the in-cell pair scan must be PQ-CODED — every
+    exchange feeding the cluster-keyed pair join carries (cluster, id,
+    eps, codes), never the d-double embedding; full vectors are fetched
+    only for the ADC-prefilter survivors via the vec_id verify joins."""
+    plan = plan_of(queries["q_semantic_dedup"](spark, SF_DIR))
+    blocks = plan.split("\n\n")
+    pair_exchanges = [
+        b
+        for b in blocks
+        if "Exchange" in b.split("\n")[0]
+        and re.search(r"Input \[\d+\]: \[cluster#\d+, v[ab]#", b)
+    ]
+    assert pair_exchanges, "coded pair-side exchanges not found"
+    for b in pair_exchanges:
+        assert "embedding" not in b, b
+        assert re.search(r"__c[ab]#", b), b
+    # one Arrow encode stage per pair side, never the row-at-a-time API
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
 def test_disorder_profile_prefix_max_is_bucket_partitioned(spark, queries):
     """q_disorder_profile: the running-max window must partition by
     (type, arrival bucket) — its Sort orders on (type, bucket, h,

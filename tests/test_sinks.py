@@ -547,3 +547,166 @@ def test_apply_compaction_plan_matches_plan_and_is_idempotent(
     )
     assert out0 == {"groups": 0, "rows": 0, "files": 0}
     assert not os.path.exists(str(tmp_path / "noop"))
+
+
+def test_compacting_stream_file_count_converges_across_restart(
+    spark, tmp_path
+):
+    """r10 verdict #5: the compaction lifecycle runs IN-STREAM — a
+    checkpointed ingestion stream appends small files and a periodic
+    foreachBatch maintenance tick folds them into ~target-row compacted
+    files.  Across a stop/restart AND a checkpoint wipe the row set
+    stays exact and the file count converges instead of growing with
+    batch count."""
+    from pulsar_sync_java_spark.sinks.writers import (
+        compacting_append_stream,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+
+    def run():
+        q = (
+            compacting_append_stream(
+                # one source file per micro-batch, so the sink actually
+                # accretes trigger-sized small files for the ticks to fold
+                spark.readStream.schema("k long, v long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                sink,
+                ckpt,
+                keys=["k"],
+                key_col="k",
+                target_rows=100,
+                under_rows=100,
+                compact_every=1,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # phase 1: four 25-row files land one micro-batch each; the ticks
+    # fold them up to the 100-row target
+    for i in range(4):
+        batch(i * 25, (i + 1) * 25).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+    run()
+    files1 = _parquet_files(sink)
+    back = spark.read.parquet(sink)
+    assert sorted(r["k"] for r in back.collect()) == list(range(100))
+    # 100 rows at target 100 -> converged to ONE right-sized compacted
+    # file (the undersized tail keeps absorbing arrivals)
+    assert len(files1) == 1 and "compacted-" in files1[0], files1
+
+    # phase 2: restart from checkpoint with four more small batches
+    for i in range(4, 8):
+        batch(i * 25, (i + 1) * 25).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+    run()
+    files2 = _parquet_files(sink)
+    assert sorted(
+        r["k"] for r in spark.read.parquet(sink).collect()
+    ) == list(range(200))
+    # two right-sized compacted files, NOT 8 trigger-sized ones
+    assert len(files2) == 2 and all("compacted-" in f for f in files2), files2
+
+    # phase 3: checkpoint WIPE — the whole source replays; appends are
+    # key-deduped no-ops and the maintenance tick plans nothing
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run()
+    assert sorted(
+        r["k"] for r in spark.read.parquet(sink).collect()
+    ) == list(range(200))
+    assert sorted(_parquet_files(sink)) == sorted(files2)
+
+
+def test_compaction_manifest_recovery_completes_interrupted_commit(
+    spark, tmp_path
+):
+    """The crash window between publish (rename) and retire (source
+    deletes): a manifest whose destination EXISTS must finish the
+    commit — retire the sources so their rows are not duplicated —
+    and a manifest whose destination does NOT exist must be discarded,
+    leaving the sources authoritative for the next plan."""
+    import json
+    import shutil
+
+    from pulsar_sync_java_spark.sinks.writers import (
+        _recover_compaction_commits,
+        compact_table_files,
+    )
+
+    sink = str(tmp_path / "t")
+    for i in range(4):
+        spark.range(i * 25, (i + 1) * 25).select(
+            F.col("id").alias("k")
+        ).repartition(1).write.mode("append").parquet(sink)
+    pre = {
+        os.path.basename(f): f
+        for f in _parquet_files(sink)
+        if "compacted-" not in f
+    }
+    keep = sorted(pre)[0]
+    saved = str(tmp_path / "saved.parquet")
+    shutil.copyfile(pre[keep], saved)
+
+    out = compact_table_files(spark, sink, "k", 100, 50)
+    assert out["groups"] == 1 and out["consumed_files"] == 4
+    dest = [
+        os.path.basename(f)
+        for f in _parquet_files(sink)
+        if "compacted-" in f
+    ]
+    assert len(dest) == 1
+    assert spark.read.parquet(sink).count() == 100
+
+    # simulate the crash: one source resurrected (its delete "never
+    # happened") with the manifest still on disk
+    shutil.copyfile(saved, os.path.join(sink, keep))
+    with open(
+        os.path.join(sink, "_compact_manifest_0.json"), "w"
+    ) as fh:
+        json.dump({"dest": dest[0], "sources": [keep]}, fh)
+    assert spark.read.parquet(sink).count() == 125  # duplicates visible
+
+    # the next tick's recovery completes the commit before planning
+    assert _recover_compaction_commits(spark, sink) == 1
+    assert spark.read.parquet(sink).count() == 100
+    assert not glob.glob(os.path.join(sink, "_compact_manifest_*"))
+
+    # the rollback side, on an honestly-constructed pre-publish crash
+    # state (fresh table, manifest written, rename never happened):
+    # recovery must keep the sources — they are the only copy — and
+    # drop the manifest so the next tick re-plans the group
+    sink2 = str(tmp_path / "t2")
+    for i in range(2):
+        spark.range(i * 25, (i + 1) * 25).select(
+            F.col("id").alias("k")
+        ).repartition(1).write.mode("append").parquet(sink2)
+    srcs2 = sorted(
+        os.path.basename(f) for f in _parquet_files(sink2)
+    )
+    with open(
+        os.path.join(sink2, "_compact_manifest_0.json"), "w"
+    ) as fh:
+        json.dump({"dest": "compacted-never-published.parquet",
+                   "sources": srcs2}, fh)
+    assert _recover_compaction_commits(spark, sink2) == 0
+    assert sorted(
+        os.path.basename(f) for f in _parquet_files(sink2)
+    ) == srcs2
+    assert not glob.glob(os.path.join(sink2, "_compact_manifest_*"))
+    out2 = compact_table_files(spark, sink2, "k", 100, 100)
+    assert out2["consumed_files"] == 2
+    assert spark.read.parquet(sink2).count() == 50

@@ -162,7 +162,7 @@ EXPECT = {
     "q_rolling_quantile": "ONE (user_id) window exchange; bounded 10-row collect_list frame; quantile extraction is zero-shuffle array expressions (array_sort + element_at) in the same stage",
     "q_zorder_layout": "one-row bounds aggregate broadcast onto the scan (BroadcastNestedLoopJoin build-right); 16-term integer interleave inside WholeStageCodegen; ONE partial+final hash aggregate over 64 file groups",
     "q_join_incremental": "join-view IVM: all 3 delta terms are BroadcastHashJoins with the micro-batch side building — history is scanned, never shuffled for a join; the single Exchange is the group-sized final aggregate",
-    "q_semantic_dedup": "SemDeDup composed: broadcast-centroid Lloyd passes (BNLJ, K-row build) materialize ONCE into the persisted (vec_id, cluster) table (InMemoryTableScan feeds both pair sides + the output join); candidate pairs from an EQUI-join keyed on cluster (never all-pairs); closure via the contraction operator",
+    "q_semantic_dedup": "SemDeDup composed + PQ-coded (r11): persisted (vec_id, cluster) table feeds both pair sides; the cluster-keyed pair join shuffles (id, eps, codes) — NEVER embeddings (plan-asserted); ADC Gram fold + lossless eps bound cut ~65% of pairs before the exact verify, which fetches vectors via vec_id joins; closure via the contraction operator",
     "q_disorder_profile": "two-level distributed prefix MAX over arrival order: (type, bucket) maxima aggregate, tiny exclusive-prefix window, within-bucket running-max windows partitioned by (type, bucket) with base offsets broadcast — never a per-type global sort",
     "q_join_cardinality": "estimator never materializes the join: two per-key count aggregates feed a key-sized equi-join (cnt_a x cnt_b products), cost independent of the predicted output size",
     "q_bfs_khop": "bounded frontier expansion in ONE lazy plan: per level an equi-join on the persisted symmetric edge table (InMemoryTableScan) + LeftAnti against visited; no iteration-to-fixpoint, no CartesianProduct",
