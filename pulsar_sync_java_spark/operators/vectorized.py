@@ -355,3 +355,33 @@ def pq_flat_encode_udf(codebooks):
         return pd.Series(list(out))
 
     return encode
+
+
+def pq_gram_dot_udf(codebooks):
+    """(array codes_a, array codes_b) -> double: the approximate dot
+    product of two flat-PQ-coded vectors, dot(rec_a, rec_b) =
+    sum_j Gram_j[code_a_j][code_b_j], with the per-subspace codeword
+    Gram tables precomputed in the closure.
+
+    This is the ADC pair fold of the semantic-dedup prefilter, and it
+    lives HERE for the module-docstring reason: as a JVM higher-order
+    `aggregate` over `sequence(0, m-1)` the fold is CodegenFallback —
+    interpreted, boxed, ~60 us per pair measured at sf0.1 (a 19x
+    regression on q_semantic_dedup) — while this kernel is one numpy
+    fancy-index + row sum per Arrow batch.  Codes travel as tinyint
+    arrays (the narrow payload the coded pair shuffle exists for);
+    numpy widens on index."""
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, k_sub, d_sub)
+    G = np.einsum("jkd,jld->jkl", B, B)  # (m, k_sub, k_sub)
+    m = len(B)
+    jidx = np.arange(m)
+
+    @pandas_udf(DoubleType())
+    def gdot(ca: pd.Series, cb: pd.Series) -> pd.Series:
+        if not len(ca):
+            return pd.Series([], dtype=np.float64)
+        A = np.stack([np.asarray(v, dtype=np.int64) for v in ca])
+        C = np.stack([np.asarray(v, dtype=np.int64) for v in cb])
+        return pd.Series(G[jidx[None, :], A, C].sum(axis=1))
+
+    return gdot
