@@ -381,6 +381,7 @@ def ivf_topk(
     nprobe: int = 4,
     iters: int = 2,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into
     `n_centroids` inverted lists, probe the `nprobe` lists nearest the
@@ -390,8 +391,17 @@ def ivf_topk(
     cluster assignment is a precomputed partition column — probing
     nprobe/n_centroids of the corpus becomes partition PRUNING at the
     parquet scan, not a filter; recall is tuned by nprobe with cost
-    linear in the probed fraction."""
-    cents = kmeans_centroids(df, id_col, vec_col, n_centroids, iters, seed)
+    linear in the probed fraction.
+
+    `centroids` supplies an external coarse model (RAW-space — this
+    path, unlike IVF-PQ, quantizes unnormalized vectors); multi-query
+    callers (ann_calibration) train once and pass it per probe instead
+    of paying a sample collect + driver Lloyd per call."""
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(df, id_col, vec_col, n_centroids, iters, seed)
+    )
     order = sorted(
         range(len(cents)),
         key=lambda i: sum((a - b) ** 2 for a, b in zip(query_vec, cents[i])),
@@ -1598,9 +1608,13 @@ def ann_calibration(
         ),
         "recall_lsh_ok",
     )
+    # one RAW-space sample + Lloyd for all IVF probes (ivf_topk's own
+    # metric space — distinct from the PQ model's normalized sample)
+    cents_ivf = kmeans_centroids(df, id_col, vec_col, n_centroids, iters, seed)
     r_ivf = recall_flag(
         lambda qv: ivf_topk(
-            df, qv, k, id_col, vec_col, n_centroids, nprobe, iters, seed
+            df, qv, k, id_col, vec_col, n_centroids, nprobe, iters, seed,
+            centroids=cents_ivf,
         ),
         "recall_ivf_ok",
     )
