@@ -1116,6 +1116,29 @@ def _pq_lut_rows(q_norm, centroids, codebooks, probe):
     return rows
 
 
+def adc_lut_fold(
+    lut_col: Column | str = "__lut", codes_col: Column | str = "__codes"
+) -> Column:
+    """THE ADC lookup-table fold — sum of per-subspace LUT entries
+    selected by the 0-based codes (element_at is 1-based, hence the
+    +1).  One definition for every consumer (_pq_adc_topc, the serving
+    probe in streaming/ann_serve.py, ann_calibration's audit): a fix
+    to the fold — indexing, or a codegen workaround — lands once.
+    Bounded use only: LUT folds run on candidate/audit frames of m
+    lookups per row; a corpus-scale pair fold belongs in the Arrow
+    kernel (vectorized.py:pq_gram_dot_udf — HOFs are CodegenFallback,
+    measured 19x slower per pair at sf0.1)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(lut_col) if isinstance(lut_col, str) else lut_col,
+            F.col(codes_col) if isinstance(codes_col, str) else codes_col,
+            lambda sub, c: F.element_at(sub, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def _pq_adc_topc(
     coded: DataFrame,
     lut_rows,
@@ -1133,15 +1156,7 @@ def _pq_adc_topc(
     lutdf = spark.createDataFrame(
         lut_rows, f"{cell_col} int, __lut array<array<double>>"
     )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("__lut"),
-            F.col(codes_col),
-            lambda sub, c: F.element_at(sub, c + F.lit(1)),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    adc = adc_lut_fold("__lut", codes_col)
     return (
         coded.join(F.broadcast(lutdf), cell_col)
         .select(F.col(id_col), adc.alias("__adc"))
@@ -1542,12 +1557,32 @@ def ann_calibration(
     from pulsar_sync_java_spark.functions.numeric import dec_arr_sum
     from pulsar_sync_java_spark.operators.vectorized import pq_encode_udf
 
+    if (centroids is None) != (codebooks is None):
+        # the ivf_pq_topk pairing contract, doubly important here: a
+        # codebooks-only call would silently retrain a HEALTHY model
+        # and audit that instead of the suspect one — every flag green
+        # for a corrupted model, the exact silent-green failure this
+        # harness exists to prevent
+        raise ValueError(
+            "ann_calibration: pass centroids and codebooks together — "
+            "auditing a mixed or partially-defaulted model would judge "
+            "a different quantizer than the one supplied"
+        )
+
+    sq = lambda c: F.transform(  # noqa: E731
+        c, lambda x: x.cast("double") * x.cast("double")
+    )
+    # per-query norms fold ONCE into the |Q|-row broadcast frame
+    # (bit-identical to folding per joined row — the decimal sum is a
+    # pure function of the query vector)
     qdf = df.filter(F.col(id_col).isin([int(q) for q in query_ids])).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        dec_arr_sum(sq(F.col(vec_col))).alias("__ny"),
     )
     qvecs = {
         int(r["query_id"]): [float(x) for x in r["__qv"]]
-        for r in qdf.collect()  # bounded: the probe batch
+        for r in qdf.select("query_id", "__qv").collect()  # probe batch
     }
     missing = set(int(q) for q in query_ids) - set(qvecs)
     if missing:
@@ -1556,18 +1591,20 @@ def ann_calibration(
     prod = F.zip_with(
         vec_col, "__qv", lambda x, y: x.cast("double") * y.cast("double")
     )
-    sq = lambda c: F.transform(  # noqa: E731
-        c, lambda x: x.cast("double") * x.cast("double")
+    # corpus-row norms fold once per row BEFORE the query cross join
+    # (not |Q| times after it) — same values, 1/|Q| the fold work on
+    # the anchor scan
+    corpus = df.select(
+        id_col, vec_col, dec_arr_sum(sq(F.col(vec_col))).alias("__nx")
     )
     scored = (
-        df.select(id_col, vec_col)
-        .crossJoin(F.broadcast(qdf))
+        corpus.crossJoin(F.broadcast(qdf))
         .select(
             "query_id",
             id_col,
             dec_arr_sum(prod).alias("__dot"),
-            dec_arr_sum(sq(F.col(vec_col))).alias("__nx"),
-            dec_arr_sum(sq(F.col("__qv"))).alias("__ny"),
+            "__nx",
+            "__ny",
         )
     )
     cos = F.col("__dot") / (F.sqrt("__nx") * F.sqrt("__ny"))
@@ -1652,18 +1689,13 @@ def ann_calibration(
         .collect()
     ]
     bg = (
-        df.select(id_col, vec_col)
-        .filter(F.col(id_col).isin(bg_ids))
+        corpus.filter(F.col(id_col).isin(bg_ids))
         .crossJoin(F.broadcast(qdf))
         .select(
             "query_id",
             id_col,
             (
-                dec_arr_sum(prod)
-                / (
-                    F.sqrt(dec_arr_sum(sq(F.col(vec_col))))
-                    * F.sqrt(dec_arr_sum(sq(F.col("__qv"))))
-                )
+                dec_arr_sum(prod) / (F.sqrt("__nx") * F.sqrt("__ny"))
             ).alias("__cos"),
         )
     )
@@ -1701,15 +1733,7 @@ def ann_calibration(
             F.slice("__enc", 2, len(books)).alias("__codes"),
         )
     )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("__lut"),
-            F.col("__codes"),
-            lambda sub, c: F.element_at(sub, c + F.lit(1)),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    adc = adc_lut_fold("__lut", "__codes")
     we2 = Window.partitionBy("query_id").orderBy(
         F.col("__cos").desc(), F.col(id_col).asc()
     )

@@ -777,9 +777,13 @@ p{k} AS (
 )"""
 
 
-_BPE_SQL = (
-    f"""
-WITH toks AS (
+# The ONE training-CTE chain (vocab aggregate + unrolled merges) every
+# BPE oracle composes over — _BPE_SQL, _BPE_ENCODE_SQL and the pack/mix
+# twins' BPE_DOC_TOKENS_CTES all splice this SAME string, so a future
+# tokenization or width change cannot silently train different
+# vocabularies in different oracles.
+_BPE_TRAIN_CTES = (
+    f"""toks AS (
   SELECT unnest({_DUCK_TOKENS}) AS word FROM documents
 ), w0 AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS w FROM toks GROUP BY word
@@ -787,6 +791,11 @@ WITH toks AS (
   SELECT word, w, regexp_extract_all(word, '.') AS arr FROM w0
 ), """
     + ", ".join(_bpe_sql_iter(k) for k in range(1, _BPE_ITERS + 1))
+)
+
+_BPE_SQL = (
+    "\nWITH "
+    + _BPE_TRAIN_CTES
     + "\n"
     + "\nUNION ALL ".join(
         f"SELECT {k} AS iter, x AS left_sym, y AS right_sym,"
@@ -883,15 +892,8 @@ def _bpe_learn(d: DataFrame) -> tuple[list[DataFrame], DataFrame]:
 # ------------------------------------------------- BPE tokenizer encode
 
 _BPE_ENCODE_SQL = (
-    f"""
-WITH toks AS (
-  SELECT unnest({_DUCK_TOKENS}) AS word FROM documents
-), w0 AS (
-  SELECT word, CAST(COUNT(*) AS BIGINT) AS w FROM toks GROUP BY word
-), a0 AS (
-  SELECT word, w, regexp_extract_all(word, '.') AS arr FROM w0
-), """
-    + ", ".join(_bpe_sql_iter(k) for k in range(1, _BPE_ITERS + 1))
+    "\nWITH "
+    + _BPE_TRAIN_CTES
     + f""", dwc AS (
   SELECT doc_id, unnest({_DUCK_TOKENS}) AS word FROM documents
 ), dw AS (
@@ -971,14 +973,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _BPE_ENCODE_SQL, ending in a `bpetok(doc_id, lang, n_tokens)` CTE the
 # consumer composes its own windows over.
 BPE_DOC_TOKENS_CTES = (
-    f"""toks AS (
-  SELECT unnest({_DUCK_TOKENS}) AS word FROM documents
-), w0 AS (
-  SELECT word, CAST(COUNT(*) AS BIGINT) AS w FROM toks GROUP BY word
-), a0 AS (
-  SELECT word, w, regexp_extract_all(word, '.') AS arr FROM w0
-), """
-    + ", ".join(_bpe_sql_iter(k) for k in range(1, _BPE_ITERS + 1))
+    _BPE_TRAIN_CTES
     + f""", dwc AS (
   SELECT doc_id, lang, unnest({_DUCK_TOKENS}) AS word FROM documents
 ), dw AS (

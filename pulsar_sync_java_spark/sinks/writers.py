@@ -738,6 +738,19 @@ def _write_small_file(fs, jpath, text: str) -> None:
         stream.close()
 
 
+def _retire_file(fs, jpath) -> None:
+    """Delete a superseded source file, LOUDLY: Hadoop's delete()
+    signals failure by returning false (RawLocalFileSystem delegates
+    to java.io.File.delete()), and silently ignoring that here would
+    leave the published compacted file AND the source both live —
+    permanent duplicate rows once the manifest is dropped.  An
+    already-absent file is the idempotent-replay case and fine."""
+    if not fs.delete(jpath, False) and fs.exists(jpath):
+        raise IOError(
+            f"compaction retire failed (delete returned false): {jpath}"
+        )
+
+
 def _recover_compaction_commits(spark: SparkSession, path: str) -> int:
     """Complete or roll back compaction commits interrupted mid-publish
     (the rename-then-retire window): each manifest records one group's
@@ -765,8 +778,12 @@ def _recover_compaction_commits(spark: SparkSession, path: str) -> int:
             continue
         dpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{dest}")
         if fs.exists(dpath):
+            # retire BEFORE dropping the manifest — if a retire fails
+            # the manifest survives as the retry token for next tick
             for s in sources:
-                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{s}"), False)
+                _retire_file(
+                    fs, jvm.org.apache.hadoop.fs.Path(f"{path}/{s}")
+                )
             recovered += 1
         fs.delete(st.getPath(), False)
     return recovered
@@ -791,11 +808,13 @@ def compact_table_files(
     Exactly-once discipline without a table format: per group the
     commit order is (1) write+close a manifest naming the destination
     and its source files, (2) fs.rename the staged file to
-    `compacted-<minkey>-<maxkey>-<digest>.parquet` (digest of the
-    sorted source names — replaying the same group regenerates the
-    same name and overwrites identical content; different groups can
-    never clobber each other even with coinciding key ranges),
-    (3) delete sources, (4) delete manifest;
+    `compacted-<digest>.parquet` (digest of the key range + sorted
+    source names, never raw key VALUES — generic keys can contain
+    path-hostile characters; replaying the same group regenerates the
+    same name and overwrites identical content, and different groups
+    can never clobber each other), (3) delete sources — loudly, a
+    false-returning delete raises while the manifest still exists as
+    the retry token — (4) delete manifest;
     `_recover_compaction_commits` (run at every tick start) replays
     step 3-4 for any manifest whose destination exists and discards
     manifests whose destination does not — so a crash at ANY point
@@ -875,7 +894,14 @@ def compact_table_files(
         ["file_id", "n_rows", "min_key", "max_key", "group_id"],
     )
     uri_by_fid = {i: r["__path"] for i, r in enumerate(stats)}
-    name_by_fid = {i: u.rsplit("/", 1)[-1] for i, u in uri_by_fid.items()}
+    # input_file_name() returns percent-ENCODED URIs — decode before
+    # using as a filesystem name (a space or '%' in a landed part name
+    # would otherwise make the retire delete target a ghost path)
+    from urllib.parse import unquote
+
+    name_by_fid = {
+        i: unquote(u.rsplit("/", 1)[-1]) for i, u in uri_by_fid.items()
+    }
     planned = {r["file_id"] for r in arows}
     map_df = spark.createDataFrame(
         [(uri_by_fid[fid], fid) for fid in sorted(planned)],
@@ -900,8 +926,15 @@ def compact_table_files(
         ]
         assert len(part) == 1, f"group {gid}: {len(part)} staged files"
         sources = sorted(name_by_fid[int(r["file_id"])] for r in members)
-        digest = hashlib.md5("\n".join(sources).encode()).hexdigest()[:10]
-        dest_name = f"{_COMPACTED_PREFIX}{mn}-{mx}-{digest}.parquet"
+        # name = digest of (sources + key range), never raw key VALUES:
+        # key_col is generic, and a key containing '/', '%', or a space
+        # in the file name would nest the rename target into a
+        # subdirectory or break the retire path.  Same-group replays
+        # regenerate the same digest; distinct groups cannot collide.
+        digest = hashlib.md5(
+            "\n".join([str(mn), str(mx), *sources]).encode()
+        ).hexdigest()[:16]
+        dest_name = f"{_COMPACTED_PREFIX}{digest}.parquet"
         mpath = jvm.org.apache.hadoop.fs.Path(
             f"{path}/{_MANIFEST_PREFIX}{gid}.json"
         )
@@ -917,7 +950,7 @@ def compact_table_files(
                 f"compact_table_files: publish rename failed for {dest_name}"
             )
         for s in sources:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{s}"), False)
+            _retire_file(fs, jvm.org.apache.hadoop.fs.Path(f"{path}/{s}"))
             consumed += 1
         fs.delete(mpath, False)
     fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
@@ -950,7 +983,6 @@ def compacting_append_stream(
     one undersized tail, a singleton) plans nothing; an interrupted
     tick is completed or rolled back by the manifest recovery at the
     next tick."""
-    from pyspark.sql.streaming import DataStreamWriter  # noqa: F401
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         idempotent_append(batch_df, sink_dir, keys)

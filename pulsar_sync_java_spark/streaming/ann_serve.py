@@ -260,6 +260,7 @@ def probe_queries_pq(
     from pulsar_sync_java_spark.operators.similarity import (
         _pq_lut_rows,
         _pq_probe_order,
+        adc_lut_fold,
     )
 
     lut_rows = []
@@ -281,15 +282,7 @@ def probe_queries_pq(
         .where(F.col("ivf_cell").isin(cells_union))
         .select(id_col, F.col("ivf_cell").cast("int").alias("ivf_cell"), "pq_codes")
     )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("__lut"),
-            F.col("pq_codes"),
-            lambda sub, c: F.element_at(sub, c + F.lit(1)),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    adc = adc_lut_fold("__lut", "pq_codes")
     scored = codes.join(F.broadcast(ludf), "ivf_cell").select(
         "query_id", F.col(id_col), adc.alias("__adc")
     )
