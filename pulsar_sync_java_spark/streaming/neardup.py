@@ -172,6 +172,9 @@ def gated_neardup_ingest_stream(
     sink_dir: str,
     checkpoint_dir: str,
     threshold: float = 0.5,
+    compact_every: int = 0,
+    compact_target_rows: int = 1 << 20,
+    compact_under_rows: int = 1 << 19,
     **kwargs,
 ) -> DataStreamWriter:
     """Wire `gated_ingest_batch` into a foreachBatch streaming query.
@@ -179,7 +182,20 @@ def gated_neardup_ingest_stream(
     immutable model artifact) inside each batch — every micro-batch,
     and every restart from the same checkpoint, gates under the
     identical frozen model; retraining is an explicit redeploy to a
-    NEW path, never a side effect of ingestion."""
+    NEW path, never a side effect of ingestion.
+
+    `compact_every` > 0 completes the production pipeline with
+    standing sink maintenance: every compact_every-th batch runs one
+    `sinks/writers.py:compact_table_files` tick over BOTH landing
+    tables — the accepted corpus (keyed/sorted by id) and the
+    signature index (same key) — folding trigger-sized append files
+    toward compact_target_rows.  Compaction is a pure file-layout
+    rewrite (the manifest commit protocol guarantees the row set is
+    untouched through crash/replay), so gate/near-dup decisions are
+    identical with it on or off, and the batch/stream equivalence
+    tests hold under maintenance; it just stops a long-running ingest
+    from dissolving its own corpus into millions of micro-batch
+    files."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         weights = batch_df.sparkSession.read.parquet(weights_path)
@@ -187,6 +203,17 @@ def gated_neardup_ingest_stream(
             batch_df, weights, corpus_sig_dir, sink_dir,
             threshold=threshold, **kwargs,
         )
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            from pulsar_sync_java_spark.sinks.writers import (
+                compact_table_files,
+            )
+
+            id_col = kwargs.get("id_col", "doc_id")
+            for table in (sink_dir, corpus_sig_dir):
+                compact_table_files(
+                    batch_df.sparkSession, table, id_col,
+                    compact_target_rows, compact_under_rows,
+                )
 
     return (
         doc_stream.writeStream.foreachBatch(apply)

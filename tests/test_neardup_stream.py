@@ -209,3 +209,71 @@ def test_gated_stream_matches_batch_composition_across_restart(
         .collect()
     }
     assert set(got) <= gated_all
+
+
+def test_gated_stream_with_maintenance_same_rows_fewer_files(
+    spark, tmp_path, doc_batches
+):
+    """The full production pipeline in one checkpointed stream (r11):
+    gate -> near-dup -> append -> periodic compaction.  Maintenance is
+    a pure layout rewrite, so the accepted row set must be IDENTICAL
+    to the unmaintained stream across a restart, while the corpus and
+    signature sinks converge to compacted files instead of one file
+    per micro-batch."""
+    import glob
+    import os
+
+    from pulsar_sync_java_spark.operators.quality import classifier_weights
+    from pulsar_sync_java_spark.streaming.neardup import (
+        gated_neardup_ingest_stream,
+    )
+
+    b1, b2 = doc_batches
+    ref = load_table(spark, SF_DIR, "documents")
+    weights_path = str(tmp_path / "weights")
+    classifier_weights(ref).write.parquet(weights_path)
+
+    def run(tag: str, compact_every: int):
+        src = str(tmp_path / f"src_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        sigs = str(tmp_path / f"sigs_{tag}")
+        sink = str(tmp_path / f"corpus_{tag}")
+        stream_df = lambda: spark.readStream.schema(  # noqa: E731
+            "doc_id long, text string"
+        ).parquet(src)
+        for b in (b1, b2):
+            b.repartition(4).write.mode("append").parquet(src)
+            q = (
+                gated_neardup_ingest_stream(
+                    stream_df(), weights_path, sigs, sink,
+                    checkpoint_dir=ckpt,
+                    compact_every=compact_every,
+                    compact_target_rows=4096,
+                    compact_under_rows=4096,
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        return sink, sigs
+
+    sink_plain, _ = run("plain", 0)
+    sink_maint, sigs_maint = run("maint", 1)
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(sink_maint).collect())
+    want = sorted(r["doc_id"] for r in spark.read.parquet(sink_plain).collect())
+    assert got == want and got
+
+    def files(p):
+        return [
+            f
+            for f in glob.glob(os.path.join(p, "*.parquet"))
+            if os.path.basename(f) != "_SUCCESS"
+        ]
+
+    # both sinks folded to compacted files (4 writer tasks x 2 batches
+    # would otherwise leave ~8 files each)
+    for p in (sink_maint, sigs_maint):
+        fl = files(p)
+        assert len(fl) <= 2, fl
+        assert any("compacted-" in f for f in fl), fl
