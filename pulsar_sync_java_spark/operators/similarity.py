@@ -119,6 +119,84 @@ def lsh_topk(
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def _multi_cosine_topk(
+    scored: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Per-query exact top-k over (query_id, id, cos_sim) candidate
+    rows: the batch twin of `cosine_topk`'s (cos DESC, id ASC) cut —
+    row_number over a query-partitioned window selects the identical
+    per-query set the single-query TakeOrdered does."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def lsh_topk_multi(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    max_hamming: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Batch `lsh_topk`: answer EVERY (query_id, vector) probe from ONE
+    corpus signature pass.  Per-query results match `lsh_topk`
+    exactly (same planes, same numpy query-signature kernel, same
+    hamming filter, same decimal tie-breaks) — the equivalence the
+    calibration harness and tests pin.
+
+    Plan: one signature projection over the corpus (the per-call cost
+    `lsh_topk` pays |Q| times), a |Q|-row broadcast of (query_id,
+    signature, vector) nested-loop-joined on the bit_count hamming
+    predicate, exact cosine on the survivors, per-query window top-k.
+    The query vector rides the candidate rows because exact cosine on
+    every candidate IS the LSH re-rank — unlike the PQ path there is
+    no code-sized intermediate to preserve."""
+    import numpy as np
+
+    from pulsar_sync_java_spark.operators.vectorized import (
+        hyperplane_sign_bits,
+        hyperplane_signature_udf,
+    )
+
+    dim = len(queries[0][1])
+    planes = _planes(dim, num_planes, seed)
+    qsigs = hyperplane_sign_bits(
+        np.asarray([[float(v) for v in qv] for _, qv in queries],
+                   dtype=np.float64),
+        np.asarray(planes),
+    )
+    qdf = df.sparkSession.createDataFrame(
+        [
+            (int(qid), int(sig), [float(v) for v in qv])
+            for (qid, qv), sig in zip(queries, qsigs)
+        ],
+        "query_id long, __qsig long, __qv array<double>",
+    )
+    sig = hyperplane_signature_udf(planes)(F.col(vec_col))
+    corpus = spread(df).select(id_col, vec_col).withColumn("__sig", sig)
+    pairs = corpus.join(
+        F.broadcast(qdf),
+        F.bit_count(F.col("__sig").bitwiseXOR(F.col("__qsig")))
+        <= max_hamming,
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
+    )
+    return _multi_cosine_topk(scored, k, id_col)
+
+
 def _lsh_signed(
     df: DataFrame,
     dim: int,
@@ -410,6 +488,73 @@ def ivf_topk(
     assigned = assign_clusters(spread(df), vec_col, cents)
     cand = assigned.filter(F.col("__cluster").isin(*probe)).drop("__cluster")
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def ivf_topk_multi(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    centroids: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Batch `ivf_topk` against a supplied coarse model: ONE cluster
+    assignment pass over the corpus answers every probe (the per-call
+    Arrow argmin projection is what `ivf_topk` re-pays per query).
+    Per-query results match `ivf_topk(..., centroids=centroids)`
+    exactly: same RAW-space probe order (driver-side squared-L2 over
+    the same centroid list), same in-cell exact cosine, same
+    tie-breaks.
+
+    Plan: assign once -> equi-join the |Q| x nprobe broadcast
+    (query_id, cell) probe table on the cell id -> broadcast the
+    |Q|-row query-vector frame onto the candidates -> exact cosine ->
+    per-query window top-k.  The probe table and the vector frame stay
+    separate so the cell join carries no d-double payload (the r10
+    probe_queries_pq payload discipline); the candidate rows must
+    carry the query vector regardless — exact cosine per candidate IS
+    the in-cell re-rank."""
+    probe_rows = []
+    for qid, qv in queries:
+        order = sorted(
+            range(len(centroids)),
+            key=lambda i: sum(
+                (a - b) ** 2 for a, b in zip(qv, centroids[i])
+            ),
+        )
+        for cell in order[:nprobe]:
+            probe_rows.append((int(qid), int(cell)))
+    spark = df.sparkSession
+    pdf = spark.createDataFrame(probe_rows, "query_id long, __cluster int")
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(v) for v in qv]) for qid, qv in queries],
+        "query_id long, __qv array<double>",
+    )
+    from pulsar_sync_java_spark.operators.vectorized import (
+        nearest_centroid_udf,
+    )
+
+    # asNondeterministic is the ivf_pq_topk pushdown barrier, not a
+    # semantics claim: the equi-join's implied isnotnull(__cluster)
+    # otherwise pushes below this projection and ExtractPythonUDFs
+    # plans the k x d argmin kernel TWICE over the corpus (verified by
+    # plan inspection — 2 ArrowEvalPython stages without the barrier).
+    assigned = spread(df).withColumn(
+        "__cluster",
+        nearest_centroid_udf(centroids)
+        .asNondeterministic()(F.col(vec_col)),
+    )
+    scored = (
+        assigned.join(F.broadcast(pdf), "__cluster")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
+        )
+    )
+    return _multi_cosine_topk(scored, k, id_col)
 
 
 def ivf_index_write(
@@ -1249,6 +1394,94 @@ def ivf_pq_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def ivf_pq_topk_multi(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    centroids: list[list[float]],
+    codebooks,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+    rerank: int = 64,
+) -> DataFrame:
+    """Batch `ivf_pq_topk` against a supplied model: ONE Arrow encode
+    pass over the corpus serves every probe — the in-query twin of
+    `streaming/ann_serve.py:probe_queries_pq` (which routes batches
+    against a MATERIALIZED codes parquet; this routes them against a
+    DataFrame that must be coded in-plan).  Per-query results match
+    `ivf_pq_topk(..., centroids=..., codebooks=...)` exactly: same
+    normalized probe order, same LUT math (`_pq_lut_rows` +
+    `adc_lut_fold`), same (ADC ASC, id ASC) rerank cut and
+    (cosine DESC, id ASC) final tie-breaks.
+
+    Payload discipline (the r10 probe_queries_pq contract): the
+    broadcast LUT frame carries ONLY (query_id, cell, lut); the ADC
+    candidate rows carry ONLY (query_id, id, adc); the d-double query
+    vectors live in a separate |Q|-row frame broadcast onto the
+    `rerank` SURVIVORS at the exact re-rank.  The encode projection
+    keeps the single-query path's pushdown barrier (one
+    ArrowEvalPython stage — plan-asserted by the equivalence tests'
+    plan check)."""
+    from pyspark.sql.window import Window
+
+    from pulsar_sync_java_spark.operators.vectorized import pq_encode_udf
+
+    lut_rows = []
+    qvec_rows = []
+    for qid, qv in queries:
+        order, q_norm = _pq_probe_order([float(v) for v in qv], centroids)
+        qvec_rows.append((int(qid), [float(v) for v in qv]))
+        for cell, lut in _pq_lut_rows(
+            q_norm, centroids, codebooks, order[:nprobe]
+        ):
+            lut_rows.append((int(qid), int(cell), lut))
+    spark = df.sparkSession
+    ludf = spark.createDataFrame(
+        lut_rows, "query_id long, __cell int, __lut array<array<double>>"
+    )
+    qdf = spark.createDataFrame(
+        qvec_rows, "query_id long, __qv array<double>"
+    )
+    cells_union = sorted({r[1] for r in lut_rows})
+    enc = pq_encode_udf(centroids, codebooks).asNondeterministic()(
+        F.col(vec_col)
+    )
+    coded = (
+        spread(df)
+        .select(F.col(id_col), enc.alias("__enc"))
+        .select(
+            id_col,
+            F.element_at("__enc", 1).alias("__cell"),
+            F.slice("__enc", 2, len(codebooks)).alias("__codes"),
+        )
+        .filter(F.col("__cell").isin(*cells_union))
+    )
+    adc = adc_lut_fold("__lut", "__codes")
+    scored = coded.join(F.broadcast(ludf), "__cell").select(
+        "query_id", F.col(id_col), adc.alias("__adc")
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col(id_col).asc()
+    )
+    cand = (
+        scored.withColumn("__r", F.row_number().over(wc))
+        .filter(F.col("__r") <= rerank)
+        .select("query_id", id_col)
+    )
+    scored_exact = (
+        df.select(id_col, vec_col)
+        .join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
+        )
+    )
+    return _multi_cosine_topk(scored_exact, k, id_col)
+
+
 def ivf_pq_index_write(
     df: DataFrame,
     path: str,
@@ -1620,28 +1853,29 @@ def ann_calibration(
         .persist()
     )
 
-    def recall_flag(topk_fn, name: str) -> DataFrame:
-        per_q = []
-        for qid, qv in sorted(qvecs.items()):
-            per_q.append(
-                topk_fn(qv).select(
-                    F.lit(qid).cast("long").alias("query_id"),
-                    F.col(id_col),
-                )
-            )
-        approx = per_q[0]
-        for p in per_q[1:]:
-            approx = approx.unionByName(p)
-        hits = approx.join(exact, ["query_id", id_col]).groupBy(
-            "query_id"
-        ).agg(F.count(F.lit(1)).alias("__hits"))
+    # Each recall arm is the BATCH variant of its production path —
+    # one corpus pass (signature scan / cluster assignment / Arrow
+    # encode) answers all |Q| probes, where the per-query functions
+    # would re-pay that pass per probe.  The batch variants are
+    # pinned per-query bit-identical to the single-query paths by
+    # tests/test_dedup_ops.py, so the flags still judge the
+    # production plans.
+    probes = sorted(qvecs.items())
+
+    def recall_flag(approx: DataFrame, name: str) -> DataFrame:
+        hits = (
+            approx.select("query_id", id_col)
+            .join(exact, ["query_id", id_col])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("__hits"))
+        )
         return hits.select(
             "query_id", (F.col("__hits") >= recall_min).alias(name)
         )
 
     r_lsh = recall_flag(
-        lambda qv: lsh_topk(
-            df, qv, k, id_col, vec_col, num_planes, max_hamming, seed
+        lsh_topk_multi(
+            df, probes, k, id_col, vec_col, num_planes, max_hamming, seed
         ),
         "recall_lsh_ok",
     )
@@ -1649,9 +1883,8 @@ def ann_calibration(
     # metric space — distinct from the PQ model's normalized sample)
     cents_ivf = kmeans_centroids(df, id_col, vec_col, n_centroids, iters, seed)
     r_ivf = recall_flag(
-        lambda qv: ivf_topk(
-            df, qv, k, id_col, vec_col, n_centroids, nprobe, iters, seed,
-            centroids=cents_ivf,
+        ivf_topk_multi(
+            df, probes, cents_ivf, k, id_col, vec_col, nprobe
         ),
         "recall_ivf_ok",
     )
@@ -1669,10 +1902,8 @@ def ann_calibration(
     else:
         cents, books = centroids, codebooks
     r_pq = recall_flag(
-        lambda qv: ivf_pq_topk(
-            df, qv, k, id_col, vec_col, n_centroids, nprobe, len(books),
-            len(books[0]), rerank, iters, pq_iters, seed,
-            centroids=cents, codebooks=books,
+        ivf_pq_topk_multi(
+            df, probes, cents, books, k, id_col, vec_col, nprobe, rerank
         ),
         "recall_pq_ok",
     )

@@ -1715,6 +1715,99 @@ def test_ann_calibration_fails_mistrained_codebook(spark, embeddings):
         assert hmap[r["query_id"]] == (r["exact_top1"], r["exact_id_sum"])
 
 
+def test_multi_query_ann_matches_single_query_paths(spark, embeddings):
+    """The calibration harness's batch arms (lsh/ivf/ivf_pq
+    `_topk_multi`) must be PER-QUERY BIT-IDENTICAL to the production
+    single-query paths — same candidates, same cosine doubles, same
+    tie-breaks — otherwise the recall flags judge a different plan
+    than the one the engine serves.  Also pins the one-corpus-pass
+    plan shape: exactly one ArrowEvalPython stage in the IVF
+    (assignment) and PQ (encode) batch plans — the pushdown barrier
+    regression that would silently double the Arrow kernel."""
+    from pulsar_sync_java_spark.operators.similarity import (
+        _l2_normalize,
+        _seeded_sample,
+        ivf_pq_topk,
+        ivf_pq_topk_multi,
+        ivf_topk_multi,
+        kmeans_centroids,
+        lsh_topk_multi,
+        pq_train,
+    )
+
+    qids = [0, 101, 202]
+    probes = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in embeddings.filter(F.col("vec_id").isin(qids)).collect()
+    )
+
+    def per_query(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append(
+                (r["vec_id"], r["cos_sim"])
+            )
+        return {
+            q: sorted(v, key=lambda t: (-t[1], t[0]))
+            for q, v in out.items()
+        }
+
+    m_lsh = per_query(
+        lsh_topk_multi(
+            embeddings, probes, 10, num_planes=16, max_hamming=9
+        ).collect()
+    )
+    for qid, qv in probes:
+        single = [
+            (r["vec_id"], r["cos_sim"])
+            for r in lsh_topk(
+                embeddings, qv, 10, num_planes=16, max_hamming=9
+            ).collect()
+        ]
+        assert m_lsh.get(qid, []) == single, qid
+
+    cents_raw = kmeans_centroids(embeddings, k=16, iters=1)
+    ivf_df = ivf_topk_multi(embeddings, probes, cents_raw, 10, nprobe=4)
+    plan = ivf_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    m_ivf = per_query(ivf_df.collect())
+    for qid, qv in probes:
+        single = [
+            (r["vec_id"], r["cos_sim"])
+            for r in ivf_topk(
+                embeddings, qv, 10, n_centroids=16, nprobe=4,
+                centroids=cents_raw,
+            ).collect()
+        ]
+        assert m_ivf.get(qid, []) == single, qid
+
+    X = _l2_normalize(
+        _seeded_sample(embeddings, "vec_id", "embedding", 256 * 16, 42)
+    )
+    cents = kmeans_centroids(
+        embeddings, "vec_id", "embedding", 16, 1, 42, sample=X
+    )
+    books = pq_train(
+        embeddings, cents, m=16, k_sub=256, iters=3, sample=X
+    )
+    pq_df = ivf_pq_topk_multi(
+        embeddings, probes, cents, books, 10, nprobe=4, rerank=64
+    )
+    plan = pq_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    m_pq = per_query(pq_df.collect())
+    for qid, qv in probes:
+        single = [
+            (r["vec_id"], r["cos_sim"])
+            for r in ivf_pq_topk(
+                embeddings, qv, 10, n_centroids=16, nprobe=4, m=16,
+                k_sub=256, rerank=64, iters=1, pq_iters=3,
+                centroids=cents, codebooks=books,
+            ).collect()
+        ]
+        assert m_pq.get(qid, []) == single, qid
+
+
 def test_pq_flat_encode_bound_is_lossless(spark):
     """The mathematical cornerstone of the q_semantic_dedup prefilter:
     for ANY unit vectors a, b and ANY codebook, |dot(a_hat, b_hat) -
