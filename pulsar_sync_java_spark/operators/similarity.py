@@ -1742,6 +1742,7 @@ def ann_calibration(
     adc_err_max: float = 0.60,
     centroids: list[list[float]] | None = None,
     codebooks=None,
+    paths: tuple = ("lsh", "ivf", "pq"),
 ) -> DataFrame:
     """Per-query ANN quality monitoring over a batch of probe vectors:
     one row per query with the EXACT top-k anchor (top-1 id + id sum —
@@ -1784,7 +1785,15 @@ def ann_calibration(
     Scale: the probe batch is serving-sized (|Q| rows broadcast); the
     corpus pays one scan for the exact anchor (the calibration cost —
     run it on a sampled slice at 100 TB) plus the three production
-    probe paths; every per-query frame is k rows."""
+    probe paths; every per-query frame is k rows.
+
+    `paths` selects which approximate arms to audit (subset of
+    ("lsh", "ivf", "pq")); omitted arms skip their corpus pass AND
+    their flag columns.  The refresh gate
+    (`streaming/ann_serve.py:calibrated_swap`) audits a candidate
+    model with paths=("pq",) — the LSH arm is model-independent and
+    the IVF arm trains its own raw-space quantizer, so neither judges
+    the model under test.  The rank/ADC audit requires "pq"."""
     from pyspark.sql.window import Window
 
     from pulsar_sync_java_spark.functions.numeric import dec_arr_sum
@@ -1873,21 +1882,45 @@ def ann_calibration(
             "query_id", (F.col("__hits") >= recall_min).alias(name)
         )
 
-    r_lsh = recall_flag(
-        lsh_topk_multi(
-            df, probes, k, id_col, vec_col, num_planes, max_hamming, seed
-        ),
-        "recall_lsh_ok",
+    r_lsh = (
+        recall_flag(
+            lsh_topk_multi(
+                df, probes, k, id_col, vec_col, num_planes, max_hamming,
+                seed,
+            ),
+            "recall_lsh_ok",
+        )
+        if "lsh" in paths
+        else None
     )
-    # one RAW-space sample + Lloyd for all IVF probes (ivf_topk's own
-    # metric space — distinct from the PQ model's normalized sample)
-    cents_ivf = kmeans_centroids(df, id_col, vec_col, n_centroids, iters, seed)
-    r_ivf = recall_flag(
-        ivf_topk_multi(
-            df, probes, cents_ivf, k, id_col, vec_col, nprobe
-        ),
-        "recall_ivf_ok",
-    )
+    r_ivf = None
+    if "ivf" in paths:
+        # one RAW-space sample + Lloyd for all IVF probes (ivf_topk's
+        # own metric space — distinct from the PQ model's normalized
+        # sample)
+        cents_ivf = kmeans_centroids(
+            df, id_col, vec_col, n_centroids, iters, seed
+        )
+        r_ivf = recall_flag(
+            ivf_topk_multi(
+                df, probes, cents_ivf, k, id_col, vec_col, nprobe
+            ),
+            "recall_ivf_ok",
+        )
+    if "pq" not in paths:
+        base = exact.groupBy("query_id").agg(
+            F.max(F.when(F.col("__rk") == 1, F.col(id_col)))
+            .cast("long")
+            .alias("exact_top1"),
+            F.sum(id_col).cast("long").alias("exact_id_sum"),
+        )
+        out = base
+        for arm, name in ((r_lsh, "recall_lsh_ok"), (r_ivf, "recall_ivf_ok")):
+            if arm is not None:
+                out = out.join(arm, "query_id", "left").withColumn(
+                    name, F.coalesce(name, F.lit(False))
+                )
+        return out
     if centroids is None:
         X = _l2_normalize(
             _seeded_sample(df, id_col, vec_col, 256 * n_centroids, seed,
@@ -1999,17 +2032,21 @@ def ann_calibration(
         .alias("exact_top1"),
         F.sum(id_col).cast("long").alias("exact_id_sum"),
     )
+    out = base
+    cols = ["query_id", "exact_top1", "exact_id_sum"]
+    for arm, name in ((r_lsh, "recall_lsh_ok"), (r_ivf, "recall_ivf_ok")):
+        if arm is not None:
+            out = out.join(arm, "query_id", "left")
+            cols.append(name)
     return (
-        base.join(r_lsh, "query_id", "left")
-        .join(r_ivf, "query_id", "left")
-        .join(r_pq, "query_id", "left")
+        out.join(r_pq, "query_id", "left")
         .join(metrics, "query_id", "left")
         .select(
-            "query_id",
-            "exact_top1",
-            "exact_id_sum",
-            F.coalesce("recall_lsh_ok", F.lit(False)).alias("recall_lsh_ok"),
-            F.coalesce("recall_ivf_ok", F.lit(False)).alias("recall_ivf_ok"),
+            *cols[:3],
+            *[
+                F.coalesce(c, F.lit(False)).alias(c)
+                for c in cols[3:]
+            ],
             F.coalesce("recall_pq_ok", F.lit(False)).alias("recall_pq_ok"),
             (F.coalesce("__rank_corr", F.lit(-1.0)) >= rank_corr_min).alias(
                 "rank_corr_ok"

@@ -340,6 +340,74 @@ class IvfPqServer(IvfServer):
             ]
 
 
+def calibrated_swap(
+    spark,
+    server: "IvfPqServer",
+    record: dict,
+    probe_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    recall_min: int = 8,
+    rank_corr_min: float = 0.50,
+    adc_err_max: float = 0.60,
+) -> dict:
+    """Apply an `ivf_pq_index_refresh` decision record to the active
+    server ONLY if the model it carries passes the calibration gate —
+    the r10 degenerate-family lesson applied to the serving lifecycle:
+    a rebuild retrains both quantizer levels, and a silently-bad
+    retrain (collapsed sample, wrong metric space, truncated
+    codebook) would otherwise swap straight into the serving pointer
+    with every downstream answer still *plausible*.
+
+    - ``action == "append"``: the stored model is unchanged (appends
+      encode against it by contract), so there is nothing new to
+      audit — apply immediately, ``calibration: None``.
+    - ``action == "rebuild"``: audit the REBUILT model over the
+      REBUILT corpus (`ann_calibration` with paths=("pq",) — one
+      encode pass + the exact anchor on `probe_ids`, serving-sized).
+      Every probe must pass recall@k, rank-correlation and ADC-error
+      bounds; any failure leaves the server on the OLD index (the
+      rebuilt directory stays on disk for forensics) and returns
+      ``swapped: False`` — the caller decides whether that raises
+      (the in-stream gate does, loudly) or pages.
+
+    Returns the record extended with ``swapped`` and ``calibration``
+    (the per-probe flag rows for observability).  At 100 TB the audit
+    corpus is the probed index itself — partition-pruned like any
+    serve — with `probe_ids` drawn from a pinned monitoring set."""
+    from pulsar_sync_java_spark.operators.similarity import ann_calibration
+
+    if record.get("action") != "rebuild":
+        server.apply_refresh(record)
+        return {**record, "swapped": True, "calibration": None}
+    corpus = spark.read.parquet(record["path"]).select(id_col, vec_col)
+    flags = ann_calibration(
+        corpus,
+        [int(q) for q in probe_ids],
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        recall_min=recall_min,
+        rank_corr_min=rank_corr_min,
+        adc_err_max=adc_err_max,
+        centroids=record["centroids"],
+        codebooks=record["codebooks"],
+        paths=("pq",),
+    ).collect()
+    ok = len(flags) == len(probe_ids) and all(
+        r["recall_pq_ok"] and r["rank_corr_ok"] and r["adc_err_ok"]
+        for r in flags
+    )
+    if ok:
+        server.apply_refresh(record)
+    return {
+        **record,
+        "swapped": ok,
+        "calibration": [r.asDict() for r in flags],
+    }
+
+
 def serve_ann_stream_pq(
     query_stream: DataFrame,
     server: IvfPqServer,
@@ -352,6 +420,7 @@ def serve_ann_stream_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refresh_kwargs: dict | None = None,
+    calibration_probe_ids: list[int] | None = None,
 ) -> DataStreamWriter:
     """The PQ twin of `serve_ann_stream`: same foreachBatch shape
     (staged-delta refresh gate -> one-plan batch probe -> keyed
@@ -360,7 +429,15 @@ def serve_ann_stream_pq(
     quantizers; rebuild retrains both levels and swaps the pointer —
     codebooks travel in the decision record) and `probe_queries_pq`
     as the serving kernel, so each batch's candidate scan reads
-    M bytes/vector instead of full embeddings."""
+    M bytes/vector instead of full embeddings.
+
+    `calibration_probe_ids` arms the swap gate (`calibrated_swap`):
+    every REBUILT model is audited over those probes before the
+    pointer moves, and a failing audit RAISES — deliberately loud,
+    before the staging delta is consumed, so the stream stops on the
+    old index with the delta still staged and a restart retries
+    (exactly-once discipline: nothing was acked).  None keeps the
+    ungated r10 behavior."""
     from pulsar_sync_java_spark.operators.similarity import (
         ivf_pq_index_refresh,
     )
@@ -383,7 +460,23 @@ def serve_ann_stream_pq(
                     rebuild_path=f"{path}_r{batch_id}",
                     **(refresh_kwargs or {}),
                 )
-                server.apply_refresh(record)
+                if calibration_probe_ids is not None:
+                    record = calibrated_swap(
+                        spark, server, record, calibration_probe_ids,
+                        id_col=id_col, vec_col=vec_col,
+                    )
+                    if not record["swapped"]:
+                        # raise BEFORE consuming the staging delta:
+                        # the stream stops on the OLD index, nothing
+                        # is acked, a restart retries the refresh —
+                        # a silently-bad retrain must never serve
+                        raise RuntimeError(
+                            "serve_ann_stream_pq: rebuilt index at "
+                            f"{record['path']} failed the calibration "
+                            f"gate: {record['calibration']}"
+                        )
+                else:
+                    server.apply_refresh(record)
                 consumed = f"{delta_staging}_consumed"
                 os.makedirs(consumed, exist_ok=True)
                 for fp in delta_files:

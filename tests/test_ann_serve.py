@@ -372,3 +372,93 @@ def test_pq_serving_stream_with_in_stream_append(spark, tmp_path):
         if r["query_id"] == 2000
     }
     assert rows2[(2000, 1)] == 7 and rows2[(2000, 2)] == 900_007
+
+
+def test_calibrated_swap_refuses_garbage_rebuild(spark, tmp_path):
+    """The serving-lifecycle half of the r10 calibration lesson: a
+    REBUILD decision only reaches the active pointer if the rebuilt
+    model passes the PQ calibration gate.  A healthy rebuild swaps; a
+    record carrying a zeroed codebook (reconstructions collapse to
+    cell centroids) is refused with the server untouched and the
+    per-probe flag rows returned for observability; an append record
+    applies with no audit (the stored model is unchanged by
+    contract)."""
+    from pulsar_sync_java_spark.operators.similarity import (
+        ivf_pq_index_write,
+    )
+    from pulsar_sync_java_spark.streaming.ann_serve import (
+        IvfPqServer,
+        calibrated_swap,
+    )
+
+    emb = _emb(spark)
+    idx0 = str(tmp_path / "pq_v0")
+    idx1 = str(tmp_path / "pq_v1")
+    cents0, books0 = ivf_pq_index_write(
+        emb, idx0, n_centroids=8, m=16, k_sub=64, iters=1
+    )
+    cents1, books1 = ivf_pq_index_write(
+        emb, idx1, n_centroids=8, m=16, k_sub=64, iters=1, seed=7
+    )
+    probe_ids = [0, 101, 202]
+
+    # healthy rebuild: audited, passes, pointer moves
+    server = IvfPqServer(idx0, cents0, books0)
+    rec = calibrated_swap(
+        spark,
+        server,
+        {
+            "action": "rebuild",
+            "path": idx1,
+            "centroids": cents1,
+            "codebooks": books1,
+        },
+        probe_ids,
+    )
+    assert rec["swapped"] is True
+    assert len(rec["calibration"]) == len(probe_ids)
+    assert all(
+        r["recall_pq_ok"] and r["rank_corr_ok"] and r["adc_err_ok"]
+        for r in rec["calibration"]
+    ), rec["calibration"]
+    # paths=("pq",) audited ONLY the model under test — no lsh/ivf
+    # flags in the audit rows
+    assert "recall_lsh_ok" not in rec["calibration"][0]
+    assert "recall_ivf_ok" not in rec["calibration"][0]
+    assert server.snapshot()[0] == idx1
+
+    # garbage rebuild: refused, server stays on the healthy index
+    d_sub = len(books1[0][0])
+    garbage = [
+        [[0.0] * d_sub for _ in range(len(books1[0]))]
+        for _ in range(len(books1))
+    ]
+    rec2 = calibrated_swap(
+        spark,
+        server,
+        {
+            "action": "rebuild",
+            "path": idx0,
+            "centroids": cents0,
+            "codebooks": garbage,
+        },
+        probe_ids,
+    )
+    assert rec2["swapped"] is False
+    assert any(not r["adc_err_ok"] for r in rec2["calibration"])
+    assert server.snapshot()[0] == idx1  # pointer did NOT move
+
+    # append record: no new model, applied without an audit
+    rec3 = calibrated_swap(
+        spark,
+        server,
+        {
+            "action": "append",
+            "path": idx0,
+            "centroids": cents0,
+            "codebooks": books0,
+        },
+        probe_ids,
+    )
+    assert rec3["swapped"] is True and rec3["calibration"] is None
+    assert server.snapshot()[0] == idx0
