@@ -1872,9 +1872,13 @@ def ann_calibration(
     probes = sorted(qvecs.items())
 
     def recall_flag(approx: DataFrame, name: str) -> DataFrame:
+        # broadcast the |Q| x k exact anchor: the batch arms' window
+        # output has no row-count statistics, so Spark would otherwise
+        # sort-merge two k-row frames
         hits = (
             approx.select("query_id", id_col)
-            .join(exact, ["query_id", id_col])
+            .join(F.broadcast(exact.select("query_id", id_col)),
+                  ["query_id", id_col])
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).alias("__hits"))
         )
@@ -1917,7 +1921,9 @@ def ann_calibration(
         out = base
         for arm, name in ((r_lsh, "recall_lsh_ok"), (r_ivf, "recall_ivf_ok")):
             if arm is not None:
-                out = out.join(arm, "query_id", "left").withColumn(
+                out = out.join(
+                    F.broadcast(arm), "query_id", "left"
+                ).withColumn(
                     name, F.coalesce(name, F.lit(False))
                 )
         return out
@@ -2036,11 +2042,11 @@ def ann_calibration(
     cols = ["query_id", "exact_top1", "exact_id_sum"]
     for arm, name in ((r_lsh, "recall_lsh_ok"), (r_ivf, "recall_ivf_ok")):
         if arm is not None:
-            out = out.join(arm, "query_id", "left")
+            out = out.join(F.broadcast(arm), "query_id", "left")
             cols.append(name)
     return (
-        out.join(r_pq, "query_id", "left")
-        .join(metrics, "query_id", "left")
+        out.join(F.broadcast(r_pq), "query_id", "left")
+        .join(F.broadcast(metrics), "query_id", "left")
         .select(
             *cols[:3],
             *[

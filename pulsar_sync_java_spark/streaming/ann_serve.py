@@ -160,6 +160,7 @@ def serve_ann_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refresh_kwargs: dict | None = None,
+    calibrate_rebuilds: bool = False,
 ) -> DataStreamWriter:
     """Serve a stream of (query_id, qvec) rows against the active IVF
     index.  When `delta_staging` is set, each micro-batch first checks
@@ -167,7 +168,14 @@ def serve_ann_stream(
     maintenance step on them — the staleness contract (growth, cell
     share, assignment-drift TV) decides append-vs-rebuild in-stream,
     and a rebuild atomically swaps the server's active pointer before
-    this batch's queries are probed."""
+    this batch's queries are probed.
+
+    `calibrate_rebuilds` arms the swap gate (`calibrated_swap`): a
+    rebuilt layout must pass the balance audit (a collapsed coarse
+    quantizer routes everything into one cell — perfect recall, zero
+    pruning) before the pointer moves; a failing audit RAISES before
+    the staging delta is consumed, so the stream stops on the old
+    index and a restart retries."""
     from pulsar_sync_java_spark.sinks.writers import idempotent_append
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -188,7 +196,23 @@ def serve_ann_stream(
                     rebuild_path=f"{path}_r{batch_id}",
                     **(refresh_kwargs or {}),
                 )
-                server.apply_refresh(record)
+                if calibrate_rebuilds:
+                    record = calibrated_swap(
+                        spark, server, record,
+                        id_col=id_col, vec_col=vec_col,
+                    )
+                    if not record["swapped"]:
+                        # raise BEFORE consuming the staging delta —
+                        # the stream stops on the OLD index, nothing
+                        # is acked, a restart retries the refresh
+                        raise RuntimeError(
+                            "serve_ann_stream: rebuilt index at "
+                            f"{record['path']} failed the balance "
+                            f"audit (max_cell_share="
+                            f"{record['balance_share']:.3f})"
+                        )
+                else:
+                    server.apply_refresh(record)
                 # Move ONLY the files this batch actually read; later
                 # arrivals stay staged for the next batch.  os.replace
                 # tolerates a pre-existing target (a checkpoint wipe
@@ -342,69 +366,104 @@ class IvfPqServer(IvfServer):
 
 def calibrated_swap(
     spark,
-    server: "IvfPqServer",
+    server: "IvfServer",
     record: dict,
-    probe_ids: list[int],
+    probe_ids: list[int] | None = None,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     recall_min: int = 8,
     rank_corr_min: float = 0.50,
     adc_err_max: float = 0.60,
+    balance_max: float = 0.8,
 ) -> dict:
-    """Apply an `ivf_pq_index_refresh` decision record to the active
-    server ONLY if the model it carries passes the calibration gate —
-    the r10 degenerate-family lesson applied to the serving lifecycle:
-    a rebuild retrains both quantizer levels, and a silently-bad
-    retrain (collapsed sample, wrong metric space, truncated
-    codebook) would otherwise swap straight into the serving pointer
-    with every downstream answer still *plausible*.
+    """Apply an index-refresh decision record to the active server
+    ONLY if the model it carries passes the calibration gate — the
+    r10 degenerate-family lesson applied to the serving lifecycle: a
+    rebuild retrains the quantizer(s), and a silently-bad retrain
+    (collapsed sample, wrong metric space, truncated codebook) would
+    otherwise swap straight into the serving pointer with every
+    downstream answer still *plausible*.
 
     - ``action == "append"``: the stored model is unchanged (appends
       encode against it by contract), so there is nothing new to
       audit — apply immediately, ``calibration: None``.
-    - ``action == "rebuild"``: audit the REBUILT model over the
-      REBUILT corpus (`ann_calibration` with paths=("pq",) — one
-      encode pass + the exact anchor on `probe_ids`, serving-sized).
-      Every probe must pass recall@k, rank-correlation and ADC-error
-      bounds; any failure leaves the server on the OLD index (the
-      rebuilt directory stays on disk for forensics) and returns
-      ``swapped: False`` — the caller decides whether that raises
-      (the in-stream gate does, loudly) or pages.
+    - ``action == "rebuild"``: two audits of the REBUILT artifact.
 
-    Returns the record extended with ``swapped`` and ``calibration``
-    (the per-probe flag rows for observability).  At 100 TB the audit
-    corpus is the probed index itself — partition-pruned like any
-    serve — with `probe_ids` drawn from a pinned monitoring set."""
-    from pulsar_sync_java_spark.operators.similarity import ann_calibration
+      1. **Layout balance** (both index kinds): re-read the rebuilt
+         layout's cell histogram (`ivf_index_staleness` — one
+         partition-column aggregate, no vector bytes) and refuse if
+         ``max_cell_share > balance_max`` or the index is empty.
+         This is the signal that catches a COLLAPSED coarse
+         quantizer, which recall cannot: a degenerate model that
+         routes everything into one cell still has perfect recall —
+         it just stopped pruning, turning every 100 TB probe into a
+         full scan.
+      2. **Coded-metric flags** (PQ records — detected by a
+         ``codebooks`` key): `ann_calibration` with paths=("pq",)
+         over `probe_ids` (one encode pass + the exact anchor,
+         serving-sized) — every probe must pass recall@k,
+         rank-correlation and ADC-error bounds.
+
+      Any failure leaves the server on the OLD index (the rebuilt
+      directory stays on disk for forensics) and returns
+      ``swapped: False`` — the caller decides whether that raises
+      (the in-stream gates do, loudly) or pages.
+
+    Returns the record extended with ``swapped``, ``balance_share``
+    and ``calibration`` (the per-probe flag rows for observability).
+    At 100 TB the audit corpus is the probed index itself —
+    partition-pruned like any serve — with `probe_ids` drawn from a
+    pinned monitoring set."""
+    from pulsar_sync_java_spark.operators.similarity import (
+        ann_calibration,
+        ivf_index_staleness,
+    )
 
     if record.get("action") != "rebuild":
         server.apply_refresh(record)
         return {**record, "swapped": True, "calibration": None}
-    corpus = spark.read.parquet(record["path"]).select(id_col, vec_col)
-    flags = ann_calibration(
-        corpus,
-        [int(q) for q in probe_ids],
-        k=k,
-        id_col=id_col,
-        vec_col=vec_col,
-        recall_min=recall_min,
-        rank_corr_min=rank_corr_min,
-        adc_err_max=adc_err_max,
-        centroids=record["centroids"],
-        codebooks=record["codebooks"],
-        paths=("pq",),
-    ).collect()
-    ok = len(flags) == len(probe_ids) and all(
-        r["recall_pq_ok"] and r["rank_corr_ok"] and r["adc_err_ok"]
-        for r in flags
+    report = ivf_index_staleness(spark, record["path"])
+    share = (
+        report.max_cell_rows / report.current_rows
+        if report.current_rows
+        else 1.0
     )
+    ok = report.current_rows > 0 and share <= balance_max
+    flags = None
+    if ok and "codebooks" in record:
+        if probe_ids is None:
+            raise ValueError(
+                "calibrated_swap: a PQ rebuild audit needs probe_ids "
+                "— gating a coded model on layout balance alone would "
+                "pass a garbage codebook (balanced cells, broken "
+                "metric)"
+            )
+        corpus = spark.read.parquet(record["path"]).select(id_col, vec_col)
+        flags = ann_calibration(
+            corpus,
+            [int(q) for q in probe_ids],
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            recall_min=recall_min,
+            rank_corr_min=rank_corr_min,
+            adc_err_max=adc_err_max,
+            centroids=record["centroids"],
+            codebooks=record["codebooks"],
+            paths=("pq",),
+        ).collect()
+        ok = len(flags) == len(probe_ids) and all(
+            r["recall_pq_ok"] and r["rank_corr_ok"] and r["adc_err_ok"]
+            for r in flags
+        )
     if ok:
         server.apply_refresh(record)
     return {
         **record,
         "swapped": ok,
-        "calibration": [r.asDict() for r in flags],
+        "balance_share": share,
+        "calibration": None if flags is None else [r.asDict() for r in flags],
     }
 
 

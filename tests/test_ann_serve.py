@@ -462,3 +462,69 @@ def test_calibrated_swap_refuses_garbage_rebuild(spark, tmp_path):
     )
     assert rec3["swapped"] is True and rec3["calibration"] is None
     assert server.snapshot()[0] == idx0
+
+
+def test_calibrated_swap_balance_audit_gates_plain_ivf(spark, tmp_path):
+    """The plain-IVF half of the swap gate: a rebuilt COARSE layout is
+    judged on cell balance, because a collapsed quantizer keeps
+    perfect recall (one giant cell contains every neighbor) while
+    destroying the pruning the index exists for.  A healthy rebuild
+    swaps; a single-cell layout (max_cell_share == 1.0) is refused
+    with the server untouched; a PQ record without probe_ids raises
+    rather than passing a garbage codebook on balance alone."""
+    from pulsar_sync_java_spark.operators.similarity import (
+        ivf_index_write,
+        ivf_pq_index_write,
+    )
+    from pulsar_sync_java_spark.streaming.ann_serve import (
+        IvfPqServer,
+        IvfServer,
+        calibrated_swap,
+    )
+
+    emb = _emb(spark)
+    idx0 = str(tmp_path / "v0")
+    idx1 = str(tmp_path / "v1")
+    idx_collapsed = str(tmp_path / "collapsed")
+    cents0 = ivf_index_write(emb, idx0, n_centroids=8, iters=1)
+    cents1 = ivf_index_write(emb, idx1, n_centroids=8, iters=2)
+    # a 1-cell layout IS the collapsed-quantizer artifact: every
+    # vector routed to the same cell, max_cell_share == 1.0
+    cents_c = ivf_index_write(emb, idx_collapsed, n_centroids=1, iters=1)
+
+    server = IvfServer(idx0, cents0)
+    rec = calibrated_swap(
+        spark,
+        server,
+        {"action": "rebuild", "path": idx1, "centroids": cents1},
+    )
+    assert rec["swapped"] is True and rec["calibration"] is None
+    assert rec["balance_share"] <= 0.8
+    assert server.snapshot()[0] == idx1
+
+    rec2 = calibrated_swap(
+        spark,
+        server,
+        {"action": "rebuild", "path": idx_collapsed, "centroids": cents_c},
+    )
+    assert rec2["swapped"] is False
+    assert rec2["balance_share"] == 1.0
+    assert server.snapshot()[0] == idx1  # pointer did NOT move
+
+    # a PQ rebuild record must not be gateable on balance alone
+    pq_idx = str(tmp_path / "pq")
+    pcents, pbooks = ivf_pq_index_write(
+        emb, pq_idx, n_centroids=8, m=16, k_sub=64, iters=1
+    )
+    pserver = IvfPqServer(pq_idx, pcents, pbooks)
+    with pytest.raises(ValueError, match="probe_ids"):
+        calibrated_swap(
+            spark,
+            pserver,
+            {
+                "action": "rebuild",
+                "path": pq_idx,
+                "centroids": pcents,
+                "codebooks": pbooks,
+            },
+        )

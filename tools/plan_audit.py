@@ -188,7 +188,7 @@ EXPECT = {
     "q_conversion_latency": "type filter pushed to parquet; reverse-count + first-touch windows share the user partitioning; per-channel order-statistic windows on conversion rows",
     "q_degree_assortativity": "persisted symmetric edge table (degrees + both pair join-backs + edge count); co-partitioned basket self-join builds edges once; 1-row moment/global aggregates cross-joined",
     "q_pack_sequences_bpe": "tokenizer-true packing: the q_bpe_encode vocab equi-join sizes docs (AQE broadcast at this sf), then the SAME one-shuffle per-lang running-sum Window as q_pack_sequences — no extra corpus pass, no global sort",
-    "q_ann_calibration": "ANN QA: ONE corpus scan anchors all probes (BroadcastNestedLoopJoin of the 3-row query frame + per-query window top-k); probe paths are the production ArrowEvalPython plans; audit joins broadcast k-row frames — no SortMergeJoin on corpus keys",
+    "q_ann_calibration": "ANN QA: ONE corpus scan anchors all probes (BroadcastNestedLoopJoin of the 3-row query frame + per-query window top-k); each recall arm is the batched production path — one signature scan, one Arrow assignment, one Arrow encode for ALL probes; every flag/metric join broadcasts a k-row frame — no SortMergeJoin anywhere",
     "q_quantile_merge": "quantile merge law: 3 ObjectHashAggregate sketch passes (shuffles carry KLL sketches, never raw values) + the 5-row estimate frame broadcast back for the rank audit; the exact-order-statistic windows are the audit side only",
     "q_mix_budget_bpe": "tokenizer-true mixing: vocab equi-join sizing feeds ONE (lang) shuffle into the hash-ordered running-sum Window + budget filter — the q_mix_budget plan with truer sizes",
 }
