@@ -528,3 +528,110 @@ def test_calibrated_swap_balance_audit_gates_plain_ivf(spark, tmp_path):
                 "codebooks": pbooks,
             },
         )
+
+
+@pytest.mark.slow
+def test_pq_stream_gate_refuses_bad_rebuild_then_restart_retries(
+    spark, tmp_path, monkeypatch
+):
+    """End-to-end exactly-once contract of the armed swap gate: a
+    drifted delta forces an in-stream REBUILD whose retrain is
+    sabotaged (codebooks zeroed at the trainer) — the gate must
+    refuse, the stream must die loudly BEFORE the staging delta is
+    consumed, and the server must keep serving the old index.  A
+    restart with the trainer healed retries the SAME batch (nothing
+    was acked), rebuilds healthy, swaps, consumes the delta, and
+    answers the batch's queries against the new index."""
+    import glob as _glob
+
+    import pulsar_sync_java_spark.operators.similarity as sim
+    from pulsar_sync_java_spark.operators.similarity import (
+        ivf_pq_index_write,
+    )
+    from pulsar_sync_java_spark.streaming.ann_serve import (
+        IvfPqServer,
+        probe_queries_pq,
+        serve_ann_stream_pq,
+    )
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "pq_v0")
+    src = str(tmp_path / "queries")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    staging = str(tmp_path / "staging")
+    cents, books = ivf_pq_index_write(
+        emb, idx, n_centroids=8, m=16, k_sub=64, iters=1
+    )
+    server = IvfPqServer(idx, cents, books)
+
+    def run():
+        stream = (
+            spark.readStream.schema(QUERY_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            serve_ann_stream_pq(
+                stream, server, sink_dir=sink, checkpoint_dir=ckpt,
+                k=K, nprobe=NPROBE, rerank=32, delta_staging=staging,
+                refresh_kwargs={"drift_tv_threshold": 0.25},
+                calibration_probe_ids=[0, 101, 202],
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        exc = q.exception()
+        if exc is not None:
+            raise exc
+
+    # a drifted delta (many clones of one vector) trips the rebuild
+    base = emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    delta = spark.createDataFrame(
+        [(100000 + i, [float(v) for v in base]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    delta.coalesce(1).write.parquet(staging)
+    q1 = _query_rows(spark, [0, 1, 2], first_qid=1000)
+    spark.createDataFrame(q1, QUERY_SCHEMA).coalesce(1).write.parquet(src)
+
+    # sabotage: the rebuild's codebook trainer returns zeroed books
+    real_pq_train = sim.pq_train
+
+    def bad_pq_train(df, centroids, id_col="vec_id", vec_col="embedding",
+                     m=8, k_sub=256, iters=3, seed=42, sample=None):
+        good = real_pq_train(df, centroids, id_col, vec_col, m, k_sub,
+                             iters, seed, sample=sample)
+        return [
+            [[0.0] * len(good[0][0]) for _ in row] for row in good
+        ]
+
+    monkeypatch.setattr(sim, "pq_train", bad_pq_train)
+    with pytest.raises(Exception, match="failed the calibration gate"):
+        run()
+    # nothing swapped, nothing acked, nothing consumed
+    assert server.snapshot()[0] == idx
+    assert _glob.glob(os.path.join(staging, "*.parquet"))
+    assert not os.path.exists(sink) or not _glob.glob(
+        os.path.join(sink, "*.parquet")
+    )
+
+    # heal the trainer; the SAME checkpoint retries the failed batch
+    monkeypatch.setattr(sim, "pq_train", real_pq_train)
+    run()
+    path2, cents2, books2 = server.snapshot()
+    assert path2 != idx  # healthy rebuild swapped in
+    assert not _glob.glob(os.path.join(staging, "*.parquet"))  # consumed
+    want = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in probe_queries_pq(
+            spark, path2, cents2, books2, q1, k=K, nprobe=NPROBE,
+            rerank=32,
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == want and len(got) == 3 * K
