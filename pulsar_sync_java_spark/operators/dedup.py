@@ -537,6 +537,143 @@ def simhash_near_pairs(
     )
 
 
+def simhash_calibration(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    sample_k: int = 25,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """Per-pair SimHash quality monitoring — the SimHash member of the
+    calibration-twin family (q_sketch_calibration for MinHash,
+    q_ann_calibration for the coded ANN metric): Charikar fingerprints
+    estimate ANGLE between token-count vectors, so a healthy family
+    must show bit-agreement tracking the exact cosine, and a
+    degenerate one (every token hashing alike — the r10 failure class)
+    collapses hamming to 0 while the exact cosine stays put.
+
+    Audit set = near-dup candidates (the pigeonhole pairs within
+    `max_hamming`, i.e. exactly what q_simhash serves) ∪ a
+    deterministic BACKGROUND pair sample (the `sample_k` smallest ids
+    ≡ 5 mod 37 crossed with ≡ 7 mod 41 — the q_ann_calibration
+    background device), so the table spans the full distance range:
+    near-ties alone cannot distinguish a broken family from ordering
+    noise.
+
+    Emits per pair, ALL exactly replayable (fully hash-gateable — no
+    partial oracle): the fingerprint `hamming`, `est_agree` = 1 -
+    hamming/64 (an exact binary fraction — the raw bit-agreement the
+    Charikar estimate cos(pi*(1-agree)) is a monotone function of;
+    the transcendental map itself is left out of the hashed row
+    because libm cos is not correctly rounded), and the exact
+    token-count cosine as integers `dot`/`na2`/`nb2` plus the IEEE
+    `exact_cos` they determine.
+
+    `fingerprints` injects an external signature table — the
+    mis-trained-model hook (tests pin that a collapsed family FAILS
+    the separation gate).
+
+    Scale: the background side is sample_k^2 pairs by construction and
+    the near-dup side is the capped pigeonhole candidate set, so the
+    pair frame is broadcast-sized; the token-count join fans each pair
+    out by ONE document's token vocabulary (pairs x ~tokens/doc rows),
+    never corpus x corpus.  One tokenize pass feeds counts and norms."""
+    # persist: the fingerprint frame feeds the pigeonhole pairing AND
+    # both per-pair signature lookups, the count frame feeds norms AND
+    # both sides of the dot join — without a cache the Arrow simhash
+    # kernel runs 3x and the tokenize 4x over the corpus (measured: 4
+    # ArrowEvalPython stages, 12 parquet scans -> 1 and ~4).  Both
+    # frames are corpus-row-scale (one long / token-count rows); at
+    # 100 TB the count frame is the posting-list index the engine
+    # already materializes to storage for BM25 — same artifact, same
+    # answer.
+    sims = (
+        fingerprints
+        if fingerprints is not None
+        else simhash64(df, id_col, text_col, portable=True)
+    ).persist()
+    near = simhash_near_pairs(sims, id_col, max_hamming).select(
+        "doc_a", "doc_b"
+    )
+    sa = (
+        df.filter((F.col(id_col) % 37) == 5)
+        .select(F.col(id_col).alias("doc_a"))
+        .orderBy("doc_a")
+        .limit(sample_k)
+    )
+    sb = (
+        df.filter((F.col(id_col) % 41) == 7)
+        .select(F.col(id_col).alias("doc_b"))
+        .orderBy("doc_b")
+        .limit(sample_k)
+    )
+    bg = (
+        sa.crossJoin(sb)
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+    )
+    pairs = near.unionByName(bg).dropDuplicates(["doc_a", "doc_b"])
+
+    cnts = (
+        spread(df)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    ).persist()
+    norms = cnts.groupBy(id_col).agg(
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__n2")
+    )
+    p = F.broadcast(pairs)
+    dots = (
+        cnts.select(
+            F.col(id_col).alias("doc_a"), "__t", F.col("__c").alias("__ca")
+        )
+        .join(p, "doc_a")
+        .join(
+            cnts.select(
+                F.col(id_col).alias("doc_b"),
+                "__t",
+                F.col("__c").alias("__cb"),
+            ),
+            ["doc_b", "__t"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).cast("long").alias("dot"))
+    )
+    fa = sims.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("__fa"))
+    fb = sims.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("__fb"))
+    na = norms.select(F.col(id_col).alias("doc_a"), F.col("__n2").alias("na2"))
+    nb = norms.select(F.col(id_col).alias("doc_b"), F.col("__n2").alias("nb2"))
+    ham = F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb")))
+    return (
+        pairs.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .join(dots, ["doc_a", "doc_b"], "left")
+        .withColumn("dot", F.coalesce(F.col("dot"), F.lit(0)).cast("long"))
+        .select(
+            "doc_a",
+            "doc_b",
+            ham.cast("int").alias("hamming"),
+            (F.lit(1.0) - ham.cast("double") / F.lit(64.0)).alias(
+                "est_agree"
+            ),
+            "dot",
+            "na2",
+            "nb2",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
+            ).alias("exact_cos"),
+        )
+    )
+
+
 def repeated_spans(
     df: DataFrame,
     id_col: str = "doc_id",

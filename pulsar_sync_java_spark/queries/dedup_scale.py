@@ -26,6 +26,7 @@ from pulsar_sync_java_spark.operators.dedup import (
     repeated_spans,
     scrub_repeated_spans,
     simhash64,
+    simhash_calibration,
     simhash_near_pairs,
 )
 from pulsar_sync_java_spark.operators.multimodal import (
@@ -368,6 +369,105 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
+
+
+# SimHash calibration oracle: the _SIMHASH_SQL fingerprint CTEs
+# (portable md5 token hashes, strict-majority votes) feed an audit set
+# of near-dup candidates ∪ a deterministic background pair sample,
+# scored with the EXACT token-count cosine (integer dot and norms,
+# IEEE sqrt/divide — bit-replayable, no partial oracle needed).
+_SIMHASH_CAL_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                   THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS h
+  FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5(t), 1, 8))::BIGINT::HUGEINT * 4294967296
+             + ('0x' || substr(md5(t), 9, 8))::BIGINT AS u
+    FROM tok
+  )
+), votes AS (
+  SELECT doc_id, b.i,
+         SUM((h >> b.i) & 1) AS ones,
+         COUNT(*) AS n
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS i) b
+  GROUP BY doc_id, b.i
+), fp AS (
+  SELECT d.doc_id,
+         COALESCE(CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                            THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT),
+                  0) AS simhash
+  FROM documents d
+  LEFT JOIN (
+    SELECT doc_id,
+           SUM(CASE WHEN ones * 2 > n THEN 1::HUGEINT << i ELSE 0::HUGEINT END) AS u
+    FROM votes GROUP BY doc_id
+  ) v ON v.doc_id = d.doc_id
+), near AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+), sa AS (
+  SELECT doc_id FROM documents WHERE doc_id % 37 = 5 ORDER BY doc_id LIMIT 25
+), sb AS (
+  SELECT doc_id FROM documents WHERE doc_id % 41 = 7 ORDER BY doc_id LIMIT 25
+), bg AS (
+  SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+         GREATEST(a.doc_id, b.doc_id) AS doc_b
+  FROM sa a CROSS JOIN sb b WHERE a.doc_id <> b.doc_id
+), pairs AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT * FROM near UNION ALL SELECT * FROM bg
+  )
+), cnts AS (
+  SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t
+), norms AS (
+  SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS n2 FROM cnts GROUP BY doc_id
+), dots AS (
+  SELECT p.doc_a, p.doc_b, CAST(SUM(ca.c * cb.c) AS BIGINT) AS dot
+  FROM pairs p
+  JOIN cnts ca ON ca.doc_id = p.doc_a
+  JOIN cnts cb ON cb.doc_id = p.doc_b AND cb.t = ca.t
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming,
+       1.0 - CAST(bit_count(xor(fa.simhash, fb.simhash)) AS DOUBLE) / 64.0
+         AS est_agree,
+       COALESCE(d.dot, 0) AS dot,
+       na.n2 AS na2,
+       nb.n2 AS nb2,
+       CAST(COALESCE(d.dot, 0) AS DOUBLE) / (sqrt(na.n2) * sqrt(nb.n2))
+         AS exact_cos
+FROM pairs p
+JOIN fp fa ON fa.doc_id = p.doc_a
+JOIN fp fb ON fb.doc_id = p.doc_b
+JOIN norms na ON na.doc_id = p.doc_a
+JOIN norms nb ON nb.doc_id = p.doc_b
+LEFT JOIN dots d ON d.doc_a = p.doc_a AND d.doc_b = p.doc_b
+"""
+
+
+@query("q_simhash_calibration", oracle=_SIMHASH_CAL_SQL)
+def q_simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash calibration twin (q_sketch_calibration is MinHash's,
+    q_ann_calibration the coded ANN metric's): per candidate pair —
+    the pigeonhole near-dups q_simhash serves ∪ a deterministic
+    background sample spanning the full distance range — the
+    fingerprint hamming and raw bit-agreement beside the EXACT
+    token-count cosine (integer dot/norms, IEEE combine).  FULLY
+    hash-gated: every emitted value is exactly replayable, so unlike
+    the partial-oracle pattern nothing here can rot silently; the
+    separation property (near-dups' exact cosine >> background's, and
+    a collapsed hash family fails) is pinned in
+    tests/test_dedup_ops.py against the operator's fingerprint
+    injection hook (operators/dedup.py:simhash_calibration)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_calibration(d)
 
 
 @query("q_simhash", oracle=_SIMHASH_SQL)

@@ -1666,6 +1666,75 @@ def test_sketch_calibration_error_is_bounded(spark, documents):
     assert mean_err <= 3 / 16, f"mean |est-exact| {mean_err:.4f}"
 
 
+def test_simhash_calibration_separates_and_catches_collapse(
+    spark, documents
+):
+    """The SimHash calibration table must show a CALIBRATED sketch:
+    (1) bit-agreement tracks the exact token-count cosine — near-dup
+    pairs (hamming <= 3) sit far above the background pairs' exact
+    cosine, and est_agree/exact_cos are strongly rank-correlated over
+    the union; (2) a COLLAPSED fingerprint family (every doc hashing
+    to the same signature — the r10 degenerate-family class, injected
+    via the fingerprints= hook) floods the table with hamming-0 pairs
+    whose exact cosine is background-level, failing the same
+    separation gate while every row stays deterministic."""
+    from pulsar_sync_java_spark.operators.dedup import simhash_calibration
+
+    rows = simhash_calibration(documents).collect()
+    assert rows, "no audit pairs at test SF — fixture vacuous"
+    for r in rows:
+        assert 0 <= r["hamming"] <= 64
+        assert abs(r["est_agree"] - (1.0 - r["hamming"] / 64.0)) == 0.0
+        assert 0 <= r["dot"] and r["na2"] > 0 and r["nb2"] > 0
+        assert -1e-12 <= r["exact_cos"] <= 1.0 + 1e-12
+    near = [r["exact_cos"] for r in rows if r["hamming"] <= 3]
+    far = [r["exact_cos"] for r in rows if r["hamming"] > 3]
+    assert near and far, "audit set must span both distance regimes"
+    mean_near = sum(near) / len(near)
+    mean_far = sum(far) / len(far)
+    # margin 0.3: measured healthy separation is ~0.40 (near 0.995 vs
+    # far 0.599 — the synthetic docs share a templated vocabulary, so
+    # background cosine sits near 0.6, not 0) and the collapsed family
+    # cannot separate at all
+    assert mean_near > mean_far + 0.3, (mean_near, mean_far)
+    # rank correlation (Spearman over the union) — a healthy family
+    # orders pairs by similarity; a broken one cannot
+    import statistics
+
+    xs = [r["est_agree"] for r in rows]
+    ys = [r["exact_cos"] for r in rows]
+
+    def ranks(v):
+        order = sorted(range(len(v)), key=lambda i: v[i])
+        rk = [0.0] * len(v)
+        for pos, i in enumerate(order):
+            rk[i] = float(pos)
+        return rk
+
+    rx, ry = ranks(xs), ranks(ys)
+    mx, my = statistics.mean(rx), statistics.mean(ry)
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    ) ** 0.5
+    rho = num / den
+    assert rho >= 0.5, rho
+
+    # collapsed family: every doc gets the SAME fingerprint
+    collapsed = documents.select(
+        "doc_id", F.lit(1234567).cast("long").alias("simhash")
+    )
+    bad = simhash_calibration(documents, fingerprints=collapsed).collect()
+    bnear = [r["exact_cos"] for r in bad if r["hamming"] <= 3]
+    bfar = [r["exact_cos"] for r in bad if r["hamming"] > 3]
+    # the gate that healthy data passes must FAIL: hamming no longer
+    # separates anything (every pair collapses to 0), so either there
+    # is no far regime at all or the means cannot separate
+    assert not bfar or (
+        sum(bnear) / len(bnear) <= sum(bfar) / len(bfar) + 0.3
+    )
+
+
 def test_ann_calibration_fails_mistrained_codebook(spark, embeddings):
     """r10 verdict #3 pin: the calibration gate must DETECT a corrupted
     model, not merely reproduce a healthy one.  A zeroed codebook (every

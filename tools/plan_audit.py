@@ -40,6 +40,7 @@ EXPECT = {
     "q_cursor_translate": "flagship composition: sampling window + as-of + project, bounded exchanges",
     "q_minhash_lsh": "sketch: ArrowEvalPython kernels; shuffles carry only (band,bucket,id) keys, signatures join back on the tiny pair set",
     "q_sketch_calibration": "sketch QA: banded candidate shuffle + shingle inverted index (plan-matched cache shared with q_ngram_jaccard); the est-pairs LEFT JOIN exact-inters is a pair-key SortMergeJoin ON PURPOSE (both sides scale with the corpus — broadcasting either is the 100 TB bug); the doc-sized size lookups broadcast the pair side (BuildLeft)",
+    "q_simhash_calibration": "SimHash QA: the pigeonhole near-dup bucket shuffle + one tokenize/count pass; the audit pair set (near ∪ background sample) is broadcast into the token-count dot join so each pair fans out by ONE doc's vocabulary — the per-pair exact side never joins corpus x corpus",
     "q_partition_expand": "Generate (explode) with no shuffle at all",
     "q_repetition_ratio": "pure projection: zero exchanges, all array expressions inside the scan stage",
     "q_contamination": "bench shingles broadcast (BroadcastHashJoin); the training corpus is never shuffled before the per-doc aggregate",
