@@ -168,6 +168,8 @@ def lsh_topk_multi(
         hyperplane_signature_udf,
     )
 
+    if not queries:
+        raise ValueError("lsh_topk_multi: empty probe batch")
     dim = len(queries[0][1])
     planes = _planes(dim, num_planes, seed)
     qsigs = hyperplane_sign_bits(
@@ -515,6 +517,8 @@ def ivf_topk_multi(
     probe_queries_pq payload discipline); the candidate rows must
     carry the query vector regardless — exact cosine per candidate IS
     the in-cell re-rank."""
+    if not queries:
+        raise ValueError("ivf_topk_multi: empty probe batch")
     probe_rows = []
     for qid, qv in queries:
         order = sorted(
@@ -1427,6 +1431,8 @@ def ivf_pq_topk_multi(
 
     from pulsar_sync_java_spark.operators.vectorized import pq_encode_udf
 
+    if not queries:
+        raise ValueError("ivf_pq_topk_multi: empty probe batch")
     lut_rows = []
     qvec_rows = []
     for qid, qv in queries:
@@ -1743,6 +1749,7 @@ def ann_calibration(
     centroids: list[list[float]] | None = None,
     codebooks=None,
     paths: tuple = ("lsh", "ivf", "pq"),
+    coded_path: str | None = None,
 ) -> DataFrame:
     """Per-query ANN quality monitoring over a batch of probe vectors:
     one row per query with the EXACT top-k anchor (top-1 id + id sum —
@@ -1793,12 +1800,33 @@ def ann_calibration(
     (`streaming/ann_serve.py:calibrated_swap`) audits a candidate
     model with paths=("pq",) — the LSH arm is model-independent and
     the IVF arm trains its own raw-space quantizer, so neither judges
-    the model under test.  The rank/ADC audit requires "pq"."""
+    the model under test.  The rank/ADC audit requires "pq".
+
+    `coded_path` points the PQ arm at a MATERIALIZED codes layout
+    (`ivf_pq_index_write`): the recall probe routes through
+    `probe_queries_pq` and the rank/ADC audit reads the STORED
+    (ivf_cell, pq_codes) columns instead of re-encoding in-plan — so
+    the audit judges exactly the bytes production serves (a write-path
+    divergence between the supplied model and the codes on disk FAILS
+    the gate rather than passing unseen) and a gated rebuild pays
+    partition-pruned code scans, not a second full-corpus encode.
+    Requires centroids+codebooks (the stored model)."""
     from pyspark.sql.window import Window
 
     from pulsar_sync_java_spark.functions.numeric import dec_arr_sum
     from pulsar_sync_java_spark.operators.vectorized import pq_encode_udf
 
+    if coded_path is not None and centroids is None:
+        raise ValueError(
+            "ann_calibration: coded_path requires centroids+codebooks "
+            "— the stored layout can only be audited against the model "
+            "that claims to have written it"
+        )
+    if not query_ids:
+        # catch the misconfigured monitor at the harness boundary —
+        # an empty pinned-probe set would otherwise surface as a bare
+        # IndexError deep inside the first batch arm
+        raise ValueError("ann_calibration: empty query_ids probe set")
     if (centroids is None) != (codebooks is None):
         # the ivf_pq_topk pairing contract, doubly important here: a
         # codebooks-only call would silently retrain a HEALTHY model
@@ -1940,12 +1968,20 @@ def ann_calibration(
         )
     else:
         cents, books = centroids, codebooks
-    r_pq = recall_flag(
-        ivf_pq_topk_multi(
+    if coded_path is not None:
+        from pulsar_sync_java_spark.streaming.ann_serve import (
+            probe_queries_pq,
+        )
+
+        pq_probe = probe_queries_pq(
+            df.sparkSession, coded_path, cents, books, probes, k,
+            nprobe, rerank, id_col, vec_col,
+        )
+    else:
+        pq_probe = ivf_pq_topk_multi(
             df, probes, cents, books, k, id_col, vec_col, nprobe, rerank
-        ),
-        "recall_pq_ok",
-    )
+        )
+    r_pq = recall_flag(pq_probe, "recall_pq_ok")
 
     # ADC audit set: exact top-k ∪ deterministic background rows (ids
     # ≡ 7 mod 41, smallest k — fetched by a pushed-down id filter, one
@@ -1990,19 +2026,34 @@ def ann_calibration(
     ludf = df.sparkSession.createDataFrame(
         lut_rows, "query_id long, __cell int, __lut array<array<double>>"
     )
-    enc = pq_encode_udf(cents, books).asNondeterministic()(F.col(vec_col))
-    coded = (
-        df.select(id_col, vec_col)
-        .join(F.broadcast(audit), id_col)
-        .select("query_id", id_col, "__cos", enc.alias("__enc"))
-        .select(
-            "query_id",
-            id_col,
-            "__cos",
-            F.element_at("__enc", 1).alias("__cell"),
-            F.slice("__enc", 2, len(books)).alias("__codes"),
+    if coded_path is not None:
+        # judge the STORED codes — the bytes production probes read
+        coded = (
+            df.sparkSession.read.parquet(coded_path)
+            .select(
+                id_col,
+                F.col("ivf_cell").cast("int").alias("__cell"),
+                F.col("pq_codes").alias("__codes"),
+            )
+            .join(F.broadcast(audit), id_col)
+            .select("query_id", id_col, "__cos", "__cell", "__codes")
         )
-    )
+    else:
+        enc = pq_encode_udf(cents, books).asNondeterministic()(
+            F.col(vec_col)
+        )
+        coded = (
+            df.select(id_col, vec_col)
+            .join(F.broadcast(audit), id_col)
+            .select("query_id", id_col, "__cos", enc.alias("__enc"))
+            .select(
+                "query_id",
+                id_col,
+                "__cos",
+                F.element_at("__enc", 1).alias("__cell"),
+                F.slice("__enc", 2, len(books)).alias("__codes"),
+            )
+        )
     adc = adc_lut_fold("__lut", "__codes")
     we2 = Window.partitionBy("query_id").orderBy(
         F.col("__cos").desc(), F.col(id_col).asc()

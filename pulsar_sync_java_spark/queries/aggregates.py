@@ -820,9 +820,15 @@ def q_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ok(tag: str, p: float):
         lo = F.col(f"_rlt_{tag}").cast("double") / F.col("n_exact")
         hi = F.col(f"_rle_{tag}").cast("double") / F.col("n_exact")
-        return (lo - F.lit(_KLL_EPS) <= F.lit(p)) & (
-            F.lit(p) <= hi + F.lit(_KLL_EPS)
-        )
+        # bound + 1/n: the discrete rank grid quantizes each target to
+        # the nearest 1/n, so a small slice can put a HEALTHY sketch's
+        # answer a legitimate 1/n beyond the sketch bound — the same
+        # wobble the split-invariance property test
+        # (tests/test_new_query_props.py) adds for the same reason;
+        # without it merge_ok flips false on tiny slices while the
+        # oracle's literal TRUE stays green
+        eps = F.lit(_KLL_EPS) + F.lit(1.0) / F.col("n_exact")
+        return (lo - eps <= F.lit(p)) & (F.lit(p) <= hi + eps)
 
     return exact.join(ranks, "event_type").select(
         "event_type",

@@ -864,7 +864,18 @@ def compact_table_files(
         F.min(key_col).alias("min_key"),
         F.max(key_col).alias("max_key"),
     ).collect()
-    stats.sort(key=lambda r: (r["min_key"], r["__path"]))
+    # None-safe sort: idempotent_append explicitly supports NULL key
+    # values (eqNullSafe), so a landed file whose rows are all-null
+    # has min_key/max_key None — order those first (Spark's asc-nulls-
+    # first convention) instead of letting the tuple compare raise and
+    # crash-loop every subsequent maintenance tick on the same file
+    stats.sort(
+        key=lambda r: (
+            r["min_key"] is not None,
+            r["min_key"] if r["min_key"] is not None else 0,
+            r["__path"],
+        )
+    )
     files_df = spark.createDataFrame(
         [
             (i, int(r["n_rows"]), r["min_key"], r["max_key"])
@@ -916,8 +927,13 @@ def compact_table_files(
 
     for gid in sorted(groups):
         members = groups[gid]
-        mn = min(r["min_key"] for r in members)
-        mx = max(r["max_key"] for r in members)
+        # a group may mix all-null-key files with keyed ones; the
+        # range only feeds the digest, so reduce over the known keys
+        # and let an all-null group digest as None/None
+        known_mn = [r["min_key"] for r in members if r["min_key"] is not None]
+        known_mx = [r["max_key"] for r in members if r["max_key"] is not None]
+        mn = min(known_mn) if known_mn else None
+        mx = max(known_mx) if known_mx else None
         gdir = jvm.org.apache.hadoop.fs.Path(f"{tmp}/group_id={gid}")
         part = [
             st.getPath()

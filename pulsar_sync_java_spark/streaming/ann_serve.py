@@ -424,11 +424,8 @@ def calibrated_swap(
         server.apply_refresh(record)
         return {**record, "swapped": True, "calibration": None}
     report = ivf_index_staleness(spark, record["path"])
-    share = (
-        report.max_cell_rows / report.current_rows
-        if report.current_rows
-        else 1.0
-    )
+    share = report.max_cell_share  # 0.0 on empty; the emptiness
+    # refusal is the separate current_rows check below
     ok = report.current_rows > 0 and share <= balance_max
     flags = None
     if ok and "codebooks" in record:
@@ -440,6 +437,11 @@ def calibrated_swap(
                 "metric)"
             )
         corpus = spark.read.parquet(record["path"]).select(id_col, vec_col)
+        # coded_path: the PQ arm probes and ADC-audits the STORED
+        # (ivf_cell, pq_codes) columns the rebuild just materialized —
+        # no second full-corpus encode, and a write-path divergence
+        # between the record's model and the bytes on disk fails the
+        # gate instead of passing unseen
         flags = ann_calibration(
             corpus,
             [int(q) for q in probe_ids],
@@ -452,6 +454,7 @@ def calibrated_swap(
             centroids=record["centroids"],
             codebooks=record["codebooks"],
             paths=("pq",),
+            coded_path=record["path"],
         ).collect()
         ok = len(flags) == len(probe_ids) and all(
             r["recall_pq_ok"] and r["rank_corr_ok"] and r["adc_err_ok"]
@@ -528,11 +531,16 @@ def serve_ann_stream_pq(
                         # raise BEFORE consuming the staging delta:
                         # the stream stops on the OLD index, nothing
                         # is acked, a restart retries the refresh —
-                        # a silently-bad retrain must never serve
+                        # a silently-bad retrain must never serve.
+                        # A balance refusal short-circuits the flag
+                        # audit (calibration None), so print the
+                        # share that explains it either way
                         raise RuntimeError(
                             "serve_ann_stream_pq: rebuilt index at "
                             f"{record['path']} failed the calibration "
-                            f"gate: {record['calibration']}"
+                            "gate (max_cell_share="
+                            f"{record['balance_share']:.3f}): "
+                            f"{record['calibration']}"
                         )
                 else:
                     server.apply_refresh(record)

@@ -710,3 +710,34 @@ def test_compaction_manifest_recovery_completes_interrupted_commit(
     out2 = compact_table_files(spark, sink2, "k", 100, 100)
     assert out2["consumed_files"] == 2
     assert spark.read.parquet(sink2).count() == 50
+
+
+def test_compact_table_files_tolerates_all_null_key_file(spark, tmp_path):
+    """idempotent_append explicitly supports NULL key values, so a
+    landed file whose every row has a null key gives min_key/max_key
+    NULL in the maintenance tick's stats — the planner sort and the
+    group range reduction must not TypeError on it (a crash here
+    wedges the ingest loop: the file persists, every restart re-ticks
+    into the same comparison), and the null-key rows must survive the
+    rewrite."""
+    from pulsar_sync_java_spark.sinks.writers import compact_table_files
+
+    sink = str(tmp_path / "t")
+    for i in range(3):
+        spark.range(i * 25, (i + 1) * 25).select(
+            F.col("id").alias("k")
+        ).repartition(1).write.mode("append").parquet(sink)
+    spark.createDataFrame(
+        [(None,)] * 10, "k bigint"
+    ).repartition(1).write.mode("append").parquet(sink)
+
+    out = compact_table_files(spark, sink, "k", 200, 100)
+    assert out["groups"] >= 1 and out["consumed_files"] >= 2
+    got = spark.read.parquet(sink)
+    assert got.count() == 85
+    assert got.filter(F.col("k").isNull()).count() == 10
+    # a second tick on the converged layout plans nothing and the
+    # null rows are still there
+    out2 = compact_table_files(spark, sink, "k", 200, 100)
+    assert out2["groups"] == 0
+    assert spark.read.parquet(sink).filter(F.col("k").isNull()).count() == 10
