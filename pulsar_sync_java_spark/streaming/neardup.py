@@ -165,6 +165,136 @@ def gated_ingest_batch(
     )
 
 
+def gated_ingest_batch_monitored(
+    batch_df: DataFrame,
+    weights: DataFrame,
+    corpus_sig_dir: str,
+    sink_dir: str,
+    monitor_dir: str,
+    batch_id: int,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> int:
+    """`gated_ingest_batch` plus a per-batch HEALTH ROW appended to
+    `monitor_dir` — the ingest-observability leg of the r10 OOV
+    advice: the gate's drop decisions are now countable per batch
+    (total in, `score IS NULL` OOV drops, scored gate drops, near-dup
+    survivors appended), so `ingest_drift_alarm` can separate "the
+    classifier is rejecting more" from "the corpus stopped being
+    tokenizable" — two failures that look identical as a row-count
+    dip.
+
+    The classifier runs ONCE (classifier_scores), feeding both the
+    gate decision and the counters — not the classifier_gate +
+    recount double pass.  The health row is keyed by batch_id through
+    `idempotent_append`, so a checkpoint replay is a no-op and the
+    FIRST processing's numbers stand (the decision-level counts —
+    n_in, n_oov, n_gated — are pure functions of the batch under the
+    frozen model; n_appended is sink-state-dependent by nature, which
+    is exactly why replays must not rewrite it).  One extra 1-row
+    control-plane append per batch; the counters ride the same
+    aggregate scan the gate already pays."""
+    from pulsar_sync_java_spark.operators.quality import classifier_scores
+
+    spark = batch_df.sparkSession
+    scores = classifier_scores(batch_df, weights, id_col, text_col).persist()
+    try:
+        n_in = batch_df.count()
+        row = scores.agg(
+            F.sum(F.when(F.col("score").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("oov"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("gated"),
+        ).collect()[0]
+        n_oov = int(row["oov"] or 0)
+        n_gated = int(row["gated"] or 0)
+        keepers = scores.filter(F.col("keep")).select(id_col)
+        gated = batch_df.join(F.broadcast(keepers), id_col, "left_semi")
+        n_appended = ingest_batch(
+            gated, corpus_sig_dir, sink_dir, threshold=threshold,
+            id_col=id_col, text_col=text_col, **kwargs,
+        )
+    finally:
+        scores.unpersist()
+    health = spark.createDataFrame(
+        [
+            (
+                int(batch_id),
+                int(n_in),
+                n_oov,
+                int(n_in) - n_gated,
+                n_gated,
+                int(n_appended),
+            )
+        ],
+        "batch_id long, n_in long, n_oov long, n_gate_dropped long, "
+        "n_gated long, n_appended long",
+    )
+    idempotent_append(health, monitor_dir, ["batch_id"])
+    return n_appended
+
+
+def ingest_drift_alarm(
+    spark,
+    monitor_dir: str,
+    trailing: int = 8,
+    spike_mult: float = 3.0,
+    min_batches: int = 3,
+    floor: float = 0.05,
+) -> DataFrame:
+    """Per-batch drift flags over the ingest health table: a batch
+    alarms when its OOV rate or gate-drop rate exceeds
+    max(floor, spike_mult x the trailing-`trailing`-batch mean) — the
+    self-calibrating spike rule the streaming EWMA monitor uses,
+    framed over the table so it needs no state and replays
+    deterministically.  `min_batches` prior batches are required
+    before a flag can fire (no baseline, no alarm), and `floor`
+    absorbs tiny-denominator noise (a 0.1% baseline must not page on
+    0.4%).
+
+    The health table is control-plane sized (one row per micro-batch),
+    so the unpartitioned ordering window is a deliberate single-task
+    frame — same class as the staleness report, not a data-path
+    window."""
+    from pyspark.sql.window import Window
+
+    m = spark.read.parquet(monitor_dir)
+    nz = F.greatest(F.col("n_in"), F.lit(1)).cast("double")
+    rated = m.select(
+        "batch_id",
+        "n_in",
+        "n_appended",
+        (F.col("n_oov").cast("double") / nz).alias("oov_rate"),
+        (F.col("n_gate_dropped").cast("double") / nz).alias("drop_rate"),
+    )
+    w = Window.orderBy("batch_id").rowsBetween(-trailing, -1)
+    base_oov = F.avg("oov_rate").over(w)
+    base_drop = F.avg("drop_rate").over(w)
+    n_prior = F.count(F.lit(1)).over(w)
+    thr = lambda b: F.greatest(  # noqa: E731
+        F.lit(floor), F.lit(spike_mult) * b
+    )
+    return rated.select(
+        "batch_id",
+        "n_in",
+        "n_appended",
+        "oov_rate",
+        "drop_rate",
+        base_oov.alias("baseline_oov"),
+        base_drop.alias("baseline_drop"),
+        (
+            (n_prior >= min_batches) & (F.col("oov_rate") > thr(base_oov))
+        ).alias("oov_alarm"),
+        (
+            (n_prior >= min_batches) & (F.col("drop_rate") > thr(base_drop))
+        ).alias("drop_alarm"),
+    )
+
+
 def gated_neardup_ingest_stream(
     doc_stream: DataFrame,
     weights_path: str,
@@ -175,6 +305,7 @@ def gated_neardup_ingest_stream(
     compact_every: int = 0,
     compact_target_rows: int = 1 << 20,
     compact_under_rows: int = 1 << 19,
+    monitor_dir: str | None = None,
     **kwargs,
 ) -> DataStreamWriter:
     """Wire `gated_ingest_batch` into a foreachBatch streaming query.
@@ -199,10 +330,16 @@ def gated_neardup_ingest_stream(
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         weights = batch_df.sparkSession.read.parquet(weights_path)
-        gated_ingest_batch(
-            batch_df, weights, corpus_sig_dir, sink_dir,
-            threshold=threshold, **kwargs,
-        )
+        if monitor_dir is not None:
+            gated_ingest_batch_monitored(
+                batch_df, weights, corpus_sig_dir, sink_dir,
+                monitor_dir, batch_id, threshold=threshold, **kwargs,
+            )
+        else:
+            gated_ingest_batch(
+                batch_df, weights, corpus_sig_dir, sink_dir,
+                threshold=threshold, **kwargs,
+            )
         if compact_every and batch_id % compact_every == compact_every - 1:
             from pulsar_sync_java_spark.sinks.writers import (
                 compact_table_files,

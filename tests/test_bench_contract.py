@@ -126,6 +126,7 @@ PERSIST_ALLOWLIST = {
     ("queries/training.py", "q_dedup_keepers"): 1,      # minhash sigs (plan-matched)
     ("sinks/writers.py", "idempotent_append"): 2,       # released: both unpersist in finally-shaped flow
     ("streaming/neardup.py", "ingest_batch"): 1,        # released per micro-batch
+    ("streaming/neardup.py", "gated_ingest_batch_monitored"): 1,  # per-batch classifier scores feed the gate AND the health counters; released in the finally
 }
 
 

@@ -277,3 +277,104 @@ def test_gated_stream_with_maintenance_same_rows_fewer_files(
         fl = files(p)
         assert len(fl) <= 2, fl
         assert any("compacted-" in f for f in fl), fl
+
+
+def test_monitored_gate_health_table_and_drift_alarm(
+    spark, tmp_path, doc_batches
+):
+    """Ingest observability end to end: the monitored gated stream
+    writes one health row per micro-batch (in / OOV / gate-dropped /
+    gated / appended), steady same-distribution batches raise no
+    alarm, and an injected OOV burst (documents in an unseen
+    vocabulary — encoding glitch / new language) trips BOTH the OOV
+    and drop alarms on exactly that batch.  A checkpoint-wipe replay
+    re-processes every batch but the keyed health append is
+    first-write-wins, so the table is unchanged — monitoring never
+    double-counts."""
+    from pulsar_sync_java_spark.operators.quality import classifier_weights
+    from pulsar_sync_java_spark.streaming.neardup import (
+        gated_neardup_ingest_stream,
+        ingest_drift_alarm,
+    )
+
+    b1, b2 = doc_batches
+    ref = load_table(spark, SF_DIR, "documents")
+    weights_path = str(tmp_path / "weights")
+    classifier_weights(ref).write.parquet(weights_path)
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sigs = str(tmp_path / "sigs")
+    sink = str(tmp_path / "corpus")
+    monitor = str(tmp_path / "health")
+    # 4 steady batches sliced from the same distribution, then the
+    # garbage burst as batch 5 (maxFilesPerTrigger=1 -> one batch per
+    # file, in landing order)
+    for i in range(4):
+        # b1 holds the EVEN doc_ids, so slice on doc_id % 8 == 2i to
+        # get four non-empty same-distribution batches
+        b1.filter((F.col("doc_id") % 8) == 2 * i).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+    garbage = spark.createDataFrame(
+        [(900_000 + i, f"zzqq{i} xxyy{i} wwvv{i} uutt{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    garbage.repartition(1).write.mode("append").parquet(src)
+
+    def run(ck):
+        q = (
+            gated_neardup_ingest_stream(
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                weights_path, sigs, sink, checkpoint_dir=ck,
+                monitor_dir=monitor,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        exc = q.exception()
+        if exc is not None:
+            raise exc
+
+    run(ckpt)
+    health = {
+        r["batch_id"]: r for r in spark.read.parquet(monitor).collect()
+    }
+    assert sorted(health) == [0, 1, 2, 3, 4]
+    for b, r in health.items():
+        assert r["n_in"] > 0
+        assert (
+            r["n_oov"] + r["n_gated"] <= r["n_in"]
+            and r["n_gate_dropped"] == r["n_in"] - r["n_gated"]
+        )
+        assert r["n_appended"] <= r["n_gated"]
+    # the garbage batch: every doc OOV, nothing survives the gate
+    g = health[4]
+    assert g["n_oov"] == 30 and g["n_gated"] == 0 and g["n_appended"] == 0
+
+    alarms = {
+        r["batch_id"]: r
+        for r in ingest_drift_alarm(spark, monitor, min_batches=3).collect()
+    }
+    assert alarms[4]["oov_alarm"] and alarms[4]["drop_alarm"]
+    for b in (0, 1, 2, 3):
+        assert not alarms[b]["oov_alarm"], alarms[b]
+    # batches 0-2 have fewer than min_batches priors: never alarmed
+    assert not alarms[0]["drop_alarm"] and not alarms[1]["drop_alarm"]
+
+    # checkpoint-wipe replay: same source, fresh checkpoint — the
+    # keyed health rows are first-write-wins, the table is unchanged
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run(str(tmp_path / "ckpt2"))
+    again = {
+        r["batch_id"]: r for r in spark.read.parquet(monitor).collect()
+    }
+    assert sorted(again) == [0, 1, 2, 3, 4]
+    assert {b: tuple(r) for b, r in again.items()} == {
+        b: tuple(r) for b, r in health.items()
+    }
