@@ -635,3 +635,67 @@ def test_pq_stream_gate_refuses_bad_rebuild_then_restart_retries(
         for r in spark.read.parquet(sink).collect()
     }
     assert got == want and len(got) == 3 * K
+
+
+@pytest.mark.slow
+def test_plain_ivf_stream_gated_rebuild_swaps_when_balanced(
+    spark, tmp_path
+):
+    """The calibrate_rebuilds=True wiring on the PLAIN-IVF stream: a
+    drifted delta forces an in-stream rebuild, the balance audit
+    passes on the healthy retrain, the pointer swaps and the batch's
+    queries are served from the rebuilt index — i.e. arming the gate
+    changes nothing for healthy maintenance (the refusal side is
+    pinned by the calibrated_swap unit test and the PQ stream's
+    sabotage test)."""
+    from pulsar_sync_java_spark.streaming.ann_serve import (
+        IvfServer,
+        serve_ann_stream,
+    )
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "v0")
+    src = str(tmp_path / "queries")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    staging = str(tmp_path / "staging")
+    cents0 = ivf_index_write(emb, idx, n_centroids=8, iters=2)
+    server = IvfServer(idx, cents0)
+
+    base = emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    delta = spark.createDataFrame(
+        [(100000 + i, [float(v) for v in base]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    delta.coalesce(1).write.parquet(staging)
+    q1 = _query_rows(spark, [0, 1, 2], first_qid=1000)
+    spark.createDataFrame(q1, QUERY_SCHEMA).coalesce(1).write.parquet(src)
+
+    q = (
+        serve_ann_stream(
+            spark.readStream.schema(QUERY_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            server, sink_dir=sink, checkpoint_dir=ckpt, k=K,
+            nprobe=NPROBE, delta_staging=staging,
+            refresh_kwargs={"drift_tv_threshold": 0.25},
+            calibrate_rebuilds=True,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    exc = q.exception()
+    if exc is not None:
+        raise exc
+
+    path2, cents2 = server.snapshot()
+    assert path2 != idx  # the gated rebuild swapped
+    expect = _expected_ids(spark, path2, cents2, q1)
+    got = {}
+    for r in sorted(
+        spark.read.parquet(sink).collect(),
+        key=lambda r: (r["query_id"], r["rank"]),
+    ):
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert got == expect
