@@ -98,6 +98,7 @@ def classifier_gate(
     weights: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """Filter `docs` to the rows the classifier keeps (score >=
     CLS_KEEP_MIN), preserving all columns — the gate stage a corpus
@@ -106,10 +107,13 @@ def classifier_gate(
     for DELTA/batch inputs (the streaming ingest loop): keeper ids of
     one micro-batch always broadcast.  A one-shot full-corpus gate
     should instead materialize `classifier_scores` as a features table
-    and filter on the column (the q_corpus_materialize pattern)."""
-    keepers = (
-        classifier_scores(docs, weights, id_col, text_col)
-        .filter(F.col("keep"))
-        .select(id_col)
-    )
+    and filter on the column (the q_corpus_materialize pattern).
+
+    `scores` accepts a precomputed `classifier_scores` frame so a
+    caller that also needs the scores (the monitored ingest, which
+    counts OOV and gate drops from them) pays ONE scoring pass while
+    the keep rule stays defined here and only here."""
+    if scores is None:
+        scores = classifier_scores(docs, weights, id_col, text_col)
+    keepers = scores.filter(F.col("keep")).select(id_col)
     return docs.join(F.broadcast(keepers), id_col, "left_semi")

@@ -196,7 +196,10 @@ def gated_ingest_batch_monitored(
     is exactly why replays must not rewrite it).  One extra 1-row
     control-plane append per batch; the counters ride the same
     aggregate scan the gate already pays."""
-    from pulsar_sync_java_spark.operators.quality import classifier_scores
+    from pulsar_sync_java_spark.operators.quality import (
+        classifier_gate,
+        classifier_scores,
+    )
 
     spark = batch_df.sparkSession
     scores = classifier_scores(batch_df, weights, id_col, text_col).persist()
@@ -212,8 +215,11 @@ def gated_ingest_batch_monitored(
         ).collect()[0]
         n_oov = int(row["oov"] or 0)
         n_gated = int(row["gated"] or 0)
-        keepers = scores.filter(F.col("keep")).select(id_col)
-        gated = batch_df.join(F.broadcast(keepers), id_col, "left_semi")
+        # the keep rule lives in classifier_gate (scores= reuses the
+        # one scoring pass the counters already paid)
+        gated = classifier_gate(
+            batch_df, weights, id_col, text_col, scores=scores
+        )
         n_appended = ingest_batch(
             gated, corpus_sig_dir, sink_dir, threshold=threshold,
             id_col=id_col, text_col=text_col, **kwargs,
