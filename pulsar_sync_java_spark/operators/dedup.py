@@ -654,7 +654,10 @@ def simhash_calibration(
         .join(fb, "doc_b")
         .join(na, "doc_a")
         .join(nb, "doc_b")
-        .join(dots, ["doc_a", "doc_b"], "left")
+        # dots is pair-count rows (the aggregate of the broadcast pair
+        # fan-out) — broadcast it or Spark sort-merges two pair-scale
+        # frames
+        .join(F.broadcast(dots), ["doc_a", "doc_b"], "left")
         .withColumn("dot", F.coalesce(F.col("dot"), F.lit(0)).cast("long"))
         .select(
             "doc_a",
