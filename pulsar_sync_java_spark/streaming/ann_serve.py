@@ -51,26 +51,84 @@ class IvfServer:
     per serving query; the lock only guards the tiny pointer swap —
     all heavy work happens outside it.
 
-    The pointer is process-local state: a deployment that must survive
-    driver restart persists (path, centroids) — e.g. next to the
-    checkpoint — and reconstructs the server from it, exactly like the
-    tests do across their restart boundary."""
+    The pointer is process-local state by default; `state_path` makes
+    it DURABLE: every applied refresh atomically rewrites a JSON state
+    file (write temp + os.replace — the staging-consume discipline),
+    and `IvfServer.load` / `IvfPqServer.load` reconstruct the server
+    from it after a driver restart.  Crash ordering is safe at every
+    point: the state file is written BEFORE the refresh's staging
+    delta is consumed, so a crash between swap and consume replays
+    the refresh against the already-current pointer (appends are
+    keyed no-ops, a rebuild regenerates the same directory), and a
+    crash before the write replays it against the old pointer —
+    either way the loaded server and the sink converge to the same
+    answers, which is what the restart tests pin."""
 
-    def __init__(self, path: str, centroids: Sequence[Sequence[float]]):
+    _KIND = "ivf"
+
+    def __init__(
+        self,
+        path: str,
+        centroids: Sequence[Sequence[float]],
+        state_path: str | None = None,
+    ):
         self._lock = threading.Lock()
         self._path = path
         self._centroids = [list(map(float, c)) for c in centroids]
+        self._state_path = state_path
+        if state_path is not None:
+            self._save()
 
     def snapshot(self) -> tuple[str, list[list[float]]]:
         with self._lock:
             return self._path, self._centroids
 
+    def _state(self) -> dict:
+        return {
+            "kind": self._KIND,
+            "path": self._path,
+            "centroids": self._centroids,
+        }
+
+    def _save(self) -> None:
+        """Atomic pointer persistence: temp file + os.replace, so a
+        reader (or a crash) never sees a torn state file."""
+        import json
+
+        tmp = f"{self._state_path}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self._state(), fh)
+        os.replace(tmp, self._state_path)
+
+    @classmethod
+    def load(cls, state_path: str) -> "IvfServer":
+        """Reconstruct the durable server from its state file (and
+        keep it durable at the same path)."""
+        import json
+
+        with open(state_path) as fh:
+            st = json.load(fh)
+        if st["kind"] != cls._KIND:
+            raise ValueError(
+                f"{cls.__name__}.load: state file at {state_path} holds "
+                f"a {st['kind']!r} pointer — load it with the matching "
+                "server class"
+            )
+        return cls._from_state(st, state_path)
+
+    @classmethod
+    def _from_state(cls, st: dict, state_path: str) -> "IvfServer":
+        return cls(st["path"], st["centroids"], state_path=state_path)
+
     def apply_refresh(self, record: dict) -> None:
         """Adopt a decision record from `ivf_index_refresh` (append
-        records keep the path; rebuild records carry the new one)."""
+        records keep the path; rebuild records carry the new one).
+        A durable server persists the new pointer before returning."""
         with self._lock:
             self._path = record["path"]
             self._centroids = [list(map(float, c)) for c in record["centroids"]]
+            if self._state_path is not None:
+                self._save()
 
 
 def probe_queries(
@@ -339,18 +397,32 @@ def probe_queries_pq(
 
 class IvfPqServer(IvfServer):
     """Active-pointer for a PQ-coded index: (path, centroids,
-    codebooks).  Same swap discipline as IvfServer; refresh records
-    from `ivf_pq_index_refresh` carry the codebooks."""
+    codebooks).  Same swap and durability discipline as IvfServer;
+    refresh records from `ivf_pq_index_refresh` carry the
+    codebooks."""
 
-    def __init__(self, path, centroids, codebooks):
-        super().__init__(path, centroids)
+    _KIND = "ivf_pq"
+
+    def __init__(self, path, centroids, codebooks, state_path=None):
         self._codebooks = [
             [[float(v) for v in row] for row in book] for book in codebooks
         ]
+        # after _codebooks: the base __init__ may persist the full state
+        super().__init__(path, centroids, state_path=state_path)
 
     def snapshot(self):
         with self._lock:
             return self._path, self._centroids, self._codebooks
+
+    def _state(self) -> dict:
+        return {**super()._state(), "codebooks": self._codebooks}
+
+    @classmethod
+    def _from_state(cls, st: dict, state_path: str) -> "IvfPqServer":
+        return cls(
+            st["path"], st["centroids"], st["codebooks"],
+            state_path=state_path,
+        )
 
     def apply_refresh(self, record: dict) -> None:
         with self._lock:
@@ -362,6 +434,8 @@ class IvfPqServer(IvfServer):
                 [[float(v) for v in row] for row in book]
                 for book in record["codebooks"]
             ]
+            if self._state_path is not None:
+                self._save()
 
 
 def calibrated_swap(

@@ -699,3 +699,62 @@ def test_plain_ivf_stream_gated_rebuild_swaps_when_balanced(
     ):
         got.setdefault(r["query_id"], []).append(r["vec_id"])
     assert got == expect
+
+
+def test_durable_server_pointer_roundtrips_and_survives_refresh(
+    spark, tmp_path
+):
+    """The last non-durable piece of the serving lifecycle: a server
+    constructed with state_path persists its pointer atomically on
+    every applied refresh, `load` reconstructs an equivalent server
+    after a driver restart (model included, for the PQ kind), and a
+    state file of the wrong kind refuses to load rather than serving
+    with a silently missing codebook."""
+    from pulsar_sync_java_spark.operators.similarity import (
+        ivf_index_write,
+        ivf_pq_index_write,
+    )
+    from pulsar_sync_java_spark.streaming.ann_serve import (
+        IvfPqServer,
+        IvfServer,
+    )
+
+    emb = _emb(spark)
+    idx0 = str(tmp_path / "v0")
+    idx1 = str(tmp_path / "v1")
+    state = str(tmp_path / "pointer.json")
+    cents0, books0 = ivf_pq_index_write(
+        emb, idx0, n_centroids=8, m=16, k_sub=64, iters=1
+    )
+    cents1, books1 = ivf_pq_index_write(
+        emb, idx1, n_centroids=8, m=16, k_sub=64, iters=2, seed=7
+    )
+
+    server = IvfPqServer(idx0, cents0, books0, state_path=state)
+    assert IvfPqServer.load(state).snapshot() == server.snapshot()
+
+    server.apply_refresh(
+        {
+            "action": "rebuild",
+            "path": idx1,
+            "centroids": cents1,
+            "codebooks": books1,
+        }
+    )
+    # the persisted pointer follows the swap; a "restarted driver"
+    # reconstructs the post-refresh server, codebooks and all
+    loaded = IvfPqServer.load(state)
+    assert loaded.snapshot() == server.snapshot()
+    assert loaded.snapshot()[0] == idx1
+
+    # kind safety: a PQ state file must not load as a plain server
+    with pytest.raises(ValueError, match="matching server class"):
+        IvfServer.load(state)
+
+    # plain kind roundtrip too
+    state2 = str(tmp_path / "pointer_plain.json")
+    cents_p = ivf_index_write(emb, str(tmp_path / "p0"), n_centroids=8)
+    plain = IvfServer(str(tmp_path / "p0"), cents_p, state_path=state2)
+    assert IvfServer.load(state2).snapshot() == plain.snapshot()
+    with pytest.raises(ValueError, match="matching server class"):
+        IvfPqServer.load(state2)
