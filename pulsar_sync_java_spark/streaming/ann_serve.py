@@ -73,11 +73,12 @@ class IvfServer:
         state_path: str | None = None,
     ):
         self._lock = threading.Lock()
+        self._save_lock = threading.Lock()
         self._path = path
         self._centroids = [list(map(float, c)) for c in centroids]
         self._state_path = state_path
         if state_path is not None:
-            self._save()
+            self._write_state(self._state())
 
     def snapshot(self) -> tuple[str, list[list[float]]]:
         with self._lock:
@@ -90,45 +91,76 @@ class IvfServer:
             "centroids": self._centroids,
         }
 
-    def _save(self) -> None:
-        """Atomic pointer persistence: temp file + os.replace, so a
-        reader (or a crash) never sees a torn state file."""
+    def _write_state(self, st: dict) -> None:
+        """Atomic, crash-durable pointer persistence: temp file +
+        fsync + os.replace (+ directory fsync), so neither a reader
+        nor a power loss ever sees a torn or empty state file.  Runs
+        OUTSIDE the pointer lock — serialization and disk I/O must
+        not stall concurrent snapshot() callers — with its own save
+        lock serializing concurrent writers."""
         import json
 
-        tmp = f"{self._state_path}.tmp"
-        with open(tmp, "w") as fh:
-            json.dump(self._state(), fh)
-        os.replace(tmp, self._state_path)
+        with self._save_lock:
+            tmp = f"{self._state_path}.tmp"
+            with open(tmp, "w") as fh:
+                json.dump(st, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, self._state_path)
+            dfd = os.open(
+                os.path.dirname(os.path.abspath(self._state_path)),
+                os.O_RDONLY,
+            )
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
 
     @classmethod
     def load(cls, state_path: str) -> "IvfServer":
         """Reconstruct the durable server from its state file (and
-        keep it durable at the same path)."""
+        keep it durable at the same path).  Deliberately does NOT
+        rewrite the file it just read: a forensics/monitoring loader
+        running beside a live serving driver must never race the
+        driver's own saves and regress the pointer."""
         import json
 
         with open(state_path) as fh:
             st = json.load(fh)
-        if st["kind"] != cls._KIND:
+        kind = st.get("kind")
+        if kind != cls._KIND:
             raise ValueError(
                 f"{cls.__name__}.load: state file at {state_path} holds "
-                f"a {st['kind']!r} pointer — load it with the matching "
+                f"a {kind!r} pointer — load it with the matching "
                 "server class"
             )
-        return cls._from_state(st, state_path)
+        srv = cls._from_state(st)
+        srv._state_path = state_path
+        return srv
 
     @classmethod
-    def _from_state(cls, st: dict, state_path: str) -> "IvfServer":
-        return cls(st["path"], st["centroids"], state_path=state_path)
+    def _from_state(cls, st: dict) -> "IvfServer":
+        return cls(st["path"], st["centroids"])
 
     def apply_refresh(self, record: dict) -> None:
         """Adopt a decision record from `ivf_index_refresh` (append
         records keep the path; rebuild records carry the new one).
-        A durable server persists the new pointer before returning."""
+        A durable server persists a CHANGED pointer before returning;
+        append records leave the model untouched by contract, so they
+        skip the rewrite (no per-micro-batch model-sized JSON I/O)."""
+        new_path = record["path"]
+        new_cents = [list(map(float, c)) for c in record["centroids"]]
         with self._lock:
-            self._path = record["path"]
-            self._centroids = [list(map(float, c)) for c in record["centroids"]]
-            if self._state_path is not None:
-                self._save()
+            changed = new_path != self._path or new_cents != self._centroids
+            self._path = new_path
+            self._centroids = new_cents
+            st = (
+                self._state()
+                if changed and self._state_path is not None
+                else None
+            )
+        if st is not None:
+            self._write_state(st)
 
 
 def probe_queries(
@@ -418,24 +450,32 @@ class IvfPqServer(IvfServer):
         return {**super()._state(), "codebooks": self._codebooks}
 
     @classmethod
-    def _from_state(cls, st: dict, state_path: str) -> "IvfPqServer":
-        return cls(
-            st["path"], st["centroids"], st["codebooks"],
-            state_path=state_path,
-        )
+    def _from_state(cls, st: dict) -> "IvfPqServer":
+        return cls(st["path"], st["centroids"], st["codebooks"])
 
     def apply_refresh(self, record: dict) -> None:
+        new_path = record["path"]
+        new_cents = [list(map(float, c)) for c in record["centroids"]]
+        new_books = [
+            [[float(v) for v in row] for row in book]
+            for book in record["codebooks"]
+        ]
         with self._lock:
-            self._path = record["path"]
-            self._centroids = [
-                list(map(float, c)) for c in record["centroids"]
-            ]
-            self._codebooks = [
-                [[float(v) for v in row] for row in book]
-                for book in record["codebooks"]
-            ]
-            if self._state_path is not None:
-                self._save()
+            changed = (
+                new_path != self._path
+                or new_cents != self._centroids
+                or new_books != self._codebooks
+            )
+            self._path = new_path
+            self._centroids = new_cents
+            self._codebooks = new_books
+            st = (
+                self._state()
+                if changed and self._state_path is not None
+                else None
+            )
+        if st is not None:
+            self._write_state(st)
 
 
 def calibrated_swap(

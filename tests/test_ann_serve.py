@@ -758,3 +758,68 @@ def test_durable_server_pointer_roundtrips_and_survives_refresh(
     assert IvfServer.load(state2).snapshot() == plain.snapshot()
     with pytest.raises(ValueError, match="matching server class"):
         IvfPqServer.load(state2)
+
+
+def test_durable_pointer_load_never_rewrites_and_appends_skip_io(
+    spark, tmp_path
+):
+    """The durability review pins: (1) load() must NOT rewrite the
+    state file it read — a forensics loader beside a live driver
+    would otherwise race the driver's saves and regress the pointer
+    past a consumed refresh; (2) append records (model unchanged by
+    contract) skip the model-sized JSON rewrite; (3) a state file
+    without a 'kind' key gets the diagnostic ValueError, not a bare
+    KeyError."""
+    import json
+
+    from pulsar_sync_java_spark.operators.similarity import (
+        ivf_pq_index_write,
+    )
+    from pulsar_sync_java_spark.streaming.ann_serve import IvfPqServer
+
+    emb = _emb(spark)
+    idx0 = str(tmp_path / "v0")
+    idx1 = str(tmp_path / "v1")
+    state = str(tmp_path / "pointer.json")
+    cents0, books0 = ivf_pq_index_write(
+        emb, idx0, n_centroids=8, m=16, k_sub=64, iters=1
+    )
+    cents1, books1 = ivf_pq_index_write(
+        emb, idx1, n_centroids=8, m=16, k_sub=64, iters=2, seed=7
+    )
+    server = IvfPqServer(idx0, cents0, books0, state_path=state)
+
+    # (1) a concurrent loader reads the file, the driver then swaps —
+    # the loader's existence must not resurrect the old pointer
+    before = open(state).read()
+    loader = IvfPqServer.load(state)
+    assert open(state).read() == before  # load wrote nothing
+    server.apply_refresh(
+        {
+            "action": "rebuild",
+            "path": idx1,
+            "centroids": cents1,
+            "codebooks": books1,
+        }
+    )
+    assert json.load(open(state))["path"] == idx1
+    assert loader.snapshot()[0] == idx0  # loader is a snapshot, fine
+
+    # (2) an append record leaves the file byte-identical
+    after_rebuild = open(state).read()
+    server.apply_refresh(
+        {
+            "action": "append",
+            "path": idx1,
+            "centroids": cents1,
+            "codebooks": books1,
+        }
+    )
+    assert open(state).read() == after_rebuild
+
+    # (3) foreign/truncated state file -> diagnostic error
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as fh:
+        fh.write("{}")
+    with pytest.raises(ValueError, match="matching server class"):
+        IvfPqServer.load(bad)
