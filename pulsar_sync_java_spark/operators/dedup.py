@@ -818,3 +818,81 @@ def scrub_repeated_spans(
         F.size("__cov").cast("long").alias("n_removed"),
         F.concat_ws(" ", kept).alias("scrubbed_text"),
     )
+
+
+def minhash_banding_audit(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> dict:
+    """The MinHash/banding estimate-vs-exact audit as ONE reusable
+    kernel returning its counters (r11 verdict #3/#6): exact near-dup
+    pairs from the shingle inverted index (exact_jaccard >=
+    `threshold` — the q_sketch_calibration ground truth) full-outer
+    joined with the banded LSH candidates, folded to one row:
+
+    - ``n_exact`` / ``n_missed`` / ``band_miss_rate``: how many true
+      near-dup pairs the banding surfaced vs missed — the S-curve
+      dial-fitness signal (a corpus whose pair similarities drifted
+      toward the knee gets missed at a rate a healthy corpus never
+      shows);
+    - ``n_cand`` / ``mean_abs_err`` / ``max_abs_err``: |est - exact|
+      over the banded candidates (exact = 0 for band collisions) —
+      the sketch-fidelity signal.
+
+    Shared verbatim by the in-stream calibration tick
+    (`streaming/neardup.py:sketch_calibration_batch`) and the unified
+    `operators/calibration.py:calibration_report`, so the two
+    monitors cannot diverge on what "miss" or "error" means.  ONE
+    Spark action; input should be pre-bounded by the caller (a batch,
+    or a deterministic corpus sample) — the pair frame is then
+    Σ bucket²-bounded by `max_bucket`, never n²."""
+    sigs = minhash_signatures(
+        df, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, portable=True,
+    )
+    cand = lsh_candidate_pairs(
+        sigs, id_col=id_col, bands=bands, num_hashes=num_hashes,
+        max_bucket=max_bucket,
+    ).select("doc_a", "doc_b", "est_jaccard")
+    exact = _shingle_overlap(
+        df, id_col, text_col, shingle_n, max_bucket, True
+    ).select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+        ).alias("exact_jaccard"),
+    )
+    joined = cand.join(exact, ["doc_a", "doc_b"], "full_outer")
+    is_exact = F.col("exact_jaccard") >= threshold
+    is_cand = F.col("est_jaccard").isNotNull()
+    err = F.abs(
+        F.col("est_jaccard") - F.coalesce("exact_jaccard", F.lit(0.0))
+    )
+    row = joined.agg(
+        F.sum(F.when(is_exact, 1).otherwise(0)).cast("long").alias("n_exact"),
+        F.sum(F.when(is_exact & ~is_cand, 1).otherwise(0))
+        .cast("long")
+        .alias("n_missed"),
+        F.sum(F.when(is_cand, 1).otherwise(0)).cast("long").alias("n_cand"),
+        F.avg(F.when(is_cand, err)).alias("mean_abs_err"),
+        F.max(F.when(is_cand, err)).alias("max_abs_err"),
+    ).collect()[0]
+    n_exact = int(row["n_exact"] or 0)
+    return {
+        "n_exact": n_exact,
+        "n_missed": int(row["n_missed"] or 0),
+        "n_cand": int(row["n_cand"] or 0),
+        "band_miss_rate": (
+            int(row["n_missed"] or 0) / n_exact if n_exact else 0.0
+        ),
+        "mean_abs_err": float(row["mean_abs_err"] or 0.0),
+        "max_abs_err": float(row["max_abs_err"] or 0.0),
+    }

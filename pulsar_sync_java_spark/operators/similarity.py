@@ -1135,6 +1135,13 @@ def ivf_index_refresh(
         .join(delta_u.select(id_col), id_col, "left_anti")
         .unionByName(delta_u)
     )
+    # Counted BEFORE the write, from the rebuild's own input: the
+    # sidecar trained_rows is counted from the WRITTEN files, so a
+    # write that dropped rows would report a self-consistent (wrong)
+    # number — this pre-write count is the independent expectation the
+    # swap gate (`calibrated_swap`) checks the rebuilt layout against
+    # (r11 advice: a botched write passed balance + all PQ flags).
+    expected = int(full.count())
     k = n_centroids if n_centroids is not None else report.n_centroids
     cents = ivf_index_write(full, target, id_col, vec_col, k, iters, seed)
     return {
@@ -1143,6 +1150,7 @@ def ivf_index_refresh(
         "appended": 0,
         "path": target,
         "centroids": cents,
+        "expected_rows": expected,
     }
 
 
@@ -1698,6 +1706,9 @@ def ivf_pq_index_refresh(
     k = n_centroids if n_centroids is not None else report.n_centroids
     new_m = m if m is not None else mm
     new_ks = k_sub if k_sub is not None else len(codebooks[0])
+    # independent pre-write expectation for the swap gate's row-count
+    # check — see ivf_index_refresh's rebuild branch
+    expected = int(full.count())
     cents, books = ivf_pq_index_write(
         full, target, id_col, vec_col, k, new_m, new_ks, iters, pq_iters, seed
     )
@@ -1706,6 +1717,7 @@ def ivf_pq_index_refresh(
         "action": "rebuild",
         "appended": 0,
         "path": target,
+        "expected_rows": expected,
         "centroids": cents,
         "codebooks": books,
         # the rebuild's n_centroids supersedes the stored meta's
@@ -2027,7 +2039,15 @@ def ann_calibration(
         lut_rows, "query_id long, __cell int, __lut array<array<double>>"
     )
     if coded_path is not None:
-        # judge the STORED codes — the bytes production probes read
+        # judge the STORED codes — the bytes production probes read.
+        # The audit join is INNER on id, so a stored layout MISSING
+        # audit rows (a rebuild that silently lost vectors) would
+        # otherwise drop them from the rank/ADC audit and pass unseen
+        # (r11 advice, medium) — count both sides (|Q| x ~2k rows,
+        # audit derives from the persisted exact anchor) and raise on
+        # any mismatch; a duplicate-id layout inflates the join and
+        # fails the same check.
+        audit = audit.persist()
         coded = (
             df.sparkSession.read.parquet(coded_path)
             .select(
@@ -2037,7 +2057,17 @@ def ann_calibration(
             )
             .join(F.broadcast(audit), id_col)
             .select("query_id", id_col, "__cos", "__cell", "__codes")
+            .persist()
         )
+        n_audit, n_coded = audit.count(), coded.count()
+        if n_coded != n_audit:
+            raise ValueError(
+                "ann_calibration: stored layout at "
+                f"{coded_path} joined {n_coded} of {n_audit} audit "
+                "rows — the index is missing (or duplicating) vectors "
+                "the audit set expects; refusing to certify a lossy "
+                "write"
+            )
     else:
         enc = pq_encode_udf(cents, books).asNondeterministic()(
             F.col(vec_col)

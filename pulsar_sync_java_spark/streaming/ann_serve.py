@@ -77,8 +77,17 @@ class IvfServer:
         self._path = path
         self._centroids = [list(map(float, c)) for c in centroids]
         self._state_path = state_path
+        # Pointer-change ordinal, bumped under self._lock whenever the
+        # pointer changes; _persisted_version (guarded by _save_lock)
+        # records the newest ordinal already on disk so a stale
+        # snapshot written late can never regress the durable file
+        # (two appliers racing through apply_refresh used to be
+        # ordered only by _save_lock acquisition, not by snapshot
+        # recency).
+        self._version = 0
+        self._persisted_version = -1
         if state_path is not None:
-            self._write_state(self._state())
+            self._write_state(self._state(), 0)
 
     def snapshot(self) -> tuple[str, list[list[float]]]:
         with self._lock:
@@ -91,16 +100,24 @@ class IvfServer:
             "centroids": self._centroids,
         }
 
-    def _write_state(self, st: dict) -> None:
+    def _write_state(self, st: dict, version: int) -> None:
         """Atomic, crash-durable pointer persistence: temp file +
         fsync + os.replace (+ directory fsync), so neither a reader
         nor a power loss ever sees a torn or empty state file.  Runs
         OUTSIDE the pointer lock — serialization and disk I/O must
         not stall concurrent snapshot() callers — with its own save
-        lock serializing concurrent writers."""
+        lock serializing concurrent writers.  `version` is the
+        pointer-change ordinal taken under self._lock alongside the
+        snapshot: if a newer version has already been persisted the
+        write is skipped, so two appliers racing can never leave the
+        durable file holding the superseded pointer (the regression a
+        restart would then load and serve)."""
         import json
 
         with self._save_lock:
+            if version <= self._persisted_version:
+                return
+            self._persisted_version = version
             tmp = f"{self._state_path}.tmp"
             with open(tmp, "w") as fh:
                 json.dump(st, fh)
@@ -154,13 +171,16 @@ class IvfServer:
             changed = new_path != self._path or new_cents != self._centroids
             self._path = new_path
             self._centroids = new_cents
+            if changed:
+                self._version += 1
+            ver = self._version
             st = (
                 self._state()
                 if changed and self._state_path is not None
                 else None
             )
         if st is not None:
-            self._write_state(st)
+            self._write_state(st, ver)
 
 
 def probe_queries(
@@ -469,13 +489,16 @@ class IvfPqServer(IvfServer):
             self._path = new_path
             self._centroids = new_cents
             self._codebooks = new_books
+            if changed:
+                self._version += 1
+            ver = self._version
             st = (
                 self._state()
                 if changed and self._state_path is not None
                 else None
             )
         if st is not None:
-            self._write_state(st)
+            self._write_state(st, ver)
 
 
 def calibrated_swap(
@@ -502,8 +525,14 @@ def calibrated_swap(
     - ``action == "append"``: the stored model is unchanged (appends
       encode against it by contract), so there is nothing new to
       audit — apply immediately, ``calibration: None``.
-    - ``action == "rebuild"``: two audits of the REBUILT artifact.
+    - ``action == "rebuild"``: three audits of the REBUILT artifact.
 
+      0. **Row count** (both index kinds): the rebuilt layout's
+         ``current_rows`` must equal the record's ``expected_rows``
+         (counted from the rebuild's input BEFORE the write).  Every
+         other audit — balance, recall, rank-corr, ADC — is computed
+         over the rows that survived the write, so only this check can
+         see a write that silently LOST vectors.
       1. **Layout balance** (both index kinds): re-read the rebuilt
          layout's cell histogram (`ivf_index_staleness` — one
          partition-column aggregate, no vector bytes) and refuse if
@@ -541,6 +570,15 @@ def calibrated_swap(
     share = report.max_cell_share  # 0.0 on empty; the emptiness
     # refusal is the separate current_rows check below
     ok = report.current_rows > 0 and share <= balance_max
+    # Row-count audit (r11 advice, medium): balance + PQ flags are all
+    # computed over the rows that SURVIVED the rebuild write, so a
+    # write that silently dropped vectors could pass every other gate.
+    # The refresh record carries `expected_rows` counted from the
+    # rebuild's input BEFORE the write — an independent expectation
+    # the rebuilt layout must match exactly.
+    expected = record.get("expected_rows")
+    rows_ok = expected is None or report.current_rows == int(expected)
+    ok = ok and rows_ok
     flags = None
     if ok and "codebooks" in record:
         if probe_ids is None:
@@ -580,6 +618,8 @@ def calibrated_swap(
         **record,
         "swapped": ok,
         "balance_share": share,
+        "rows_ok": rows_ok,
+        "current_rows": report.current_rows,
         "calibration": None if flags is None else [r.asDict() for r in flags],
     }
 

@@ -1,0 +1,200 @@
+"""Continuous cursor advancement as a keyed-state streaming kernel
+(r11 verdict #5).
+
+The engine ships cursor creation (R22, `engine.py:sync_cursors_once`)
+and BATCH opt-in advancement (`engine.py:advance_cursors_once`) — the
+reference freezes a cursor at its creation position because its R23
+reset path is skipped whenever dst already holds the subscription
+(`PulsarPartitionSyncWorker.java:177-208`, the documented
+bug-not-to-replicate from SURVEY.md §2.1 fine print).  This module is
+the STREAMING twin: destination cursors re-translate and advance
+continuously as the sparse mapping grows, without re-reading the full
+mapping per tick.
+
+One unified keyed stream per (topic, partition) carries two row kinds:
+
+- ``kind='sample'``: a sparse-mapping entry (ts, event_id) — the
+  rate-limited/TTL'd output of `stateful_sparse_sampler` or the
+  windowed `sparse_mapping_stream`;
+- ``kind='cursor'``: a src subscription read-position snapshot
+  (cursor name, ts) — what the reference polls from
+  ``cursorStats.readPosition``.
+
+State per key holds the retained sample tail plus, per subscription,
+the furthest src position seen and the last emitted dst position.
+Every emission is a MONOTONE advance (strictly greater translated ts
+— the same ``translated_ts > dst.ts`` guard as the batch path), and
+the floor resolution is the `plans/cursor_translate.translate`
+semantics exactly: greatest sample at-or-before the cursor, greatest
+event_id winning ts ties (`asof_join`'s right_tiebreak contract).
+Equivalence with repeated batch `translate` + monotone merge — i.e.
+with running `advance_cursors_once` after every batch — is pinned
+across a checkpointed restart in tests/test_streaming.py.
+
+Scale: state per key is O(retained samples + subscriptions), and the
+retained tail self-trims — samples at-or-before EVERY tracked
+subscription's emitted floor can never be a future floor again
+(cursors only move forward), so steady state holds ~(ttl/interval)
+samples exactly like the reference's SparseMap envelope.  A key that
+accumulates samples with no cursor in sight is bounded by the loud
+``max_state_samples`` guard (the max_bucket discipline for keyed
+state).  A subscription whose FIRST snapshot arrives after its floor
+samples were already trimmed resolves at the next arriving sample
+instead — the findMessageId-miss contract (delayed, never wrong);
+trimming never starts while any tracked subscription has yet to
+emit, so the common create-then-advance flow sees the full tail."""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+ADVANCE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("topic", StringType()),
+        StructField("partition", IntegerType()),
+        StructField("cursor", StringType()),
+        StructField("ts", LongType()),        # translated (dst) ts, us
+        StructField("event_id", LongType()),  # translated (dst) id
+    ]
+)
+
+_SAMPLE = StructType(
+    [
+        StructField("ts", LongType()),
+        StructField("event_id", LongType()),
+    ]
+)
+
+_CURSOR = StructType(
+    [
+        StructField("cursor", StringType()),
+        StructField("src_ts", LongType()),
+        StructField("out_ts", LongType()),
+        StructField("out_id", LongType()),
+    ]
+)
+
+ADVANCE_STATE_SCHEMA = StructType(
+    [
+        StructField("samples", ArrayType(_SAMPLE)),
+        StructField("cursors", ArrayType(_CURSOR)),
+    ]
+)
+
+_NEG = -(1 << 62)  # "no position yet" sentinel, below any real ts/id
+
+
+def _advancer(max_state_samples: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        topic, partition = key
+        if state.exists:
+            samples, cur_rows = state.get
+            samples = sorted((int(s[0]), int(s[1])) for s in samples)
+            cursors = {
+                c[0]: [int(c[1]), int(c[2]), int(c[3])] for c in cur_rows
+            }
+        else:
+            samples, cursors = [], {}
+
+        for pdf in pdfs:
+            for kind, cname, ts, eid in zip(
+                pdf["kind"], pdf["cursor"], pdf["ts"], pdf["event_id"]
+            ):
+                if kind == "sample":
+                    samples.append((int(ts), int(eid)))
+                else:
+                    # src cursors only move FORWARD (the batch guard's
+                    # replay-only safety: a src cursor that moved
+                    # backward never regresses dst)
+                    c = cursors.setdefault(cname, [_NEG, _NEG, _NEG])
+                    if int(ts) > c[0]:
+                        c[0] = int(ts)
+        # one sort per batch: the floor scans below assume order
+        samples.sort()
+
+        out: list[tuple] = []
+        for cname in sorted(cursors):
+            src_ts, out_ts, out_id = cursors[cname]
+            if src_ts == _NEG:
+                continue
+            # translate(): greatest sample at-or-before the cursor;
+            # greatest event_id wins a ts tie (asof_join tiebreak)
+            floor = None
+            for s in samples:  # sorted asc: last qualifying wins
+                if s[0] <= src_ts:
+                    floor = s
+                else:
+                    break
+            if floor is None:
+                continue  # findMessageId miss: later samples resolve it
+            if floor[0] > out_ts:  # strict >, the advance_cursors guard
+                cursors[cname][1], cursors[cname][2] = floor
+                out.append((topic, partition, cname, floor[0], floor[1]))
+
+        # trim: a sample at-or-before EVERY subscription's emitted
+        # floor can never be chosen again (floors are monotone); keys
+        # with no emitting cursor yet retain everything, bounded by
+        # the loud guard below
+        if cursors:
+            horizon = min(c[1] for c in cursors.values())
+            if horizon > _NEG:
+                samples = [s for s in samples if s[0] > horizon] or samples[-1:]
+        if len(samples) > max_state_samples:
+            raise ValueError(
+                f"cursor_advance_stream: key ({topic}, {partition}) "
+                f"retains {len(samples)} mapping samples > "
+                f"max_state_samples={max_state_samples} — the upstream "
+                "sampler is not rate-limiting/TTL-ing, or cursors for "
+                "this key never arrive; refusing to grow keyed state "
+                "unboundedly"
+            )
+        state.update(
+            (
+                [tuple(s) for s in samples],
+                [
+                    (n, c[0], c[1], c[2])
+                    for n, c in sorted(cursors.items())
+                ],
+            )
+        )
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["topic", "partition", "cursor", "ts", "event_id"],
+            )
+
+    return fn
+
+
+def cursor_advance_stream(
+    stream: DataFrame,
+    max_state_samples: int = 4096,
+) -> DataFrame:
+    """Wire the advancement kernel over a unified (kind, topic,
+    partition, cursor, ts, event_id) stream — emits one row per
+    MONOTONE destination-cursor advance.  Sink the output through
+    `sinks/writers.py:idempotent_append` keyed on (topic, partition,
+    cursor, ts) for the exactly-once replay contract the other
+    streaming kernels use; the latest row per (topic, partition,
+    cursor) IS the destination subscription table."""
+    return stream.groupBy("topic", "partition").applyInPandasWithState(
+        _advancer(max_state_samples),
+        outputStructType=ADVANCE_OUTPUT_SCHEMA,
+        stateStructType=ADVANCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -180,11 +180,22 @@ def gated_ingest_batch_monitored(
     """`gated_ingest_batch` plus a per-batch HEALTH ROW appended to
     `monitor_dir` — the ingest-observability leg of the r10 OOV
     advice: the gate's drop decisions are now countable per batch
-    (total in, `score IS NULL` OOV drops, scored gate drops, near-dup
+    (total in, untokenizable/OOV drops, scored gate drops, near-dup
     survivors appended), so `ingest_drift_alarm` can separate "the
     classifier is rejecting more" from "the corpus stopped being
     tokenizable" — two failures that look identical as a row-count
     dip.
+
+    Counter semantics (r11 advice): the three decision counters
+    PARTITION the batch — ``n_oov + n_gate_dropped + n_gated ==
+    n_in``.  ``n_oov`` counts every document the model could not
+    score: `score IS NULL` rows (all tokens outside the vocabulary)
+    PLUS documents that produced no scores row at all (zero tokens —
+    `classifier_scores` aggregates the exploded token stream, so an
+    untokenizable doc never reaches the groupBy).  ``n_gate_dropped``
+    is therefore SCORED rejections only, so a pure OOV surge moves
+    the OOV rate and leaves the drop rate untouched — the two alarms
+    in `ingest_drift_alarm` stay independent.
 
     The classifier runs ONCE (classifier_scores), feeding both the
     gate decision and the counters — not the classifier_gate +
@@ -212,9 +223,12 @@ def gated_ingest_batch_monitored(
             F.sum(F.when(F.col("keep"), 1).otherwise(0))
             .cast("long")
             .alias("gated"),
+            F.count(F.lit(1)).alias("scored_docs"),
         ).collect()[0]
-        n_oov = int(row["oov"] or 0)
         n_gated = int(row["gated"] or 0)
+        # zero-token docs emit NO scores row — they are unscorable for
+        # the same reason all-OOV docs are, so they count as OOV
+        n_oov = int(row["oov"] or 0) + (n_in - int(row["scored_docs"] or 0))
         # the keep rule lives in classifier_gate (scores= reuses the
         # one scoring pass the counters already paid)
         gated = classifier_gate(
@@ -232,7 +246,7 @@ def gated_ingest_batch_monitored(
                 int(batch_id),
                 int(n_in),
                 n_oov,
-                int(n_in) - n_gated,
+                int(n_in) - n_gated - n_oov,
                 n_gated,
                 int(n_appended),
             )
@@ -301,6 +315,138 @@ def ingest_drift_alarm(
     )
 
 
+def sketch_calibration_batch(
+    batch_df: DataFrame,
+    calib_dir: str,
+    batch_id: int,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+    max_audit_docs: int = 4096,
+) -> dict:
+    """One in-stream MinHash/banding calibration tick (r11 verdict
+    #3): the estimate-vs-exact audit `q_sketch_calibration` runs as a
+    batch query, composed into the ingest loop so the DEDUP family —
+    like the ANN family's `calibrated_swap` — has an in-stream
+    consumer for its calibration signal instead of only a query.
+
+    The audit subject is the ARRIVING batch, not the accumulated
+    corpus: banding drift is a property of what the corpus is
+    BECOMING (systematically longer docs, new shingle distributions),
+    and auditing the batch gives the alarm per-batch attribution —
+    the tick that trips names the batch that drifted.  Two numbers
+    per tick, both measured exactly where the ingest acts:
+
+    - **band_miss_rate**: of the batch's EXACT near-dup pairs
+      (shingle inverted index, exact_jaccard >= `threshold` — the
+      same ground truth q_sketch_calibration anchors on), the
+      fraction the banded LSH never surfaced as candidates.  This is
+      the dial-fitness signal: pairs whose true Jaccard sits near the
+      banding S-curve knee (1-(1-s^r)^b) get missed at a rate the
+      healthy corpus never shows — the "longer docs pushed pair
+      similarity toward the knee" failure the r11 brief names.
+    - **mean/max abs_err**: |est - exact| over the banded candidates
+      (exact = 0 for false-positive collisions, the coalesce
+      discipline from q_sketch_calibration) — the sketch-fidelity
+      signal.
+
+    One health row per tick, keyed by batch_id through
+    `idempotent_append` — checkpoint replays are first-write-wins
+    no-ops, the `gated_ingest_batch_monitored` contract.  Cost: the
+    signature kernel is zero-shuffle and batch-sized; the exact side
+    is the capped inverted index over at most `max_audit_docs`
+    documents (deterministic smallest-id sample, recorded loudly as
+    n_audited < n_in) — ONE Spark action computes all counters via
+    `operators/dedup.py:minhash_banding_audit`, the kernel this tick
+    shares with `calibration_report` so the two monitors cannot
+    diverge.  At 100 TB cadence this runs every `calibrate_every`-th
+    micro-batch on delta-sized input: bounded, never corpus-scaled."""
+    from pulsar_sync_java_spark.operators.dedup import minhash_banding_audit
+
+    spark = batch_df.sparkSession
+    n_in = batch_df.count()
+    audit = batch_df.select(id_col, text_col)
+    n_audited = n_in
+    if n_in > max_audit_docs:
+        audit = audit.orderBy(id_col).limit(max_audit_docs)
+        n_audited = max_audit_docs
+    counters = minhash_banding_audit(
+        audit, threshold=threshold, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        max_bucket=max_bucket,
+    )
+    health = {
+        "batch_id": int(batch_id),
+        "n_in": int(n_in),
+        "n_audited": int(n_audited),
+        "n_exact_pairs": counters["n_exact"],
+        "n_band_candidates": counters["n_cand"],
+        "band_miss_rate": counters["band_miss_rate"],
+        "mean_abs_err": counters["mean_abs_err"],
+        "max_abs_err": counters["max_abs_err"],
+    }
+    hdf = spark.createDataFrame(
+        [tuple(health.values())],
+        "batch_id long, n_in long, n_audited long, n_exact_pairs long, "
+        "n_band_candidates long, band_miss_rate double, "
+        "mean_abs_err double, max_abs_err double",
+    )
+    idempotent_append(hdf, calib_dir, ["batch_id"])
+    return health
+
+
+def banding_drift_alarm(
+    spark,
+    calib_dir: str,
+    trailing: int = 8,
+    spike_mult: float = 3.0,
+    min_batches: int = 3,
+    floor: float = 0.05,
+) -> DataFrame:
+    """Per-tick drift flags over the sketch-calibration health table —
+    the banding twin of `ingest_drift_alarm`, same self-calibrating
+    spike rule: a tick alarms when its band_miss_rate or mean_abs_err
+    exceeds max(floor, spike_mult x trailing mean), with `min_batches`
+    priors required before any flag can fire.  `miss_alarm` says the
+    banding dials stopped fitting the arriving corpus (retune
+    bands/num_hashes or the threshold); `err_alarm` says the sketch
+    itself mis-estimates (signature width vs shingle-set sizes).
+    Control-plane sized (one row per calibration tick), so the
+    unpartitioned ordering window is a deliberate single-task frame."""
+    from pyspark.sql.window import Window
+
+    m = spark.read.parquet(calib_dir)
+    w = Window.orderBy("batch_id").rowsBetween(-trailing, -1)
+    base_miss = F.avg("band_miss_rate").over(w)
+    base_err = F.avg("mean_abs_err").over(w)
+    n_prior = F.count(F.lit(1)).over(w)
+    thr = lambda b: F.greatest(  # noqa: E731
+        F.lit(floor), F.lit(spike_mult) * b
+    )
+    return m.select(
+        "batch_id",
+        "n_audited",
+        "n_exact_pairs",
+        "band_miss_rate",
+        "mean_abs_err",
+        "max_abs_err",
+        base_miss.alias("baseline_miss"),
+        base_err.alias("baseline_err"),
+        (
+            (n_prior >= min_batches)
+            & (F.col("band_miss_rate") > thr(base_miss))
+        ).alias("miss_alarm"),
+        (
+            (n_prior >= min_batches)
+            & (F.col("mean_abs_err") > thr(base_err))
+        ).alias("err_alarm"),
+    )
+
+
 def gated_neardup_ingest_stream(
     doc_stream: DataFrame,
     weights_path: str,
@@ -312,6 +458,8 @@ def gated_neardup_ingest_stream(
     compact_target_rows: int = 1 << 20,
     compact_under_rows: int = 1 << 19,
     monitor_dir: str | None = None,
+    calibrate_every: int = 0,
+    calib_dir: str | None = None,
     **kwargs,
 ) -> DataStreamWriter:
     """Wire `gated_ingest_batch` into a foreachBatch streaming query.
@@ -332,7 +480,22 @@ def gated_neardup_ingest_stream(
     identical with it on or off, and the batch/stream equivalence
     tests hold under maintenance; it just stops a long-running ingest
     from dissolving its own corpus into millions of micro-batch
-    files."""
+    files.
+
+    `calibrate_every` > 0 (with `calib_dir`) adds the model-health
+    leg: every calibrate_every-th batch runs one
+    `sketch_calibration_batch` tick over the arriving documents —
+    the est-vs-exact banding audit as a standing maintenance step
+    (the compact_every pattern), feeding `banding_drift_alarm`.  The
+    tick is monitoring-only (it never changes gate or dedup
+    decisions), so batch/stream equivalence holds with it on or
+    off."""
+    if calibrate_every and calib_dir is None:
+        raise ValueError(
+            "gated_neardup_ingest_stream: calibrate_every > 0 needs "
+            "calib_dir — a calibration tick with nowhere to write its "
+            "health row would silently monitor nothing"
+        )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         weights = batch_df.sparkSession.read.parquet(weights_path)
@@ -345,6 +508,14 @@ def gated_neardup_ingest_stream(
             gated_ingest_batch(
                 batch_df, weights, corpus_sig_dir, sink_dir,
                 threshold=threshold, **kwargs,
+            )
+        if calibrate_every and batch_id % calibrate_every == calibrate_every - 1:
+            sketch_calibration_batch(
+                batch_df, calib_dir, batch_id, threshold=threshold,
+                id_col=kwargs.get("id_col", "doc_id"),
+                text_col=kwargs.get("text_col", "text"),
+                num_hashes=kwargs.get("num_hashes", 64),
+                bands=kwargs.get("bands", 16),
             )
         if compact_every and batch_id % compact_every == compact_every - 1:
             from pulsar_sync_java_spark.sinks.writers import (

@@ -823,3 +823,167 @@ def test_durable_pointer_load_never_rewrites_and_appends_skip_io(
         fh.write("{}")
     with pytest.raises(ValueError, match="matching server class"):
         IvfPqServer.load(bad)
+
+
+def test_calibrated_swap_row_count_gate_catches_lossy_write(
+    spark, tmp_path
+):
+    """r11 advice (medium): every other swap audit — balance, recall,
+    rank-corr, ADC — is computed over the rows that SURVIVED the
+    rebuild write, so a write that silently dropped vectors could
+    pass them all.  The refresh record's `expected_rows` (counted
+    from the rebuild's input before the write) is the independent
+    expectation: a rebuilt layout missing rows is refused with the
+    server untouched, and the same record against the intact layout
+    swaps."""
+    import glob
+
+    from pulsar_sync_java_spark.operators.similarity import (
+        ivf_pq_index_write,
+    )
+    from pulsar_sync_java_spark.streaming.ann_serve import (
+        IvfPqServer,
+        calibrated_swap,
+    )
+
+    emb = _emb(spark)
+    n = emb.count()
+    idx0 = str(tmp_path / "pq_v0")
+    idx1 = str(tmp_path / "pq_v1")
+    cents0, books0 = ivf_pq_index_write(
+        emb, idx0, n_centroids=8, m=16, k_sub=64, iters=1
+    )
+    cents1, books1 = ivf_pq_index_write(
+        emb, idx1, n_centroids=8, m=16, k_sub=64, iters=1, seed=7
+    )
+    probe_ids = [0, 101, 202]
+    record = {
+        "action": "rebuild",
+        "path": idx1,
+        "centroids": cents1,
+        "codebooks": books1,
+        "expected_rows": n,
+    }
+
+    # intact layout + truthful expectation: swaps
+    server = IvfPqServer(idx0, cents0, books0)
+    rec = calibrated_swap(spark, server, dict(record), probe_ids)
+    assert rec["swapped"] is True and rec["rows_ok"] is True
+    assert rec["current_rows"] == n
+
+    # records without expected_rows (older producers) keep the
+    # previous gate behavior on a HEALTHY layout rather than failing
+    # closed on the missing key
+    legacy = {k: v for k, v in record.items() if k != "expected_rows"}
+    server3 = IvfPqServer(idx0, cents0, books0)
+    rec3 = calibrated_swap(spark, server3, dict(legacy), probe_ids)
+    assert rec3["rows_ok"] is True and rec3["swapped"] is True
+
+    # simulate the botched write: drop one cell's data file from the
+    # rebuilt layout — balance and the PQ flags over the survivors
+    # can all still pass, only the row count can see the loss
+    server2 = IvfPqServer(idx0, cents0, books0)
+    victim = sorted(glob.glob(f"{idx1}/ivf_cell=*/*.parquet"))[0]
+    os.remove(victim)
+    rec2 = calibrated_swap(spark, server2, dict(record), probe_ids)
+    assert rec2["swapped"] is False and rec2["rows_ok"] is False
+    assert rec2["current_rows"] < n
+    assert server2.snapshot()[0] == idx0  # pointer did NOT move
+
+    # a LEGACY record against the lossy layout no longer passes
+    # unseen either: if the loss touches the audit set, the coded
+    # rank/ADC audit's row-count assertion raises (defense in depth
+    # behind the expected_rows gate); if it does not, the audit only
+    # judged survivors — exactly the blind spot expected_rows closes
+    server4 = IvfPqServer(idx0, cents0, books0)
+    try:
+        rec4 = calibrated_swap(spark, server4, dict(legacy), probe_ids)
+        # loss missed the audit ids: gate state must still be sane
+        assert rec4["rows_ok"] is True
+    except ValueError as exc:
+        assert "missing" in str(exc)
+        assert server4.snapshot()[0] == idx0
+
+
+def test_ann_calibration_coded_path_raises_on_missing_audit_rows(
+    spark, tmp_path
+):
+    """The coded_path rank/ADC audit inner-joins the audit set
+    against the STORED codes — r11 advice: a layout missing audit
+    ids used to silently drop them from the audit and pass.  Now the
+    join row count is asserted against the audit-set row count and a
+    shortfall raises instead of certifying a lossy write."""
+    import glob
+    import shutil
+
+    from pulsar_sync_java_spark.operators.similarity import (
+        ann_calibration,
+        ivf_pq_index_write,
+    )
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "pq")
+    cents, books = ivf_pq_index_write(
+        emb, idx, n_centroids=8, m=16, k_sub=64, iters=1
+    )
+    probe_ids = [0, 101]
+
+    # intact layout: audit runs clean
+    flags = ann_calibration(
+        emb, probe_ids, centroids=cents, codebooks=books,
+        paths=("pq",), coded_path=idx,
+    ).collect()
+    assert len(flags) == len(probe_ids)
+
+    # lossy layout: remove the cell holding probe id 0's stored codes
+    # — id 0 is its own exact top-1 (cos = 1), so it is ALWAYS in the
+    # audit set and its cell's loss must trip the shortfall check
+    lossy = str(tmp_path / "pq_lossy")
+    shutil.copytree(idx, lossy)
+    cell0 = (
+        spark.read.parquet(idx)
+        .filter(F.col("vec_id") == 0)
+        .select("ivf_cell")
+        .collect()[0][0]
+    )
+    assert glob.glob(f"{lossy}/ivf_cell={cell0}")
+    shutil.rmtree(f"{lossy}/ivf_cell={cell0}")
+    with pytest.raises(ValueError, match="missing"):
+        ann_calibration(
+            emb, probe_ids, centroids=cents, codebooks=books,
+            paths=("pq",), coded_path=lossy,
+        ).collect()
+
+
+def test_state_write_version_ordering_never_regresses_pointer(
+    spark, tmp_path
+):
+    """r11 advice: two appliers racing through apply_refresh used to
+    be ordered only by save-lock acquisition — a stale snapshot
+    written LAST would leave the durable file regressed to the older
+    pointer.  The pointer-change ordinal taken under the state lock
+    now orders persistence: a write carrying an older version than
+    the newest already persisted is skipped, in whichever order the
+    disk writes land."""
+    import json
+
+    from pulsar_sync_java_spark.streaming.ann_serve import IvfServer
+
+    state = str(tmp_path / "ptr.json")
+    srv = IvfServer("/idx/v0", [[0.0, 1.0]], state_path=state)
+
+    # simulate the race: the NEWER snapshot (version 2) reaches disk
+    # first, then the stale version-1 snapshot tries to write late
+    new_st = {"kind": "ivf", "path": "/idx/v2", "centroids": [[2.0, 2.0]]}
+    old_st = {"kind": "ivf", "path": "/idx/v1", "centroids": [[1.0, 1.0]]}
+    srv._write_state(new_st, 2)
+    srv._write_state(old_st, 1)  # stale write: must be skipped
+    assert json.load(open(state))["path"] == "/idx/v2"
+
+    # and a genuinely newer version still lands
+    srv._write_state({**new_st, "path": "/idx/v3"}, 3)
+    assert json.load(open(state))["path"] == "/idx/v3"
+
+    # the normal path keeps working after manual version injection
+    srv.apply_refresh({"path": "/idx/v4", "centroids": [[4.0, 4.0]]})
+    assert srv.snapshot()[0] == "/idx/v4"

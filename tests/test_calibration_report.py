@@ -1,0 +1,75 @@
+"""Unified calibration page (operators/calibration.py): one keyed
+health frame over the three sketch families, healthy by default, and
+each pinned failure injection flips exactly its own family's rows —
+the r11 verdict #6 contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_sync_java_spark.operators.calibration import calibration_report
+from tests.conftest import SF_DIR
+
+
+def _page(df):
+    return {
+        (r["family"], r["metric"]): (r["value"], r["ok"])
+        for r in df.collect()
+    }
+
+
+def test_calibration_report_healthy_all_green(spark):
+    page = _page(calibration_report(spark, SF_DIR))
+    fams = {f for f, _ in page}
+    assert fams == {"minhash", "simhash", "ann_pq"}
+    assert all(ok for _, ok in page.values()), page
+    # the audits are non-vacuous: real pairs on both dedup families
+    assert page[("minhash", "n_exact_pairs")][0] > 0
+    assert page[("simhash", "n_near_pairs")][0] > 0
+
+
+def test_calibration_report_each_injection_flips_its_family(spark):
+    """Three injected failures, three reports, each flipping ONLY its
+    family: (1) a banding dial that no longer fits (2 bands x 32 rows
+    misses true >=0.5 pairs the 16x4 production dial catches);
+    (2) the collapsed SimHash family (every doc one fingerprint);
+    (3) the mis-trained (zeroed) PQ codebook."""
+    from pulsar_sync_java_spark.operators.similarity import (
+        _l2_normalize,
+        _seeded_sample,
+        kmeans_centroids,
+    )
+    from pulsar_sync_java_spark.sources.tables import load_table
+
+    def fam_ok(page, fam):
+        return all(ok for (f, _), (_, ok) in page.items() if f == fam)
+
+    # (1) banding misfit
+    p1 = _page(calibration_report(spark, SF_DIR, minhash_bands=2))
+    assert not p1[("minhash", "band_miss_rate")][1], p1
+    assert fam_ok(p1, "simhash") and fam_ok(p1, "ann_pq")
+
+    # (2) collapsed SimHash family
+    docs = load_table(spark, SF_DIR, "documents")
+    collapsed = docs.select(
+        "doc_id", F.lit(0).cast("long").alias("simhash")
+    )
+    p2 = _page(
+        calibration_report(spark, SF_DIR, simhash_fingerprints=collapsed)
+    )
+    assert not p2[("simhash", "separation")][1], p2
+    assert fam_ok(p2, "minhash") and fam_ok(p2, "ann_pq")
+
+    # (3) mis-trained codebook (the test_dedup_ops pin, through the
+    # unified page)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    X = _l2_normalize(_seeded_sample(emb, "vec_id", "embedding", 256 * 16, 42))
+    cents = kmeans_centroids(emb, "vec_id", "embedding", 16, 1, 42, sample=X)
+    garbage = [[[0.0] * 4 for _ in range(256)] for _ in range(16)]
+    p3 = _page(
+        calibration_report(
+            spark, SF_DIR, ann_centroids=cents, ann_codebooks=garbage
+        )
+    )
+    assert not p3[("ann_pq", "adc_err_ok_frac")][1], p3
+    assert fam_ok(p3, "minhash") and fam_ok(p3, "simhash")

@@ -741,3 +741,68 @@ def test_compact_table_files_tolerates_all_null_key_file(spark, tmp_path):
     out2 = compact_table_files(spark, sink, "k", 200, 100)
     assert out2["groups"] == 0
     assert spark.read.parquet(sink).filter(F.col("k").isNull()).count() == 10
+
+
+def test_compact_table_files_all_null_key_only_sink(spark, tmp_path):
+    """The extreme of the null-key case (r11 advice): a young sink fed
+    ONLY null-key rows has no non-null min/max anywhere, so schema
+    inference on the stats frame has nothing to infer from — the
+    explicit key-typed schema keeps the tick planning (and folding)
+    instead of crash-looping on createDataFrame."""
+    from pulsar_sync_java_spark.sinks.writers import compact_table_files
+
+    sink = str(tmp_path / "t")
+    for _ in range(3):
+        spark.createDataFrame(
+            [(None,)] * 10, "k bigint"
+        ).repartition(1).write.mode("append").parquet(sink)
+
+    out = compact_table_files(spark, sink, "k", 200, 100)
+    assert out["groups"] == 1 and out["consumed_files"] == 3
+    got = spark.read.parquet(sink)
+    assert got.count() == 30
+    assert got.filter(F.col("k").isNull()).count() == 30
+    # converged: a second tick plans nothing
+    assert compact_table_files(spark, sink, "k", 200, 100)["groups"] == 0
+
+
+def test_compact_table_files_max_files_chunks_backlog(spark, tmp_path):
+    """The driver-metadata bound (r11 verdict #4): a tick stats and
+    plans at most `max_files` files, reports the deferred remainder
+    loudly, and successive chunked ticks converge to the same
+    fixpoint a single unbounded tick reaches — a 10^6-file backlog
+    becomes bounded ticks, never one 10^6-row driver collect."""
+    import glob as _glob
+
+    import pytest
+
+    from pulsar_sync_java_spark.sinks.writers import compact_table_files
+
+    sink = str(tmp_path / "t")
+    for i in range(6):
+        spark.range(i * 10, (i + 1) * 10).select(
+            F.col("id").alias("k")
+        ).repartition(1).write.mode("append").parquet(sink)
+
+    out = compact_table_files(spark, sink, "k", 1000, 500, max_files=3)
+    assert out["deferred_files"] >= 3  # _SUCCESS is not plannable
+    assert out["groups"] == 1 and out["consumed_files"] == 3
+
+    # keep ticking with the same bound until converged
+    for _ in range(4):
+        out = compact_table_files(spark, sink, "k", 1000, 500, max_files=3)
+        if out["groups"] == 0 and out["deferred_files"] == 0:
+            break
+    # all 60 rows survive, layout folded well below the input count
+    got = spark.read.parquet(sink)
+    assert sorted(r["k"] for r in got.collect()) == list(range(60))
+    data_files = [
+        f
+        for f in _glob.glob(f"{sink}/*.parquet")
+        if "_SUCCESS" not in f
+    ]
+    assert len(data_files) <= 3
+
+    # a bound that cannot form a pair is a misconfiguration, loudly
+    with pytest.raises(ValueError, match="max_files"):
+        compact_table_files(spark, sink, "k", 1000, 500, max_files=1)

@@ -2292,3 +2292,174 @@ def test_cumulative_drop_counter_mid_run_attach_stays_bounded():
     assert c.feed(prog(701, 1)) == total + 1  # out of order
     assert c.feed(prog(700, 1)) == total + 2  # gap fills
     assert all(len(residue) == 0 for _, residue in c._runs.values())
+
+
+def test_cursor_advance_stream_matches_repeated_batch_advance(
+    spark, tmp_path
+):
+    """Continuous cursor advancement (r11 verdict #5) vs the batch
+    path run after EVERY batch: the keyed kernel's emissions must
+    equal the moves that `translate` + the monotone
+    `advance_cursors_once` merge guard produce when re-run on each
+    cumulative prefix of (mapping samples, cursor snapshots) — across
+    a stop/restart between batches, through a ts-tie (greatest
+    event_id wins, the asof_join tiebreak), a findMessageId miss
+    (cursor before every sample: no emission, resolved later), a
+    non-advancing re-read (equal floor: silent) and a BACKWARD src
+    cursor (ignored; dst never regresses).  Reference anchor:
+    PulsarPartitionSyncWorker.java:177-208 — the advancement the
+    reference's create-once skip freezes out."""
+    import os
+
+    from pulsar_sync_java_spark.plans.cursor_translate import translate
+    from pulsar_sync_java_spark.streaming.cursor_advance import (
+        cursor_advance_stream,
+    )
+
+    SCHEMA = (
+        "kind string, topic string, partition int, cursor string, "
+        "ts long, event_id long"
+    )
+
+    def sample(t, p, ts):
+        return ("sample", t, p, None, ts, ts + 1 + p * 10_000)
+
+    def cur(t, p, name, ts):
+        return ("cursor", t, p, name, ts, None)
+
+    keys = [("t0", 0), ("t0", 1)]
+    batches = [
+        # batch 0: 4 samples incl. a ts tie at 400; subA floors at
+        # 300, subB misses (50 precedes every sample)
+        [
+            *[sample(t, p, ts) for t, p in keys for ts in (100, 200, 300)],
+            *[
+                ("sample", t, p, None, 400, 399 + p * 10_000)
+                for t, p in keys
+            ],
+            *[("sample", t, p, None, 400, 401 + p * 10_000) for t, p in keys],
+            *[cur(t, p, "subA", 350) for t, p in keys],
+            *[cur(t, p, "subB", 50) for t, p in keys],
+        ],
+        # batch 1 (after restart): subA advances to 600; subB's src
+        # moved to 120 -> late floor at the retained sample 100
+        [
+            *[sample(t, p, ts) for t, p in keys for ts in (500, 600)],
+            *[cur(t, p, "subA", 620) for t, p in keys],
+            *[cur(t, p, "subB", 120) for t, p in keys],
+        ],
+        # batch 2: no-op re-read (floor unchanged) + backward subB
+        [
+            *[sample(t, p, 650) for t, p in keys],
+            *[cur(t, p, "subA", 640) for t, p in keys],
+            *[cur(t, p, "subB", 80) for t, p in keys],
+        ],
+    ]
+
+    # ---- batch reference: translate + the advance_cursors_once
+    # monotone merge after every batch over the cumulative state
+    dst: dict[tuple, tuple] = {}
+    want_moves: list[tuple] = []
+    cur_state: dict[tuple, int] = {}
+    mapping_rows: list[tuple] = []
+    for batch in batches:
+        for r in batch:
+            if r[0] == "sample":
+                mapping_rows.append((r[1], r[2], r[4], r[5]))
+            else:
+                cur_state[(r[1], r[2], r[3])] = r[4]  # last arrival wins
+        m = spark.createDataFrame(
+            mapping_rows, "topic string, partition int, ts long, event_id long"
+        )
+        c = spark.createDataFrame(
+            [(t, p, n, ts, 0) for (t, p, n), ts in cur_state.items()],
+            "topic string, partition int, cursor string, ts long, "
+            "event_id long",
+        )
+        translated = translate(
+            c, m, key_cols=["topic", "partition"], carry_cols=["cursor"]
+        ).filter(F.col("translated_id").isNotNull())
+        for r in translated.collect():
+            k = (r["topic"], r["partition"], r["cursor"])
+            if k not in dst or r["translated_ts"] > dst[k][0]:
+                dst[k] = (r["translated_ts"], r["translated_id"])
+                want_moves.append((*k, *dst[k]))
+
+    # ---- streaming side: one availableNow run per batch file, with a
+    # full stop/restart between batches (carried keyed state)
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    sink = str(tmp_path / "advances")
+    for i, batch in enumerate(batches):
+        spark.createDataFrame(batch, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            cursor_advance_stream(
+                spark.readStream.schema(SCHEMA).parquet(src)
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    got_moves = sorted(
+        (r["topic"], r["partition"], r["cursor"], r["ts"], r["event_id"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert got_moves == sorted(want_moves)
+    # final destination table: latest emission per cursor == batch dst
+    final = {}
+    for t, p, n, ts, eid in got_moves:
+        if (t, p, n) not in final or ts > final[(t, p, n)][0]:
+            final[(t, p, n)] = (ts, eid)
+    assert final == dst
+    # the ts-tie pinned: floor at 400 never chosen here, but the tie
+    # at 400 must not have perturbed the 300-floor batch-0 move
+    assert all(dst[(t, p, "subA")][0] == 600 for t, p in keys)
+    assert all(dst[(t, p, "subB")][0] == 100 for t, p in keys)
+
+
+def test_cursor_advance_stream_state_guard_raises(spark, tmp_path):
+    """The loud keyed-state bound: a key fed more retained samples
+    than max_state_samples (no cursor ever arrives, so nothing trims)
+    fails the query with the diagnostic instead of growing state
+    silently."""
+    import os
+
+    from pulsar_sync_java_spark.streaming.cursor_advance import (
+        cursor_advance_stream,
+    )
+
+    SCHEMA = (
+        "kind string, topic string, partition int, cursor string, "
+        "ts long, event_id long"
+    )
+    rows = [
+        ("sample", "t", 0, None, 1000 + i, 2000 + i) for i in range(64)
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = (
+        cursor_advance_stream(
+            spark.readStream.schema(SCHEMA).parquet(src),
+            max_state_samples=16,
+        )
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="max_state_samples"):
+        q.awaitTermination(120)
+        exc = q.exception()
+        assert exc is not None
+        raise exc
