@@ -17,6 +17,9 @@ all-zero means converged (idempotent pass), the same signal the tests
 assert.  Exit code 0 on completion; failures raise (the moral
 equivalent of the reference's uncaught-exception handler: loud, not
 swallowed).
+
+``python -m pulsar_sync_java_spark calibrate SF_DIR`` runs the
+unified sketch-model health page instead (see `_main_calibrate`).
 """
 
 from __future__ import annotations
@@ -68,7 +71,49 @@ def _parser() -> argparse.ArgumentParser:
     return p
 
 
+def _main_calibrate(argv: list[str]) -> int:
+    """``python -m pulsar_sync_java_spark calibrate SF_DIR`` — run the
+    unified model-health page (`operators/calibration.py:
+    calibration_report`) over a table directory and print one JSON
+    line per (family, metric) row plus a final summary line with the
+    page verdict.  Exit 0 if every gate is ok, 1 otherwise — the shape
+    a scheduler alerts on (the operator-facing consumer the r11
+    verdict #6 asked the three calibration twins to compose into)."""
+    p = argparse.ArgumentParser(
+        prog="python -m pulsar_sync_java_spark calibrate",
+        description="Unified sketch-model health page: MinHash banding, "
+        "SimHash, PQ-coded ANN — one (family, metric, value, ok) row "
+        "per gate.",
+    )
+    p.add_argument("sf_dir", help="table directory (documents/embeddings)")
+    p.add_argument(
+        "--max-docs", type=int, default=1000,
+        help="deterministic document-sample bound for the pair audits",
+    )
+    args = p.parse_args(argv)
+    from pulsar_sync_java_spark.operators.calibration import (
+        calibration_report,
+    )
+    from pulsar_sync_java_spark.session import get_spark
+
+    spark = get_spark(app_name="pulsar-sync-calibrate")
+    rows = calibration_report(
+        spark, args.sf_dir, max_docs=args.max_docs
+    ).collect()
+    ok = True
+    for r in rows:
+        ok = ok and bool(r["ok"])
+        print(json.dumps(r.asDict(), separators=(",", ":")))
+        sys.stdout.flush()
+    print(json.dumps({"healthy": ok, "n_gates": len(rows)},
+                     separators=(",", ":")))
+    return 0 if ok else 1
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "calibrate":
+        return _main_calibrate(argv[1:])
     args = _parser().parse_args(argv)
     from pulsar_sync_java_spark.engine import SyncEngine, SyncEngineConfig
     from pulsar_sync_java_spark.session import get_spark

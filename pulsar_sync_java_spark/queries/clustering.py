@@ -419,6 +419,19 @@ FROM a2 k LEFT JOIN labels l ON l.vec_id = k.vec_id
 
 _SEM_THRESHOLD = 0.35
 _SEM_KSUB = 16
+# Block decomposition width for the in-cell pair self-join: the join
+# key is (cluster, block_a, block_b) with block = pmod(xxhash64(id),
+# S), so the pair stage fans out over K*S^2 reduce groups instead of
+# K.  Without it the join keys on the K-value cluster id alone and
+# the ENTIRE quadratic pair stage runs at <= K-task parallelism — at
+# sf1 (50k vectors, K=8) the measured stage sat on 3 reducers for
+# minutes while 29 cores idled (SCALE.md §11, the r12 scaling sweep's
+# headline find).  Each unordered pair lands in exactly ONE
+# (block_a, block_b) group, so the candidate set — and the oracle —
+# is unchanged; the cost is an S-fold replication of the byte-wide
+# coded rows through the shuffle (~70 B/row), the classic
+# block-decomposed self-join trade.
+_SEM_PAIR_BLOCKS = 8
 
 # the flat-PQ prefilter model, memoized per corpus path: the artifact
 # is TINY (d x 16 x 1 codewords), deterministic (seeded sample + fixed
@@ -526,14 +539,27 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("__codes"),
         )
     )
+    # block-decomposed self-join (see _SEM_PAIR_BLOCKS): a pair
+    # (va, vb) with blocks (ba, bb) is produced by exactly the
+    # (cluster, ba, bb) group — side A replicates each row across the
+    # S possible partner blocks, side B across the S possible own
+    # blocks of its partner, and the 3-column equi-join meets in the
+    # middle
+    S = _SEM_PAIR_BLOCKS
+    blk = F.pmod(F.xxhash64("vec_id"), F.lit(S)).cast("int")
+    parts = F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
     a = coded.select(
         F.col("cluster"),
+        blk.alias("__blk_a"),
+        parts.alias("__blk_b"),
         F.col("vec_id").alias("va"),
         F.col("__eps").alias("__ea"),
         F.col("__codes").alias("__ca"),
     )
     b = coded.select(
         F.col("cluster"),
+        parts.alias("__blk_a"),
+        blk.alias("__blk_b"),
         F.col("vec_id").alias("vb"),
         F.col("__eps").alias("__eb"),
         F.col("__codes").alias("__cb"),
@@ -550,7 +576,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(1e-9)
     )
     cand = (
-        a.join(b, ["cluster"])
+        a.join(b, ["cluster", "__blk_a", "__blk_b"])
         .filter(F.col("va") < F.col("vb"))
         .withColumn("__adc", adc)
         .filter(F.col("__adc") >= F.lit(_SEM_THRESHOLD) - bound)

@@ -73,3 +73,24 @@ def test_calibration_report_each_injection_flips_its_family(spark):
     )
     assert not p3[("ann_pq", "adc_err_ok_frac")][1], p3
     assert fam_ok(p3, "minhash") and fam_ok(p3, "simhash")
+
+
+def test_calibrate_cli_prints_gates_and_exit_code(spark, capsys):
+    """`python -m pulsar_sync_java_spark calibrate SF_DIR`: one JSON
+    line per gate row + a summary line, exit 0 when the page is
+    healthy — the scheduler-facing consumer of the unified report."""
+    import json
+
+    from pulsar_sync_java_spark.__main__ import main
+
+    rc = main(["calibrate", SF_DIR])
+    out = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert rc == 0
+    summary = out[-1]
+    assert summary["healthy"] is True and summary["n_gates"] == len(out) - 1
+    fams = {r["family"] for r in out[:-1]}
+    assert fams == {"minhash", "simhash", "ann_pq"}
+    assert all(r["ok"] for r in out[:-1])

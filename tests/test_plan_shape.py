@@ -787,13 +787,16 @@ def test_semantic_dedup_pairs_are_cluster_keyed_never_allpairs(
     spark, queries
 ):
     """q_semantic_dedup: the candidate-pair join must be an EQUI-join
-    on the cluster id (the SemDeDup bound) — never an unkeyed
-    all-pairs product; centroid scoring stays broadcast."""
+    on (cluster, block_a, block_b) — the SemDeDup bound plus the r12
+    block decomposition that keeps the quadratic pair stage at
+    K*S^2-group parallelism instead of K (SCALE.md §11) — never an
+    unkeyed all-pairs product; centroid scoring stays broadcast."""
     plan = plan_of(queries["q_semantic_dedup"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    assert re.search(r"keys(?: \[\d+\])?: \[cluster#\d+\]", plan), (
-        "pair join must key on cluster"
-    )
+    assert re.search(
+        r"keys(?: \[\d+\])?: \[cluster#\d+, __blk_a#\d+, __blk_b#\d+\]",
+        plan,
+    ), "pair join must key on (cluster, __blk_a, __blk_b)"
 
 
 def test_semantic_dedup_pair_shuffle_carries_codes_not_vectors(
@@ -809,7 +812,11 @@ def test_semantic_dedup_pair_shuffle_carries_codes_not_vectors(
         b
         for b in blocks
         if "Exchange" in b.split("\n")[0]
-        and re.search(r"Input \[\d+\]: \[cluster#\d+, v[ab]#", b)
+        and re.search(
+            r"Input \[\d+\]: \[cluster#\d+, __blk_a#\d+, __blk_b#\d+, "
+            r"v[ab]#",
+            b,
+        )
     ]
     assert pair_exchanges, "coded pair-side exchanges not found"
     for b in pair_exchanges:
