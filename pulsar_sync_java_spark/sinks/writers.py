@@ -1027,6 +1027,8 @@ def compacting_append_stream(
     target_rows: int,
     under_rows: int,
     compact_every: int = 2,
+    max_files: int = 100_000,
+    maintenance_dir: str | None = None,
 ):
     """Streaming ingestion with standing compaction maintenance: each
     micro-batch lands through `idempotent_append` (replay-safe), and
@@ -1038,15 +1040,43 @@ def compacting_append_stream(
     already-converged layout (right-sized compacted files + at most
     one undersized tail, a singleton) plans nothing; an interrupted
     tick is completed or rolled back by the manifest recovery at the
-    next tick."""
+    next tick.
+
+    `maintenance_dir` (optional) surfaces each tick's result as ONE
+    keyed health row — (batch_id, groups, rows, consumed_files,
+    recovered, deferred_files) — the observability leg the r11 #4
+    bound needs to be actionable: `deferred_files > 0` is the loud
+    signal that the tick is chunking through a backlog (raise
+    `compact_every` cadence or `max_files`) rather than converged.
+    Keyed first-write-wins (the `gated_ingest_batch_monitored`
+    contract): tick results depend on the layout state, so a
+    checkpoint-wipe replay — whose re-run ticks see an
+    already-converged layout and plan nothing — must not overwrite
+    the first processing's numbers."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         idempotent_append(batch_df, sink_dir, keys)
         if compact_every and batch_id % compact_every == compact_every - 1:
-            compact_table_files(
+            out = compact_table_files(
                 batch_df.sparkSession, sink_dir, key_col, target_rows,
-                under_rows,
+                under_rows, max_files=max_files,
             )
+            if maintenance_dir is not None:
+                spark = batch_df.sparkSession
+                row = spark.createDataFrame(
+                    [(
+                        int(batch_id),
+                        int(out["groups"]),
+                        int(out["rows"]),
+                        int(out["consumed_files"]),
+                        int(out["recovered"]),
+                        int(out["deferred_files"]),
+                    )],
+                    "batch_id long, groups long, rows long, "
+                    "consumed_files long, recovered long, "
+                    "deferred_files long",
+                )
+                idempotent_append(row, maintenance_dir, ["batch_id"])
 
     return (
         stream_df.writeStream.foreachBatch(apply)

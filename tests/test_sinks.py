@@ -806,3 +806,79 @@ def test_compact_table_files_max_files_chunks_backlog(spark, tmp_path):
     # a bound that cannot form a pair is a misconfiguration, loudly
     with pytest.raises(ValueError, match="max_files"):
         compact_table_files(spark, sink, "k", 1000, 500, max_files=1)
+
+
+def test_compacting_stream_maintenance_monitor_rows(spark, tmp_path):
+    """Maintenance observability (the r11 #4 bound made actionable):
+    with `maintenance_dir` set, every compaction tick appends ONE
+    keyed health row — and a bounded tick chunking through a backlog
+    reports `deferred_files > 0` loudly instead of silently planning
+    a subset.  Keyed first-write-wins: a checkpoint-wipe replay's
+    re-run ticks (which see the converged layout and plan nothing)
+    must not overwrite the first processing's numbers."""
+    import shutil
+
+    from pulsar_sync_java_spark.sinks.writers import (
+        compacting_append_stream,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    monitor = str(tmp_path / "maint")
+
+    # pre-seed the sink with a 6-file backlog so the FIRST tick's
+    # max_files=3 bound must defer files
+    for i in range(6):
+        spark.range(1000 + i * 10, 1000 + (i + 1) * 10).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ).repartition(1).write.mode("append").parquet(sink)
+
+    def run(ck):
+        q = (
+            compacting_append_stream(
+                spark.readStream.schema("k long, v long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                sink,
+                ck,
+                keys=["k"],
+                key_col="k",
+                target_rows=1000,
+                under_rows=500,
+                compact_every=1,
+                max_files=3,
+                maintenance_dir=monitor,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for i in range(3):
+        spark.range(i * 25, (i + 1) * 25).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ).repartition(1).write.mode("append").parquet(src)
+    run(str(tmp_path / "ckpt"))
+
+    rows = {
+        r["batch_id"]: r for r in spark.read.parquet(monitor).collect()
+    }
+    # compact_every=1 -> one health row per micro-batch
+    assert sorted(rows) == [0, 1, 2]
+    # the backlog tick deferred loudly under the max_files bound
+    assert rows[0]["deferred_files"] > 0, rows[0]
+    # ticks folded files: some tick consumed sources
+    assert any(r["consumed_files"] > 0 for r in rows.values())
+    # every ingested row survives maintenance
+    got = sorted(r["k"] for r in spark.read.parquet(sink).collect())
+    assert got == list(range(75)) + list(range(1000, 1060))
+
+    # checkpoint-wipe replay: re-run ticks see a (more) converged
+    # layout — the keyed monitor rows keep the FIRST numbers
+    before = {b: tuple(r) for b, r in rows.items()}
+    run(str(tmp_path / "ckpt2"))
+    after = {
+        r["batch_id"]: tuple(r)
+        for r in spark.read.parquet(monitor).collect()
+    }
+    assert after == before
