@@ -405,7 +405,8 @@ def banding_drift_alarm(
     trailing: int = 8,
     spike_mult: float = 3.0,
     min_batches: int = 3,
-    floor: float = 0.05,
+    miss_floor: float = 0.05,
+    err_floor: float = 0.10,
 ) -> DataFrame:
     """Per-tick drift flags over the sketch-calibration health table —
     the banding twin of `ingest_drift_alarm`, same self-calibrating
@@ -415,6 +416,17 @@ def banding_drift_alarm(
     banding dials stopped fitting the arriving corpus (retune
     bands/num_hashes or the threshold); `err_alarm` says the sketch
     itself mis-estimates (signature width vs shingle-set sizes).
+
+    The two floors are deliberately DIFFERENT: miss rate is a [0,1]
+    fraction whose healthy baseline is ~0 (the ingest_drift_alarm
+    class, floor 0.05), but mean_abs_err's irreducible noise is the
+    sketch's own standard error — sqrt(j(1-j)/num_hashes) ≈ 0.06 at
+    64 hashes — so its floor sits above that band (0.10).  Pinned by
+    the r12 sf1 streaming run: a healthy 50k-doc ingest measured a
+    tick at mean_abs_err 0.052 over a near-zero baseline, which a
+    shared 0.05 floor would page on (false alarm), while a genuinely
+    mis-sized sketch blows past 0.10 (the minhash_banding_audit
+    margin gates in operators/calibration.py use the same bound).
     Control-plane sized (one row per calibration tick), so the
     unpartitioned ordering window is a deliberate single-task frame."""
     from pyspark.sql.window import Window
@@ -424,7 +436,7 @@ def banding_drift_alarm(
     base_miss = F.avg("band_miss_rate").over(w)
     base_err = F.avg("mean_abs_err").over(w)
     n_prior = F.count(F.lit(1)).over(w)
-    thr = lambda b: F.greatest(  # noqa: E731
+    thr = lambda floor, b: F.greatest(  # noqa: E731
         F.lit(floor), F.lit(spike_mult) * b
     )
     return m.select(
@@ -438,11 +450,11 @@ def banding_drift_alarm(
         base_err.alias("baseline_err"),
         (
             (n_prior >= min_batches)
-            & (F.col("band_miss_rate") > thr(base_miss))
+            & (F.col("band_miss_rate") > thr(miss_floor, base_miss))
         ).alias("miss_alarm"),
         (
             (n_prior >= min_batches)
-            & (F.col("mean_abs_err") > thr(base_err))
+            & (F.col("mean_abs_err") > thr(err_floor, base_err))
         ).alias("err_alarm"),
     )
 

@@ -500,3 +500,42 @@ def test_sketch_calibration_tick_requires_calib_dir(spark, tmp_path):
             ),
             "w", "s", "c", checkpoint_dir="ck", calibrate_every=2,
         )
+
+
+def test_banding_drift_alarm_err_floor_absorbs_sketch_noise(
+    spark, tmp_path
+):
+    """The err floor sits above the 64-hash sketch's own standard
+    error (~0.06): a healthy tick measuring mean_abs_err 0.052 over a
+    near-zero baseline must NOT page (the false alarm the r12 sf1
+    streaming run exposed under a shared 0.05 floor), while a
+    genuinely mis-estimating sketch (0.2) still trips, and the miss
+    alarm keeps its tighter rate floor."""
+    from pulsar_sync_java_spark.streaming.neardup import (
+        banding_drift_alarm,
+    )
+
+    rows = [
+        # batch_id, n_in/audited, exact, cand, miss_rate, mean, max
+        (b, 100, 100, 5, 20, 0.0, 0.0, 0.0) for b in range(4)
+    ] + [
+        (4, 100, 100, 5, 20, 0.0, 0.052, 0.08),  # sketch-noise tick
+        (5, 100, 100, 5, 20, 0.0, 0.200, 0.40),  # broken sketch
+        (6, 100, 100, 5, 20, 0.060, 0.0, 0.0),   # miss-rate spike
+    ]
+    calib = str(tmp_path / "calib")
+    spark.createDataFrame(
+        [(b, n, a, e, c, mr, me, mx) for b, n, a, e, c, mr, me, mx in rows],
+        "batch_id long, n_in long, n_audited long, n_exact_pairs long, "
+        "n_band_candidates long, band_miss_rate double, "
+        "mean_abs_err double, max_abs_err double",
+    ).write.parquet(calib)
+
+    flags = {
+        r["batch_id"]: r
+        for r in banding_drift_alarm(spark, calib, min_batches=3).collect()
+    }
+    assert not flags[4]["err_alarm"], flags[4]   # noise absorbed
+    assert flags[5]["err_alarm"], flags[5]       # real failure pages
+    assert flags[6]["miss_alarm"], flags[6]      # rate floor is tighter
+    assert not flags[6]["err_alarm"]
