@@ -99,15 +99,21 @@ def calibration_report(
     ).collect()
     near = [r["exact_cos"] for r in sh if r["hamming"] <= 3]
     far = [r["exact_cos"] for r in sh if r["hamming"] > 3]
-    # a collapsed family floods hamming 0, emptying the far side —
-    # separation 0 (fails), never a vacuous pass
     sep = (
         (sum(near) / len(near)) - (sum(far) / len(far))
         if near and far
         else 0.0
     )
-    rows.append(("simhash", "separation", sep, sep > SIMHASH_SEP_MIN))
-    rows.append(("simhash", "n_near_pairs", float(len(near)), len(near) > 0))
+    # Asymmetric vacuity (review catch): a COLLAPSED family floods
+    # hamming-0 pairs and empties the FAR side — that must fail
+    # (near nonempty, no separation possible).  The converse — a
+    # healthy sparse sample with NO near pairs — indicts nothing
+    # (background pairs at 64 bits land nowhere near hamming<=3), so
+    # the separation gate passes vacuously and the n_near_pairs row
+    # reports the sample sufficiency as data, not as model failure.
+    sep_ok = (not near) or (bool(far) and sep > SIMHASH_SEP_MIN)
+    rows.append(("simhash", "separation", sep, sep_ok))
+    rows.append(("simhash", "n_near_pairs", float(len(near)), True))
 
     # -- ANN / PQ coded metric ---------------------------------------
     flags = ann_calibration(

@@ -852,9 +852,13 @@ def minhash_banding_audit(
     Spark action; input should be pre-bounded by the caller (a batch,
     or a deterministic corpus sample) — the pair frame is then
     Σ bucket²-bounded by `max_bucket`, never n²."""
+    # the ESTIMATE must sketch the same n-grams the exact side counts
+    # (review catch: a non-default shingle_n with a default-n sketch
+    # would compare two different similarity measures and report
+    # phantom misses on a healthy corpus)
     sigs = minhash_signatures(
         df, id_col=id_col, text_col=text_col,
-        num_hashes=num_hashes, portable=True,
+        num_hashes=num_hashes, n=shingle_n, portable=True,
     )
     cand = lsh_candidate_pairs(
         sigs, id_col=id_col, bands=bands, num_hashes=num_hashes,

@@ -1135,13 +1135,22 @@ def ivf_index_refresh(
         .join(delta_u.select(id_col), id_col, "left_anti")
         .unionByName(delta_u)
     )
-    # Counted BEFORE the write, from the rebuild's own input: the
-    # sidecar trained_rows is counted from the WRITTEN files, so a
-    # write that dropped rows would report a self-consistent (wrong)
-    # number — this pre-write count is the independent expectation the
-    # swap gate (`calibrated_swap`) checks the rebuilt layout against
-    # (r11 advice: a botched write passed balance + all PQ flags).
-    expected = int(full.count())
+    # Counted BEFORE the write, independently of it: the sidecar
+    # trained_rows is counted from the WRITTEN files, so a write that
+    # dropped rows would report a self-consistent (wrong) number —
+    # this pre-write expectation is what the swap gate
+    # (`calibrated_swap`) checks the rebuilt layout against (r11
+    # advice: a botched write passed balance + all PQ flags).
+    # |full| = stored + genuinely-new delta ids, computed as an
+    # id-column-pruned anti-join count instead of full.count() — the
+    # latter re-scans every vector byte a second time per rebuild
+    # (review catch); the staleness report already holds stored rows.
+    new_ids = int(
+        delta_u.select(id_col)
+        .join(spark.read.parquet(path).select(id_col), id_col, "left_anti")
+        .count()
+    )
+    expected = report.current_rows + new_ids
     k = n_centroids if n_centroids is not None else report.n_centroids
     cents = ivf_index_write(full, target, id_col, vec_col, k, iters, seed)
     return {
@@ -1707,8 +1716,14 @@ def ivf_pq_index_refresh(
     new_m = m if m is not None else mm
     new_ks = k_sub if k_sub is not None else len(codebooks[0])
     # independent pre-write expectation for the swap gate's row-count
-    # check — see ivf_index_refresh's rebuild branch
-    expected = int(full.count())
+    # check — id-pruned anti-join count, see ivf_index_refresh's
+    # rebuild branch for the rationale
+    new_ids = int(
+        delta_u.select(id_col)
+        .join(spark.read.parquet(path).select(id_col), id_col, "left_anti")
+        .count()
+    )
+    expected = report.current_rows + new_ids
     cents, books = ivf_pq_index_write(
         full, target, id_col, vec_col, k, new_m, new_ks, iters, pq_iters, seed
     )
@@ -2046,8 +2061,11 @@ def ann_calibration(
         # (r11 advice, medium) — count both sides (|Q| x ~2k rows,
         # audit derives from the persisted exact anchor) and raise on
         # any mismatch; a duplicate-id layout inflates the join and
-        # fails the same check.
-        audit = audit.persist()
+        # fails the same check.  Deliberately NOT persisted: the
+        # final lazy plan re-derives the join once more, but a
+        # per-rebuild gate that cached these frames would accumulate
+        # storage memory for the application lifetime with no release
+        # point (the returned frame outlives this function).
         coded = (
             df.sparkSession.read.parquet(coded_path)
             .select(
@@ -2057,7 +2075,6 @@ def ann_calibration(
             )
             .join(F.broadcast(audit), id_col)
             .select("query_id", id_col, "__cos", "__cell", "__codes")
-            .persist()
         )
         n_audit, n_coded = audit.count(), coded.count()
         if n_coded != n_audit:

@@ -117,13 +117,18 @@ class IvfServer:
         with self._save_lock:
             if version <= self._persisted_version:
                 return
-            self._persisted_version = version
             tmp = f"{self._state_path}.tmp"
             with open(tmp, "w") as fh:
                 json.dump(st, fh)
                 fh.flush()
                 os.fsync(fh.fileno())
             os.replace(tmp, self._state_path)
+            # recorded only AFTER the replace lands (review catch): a
+            # write that fails mid-I/O must leave the version
+            # unclaimed, so a replayed refresh — or the next changed
+            # pointer — still persists instead of being skipped while
+            # the durable file holds the superseded pointer
+            self._persisted_version = version
             dfd = os.open(
                 os.path.dirname(os.path.abspath(self._state_path)),
                 os.O_RDONLY,

@@ -188,7 +188,9 @@ def gated_ingest_batch_monitored(
 
     Counter semantics (r11 advice): the three decision counters
     PARTITION the batch — ``n_oov + n_gate_dropped + n_gated ==
-    n_in``.  ``n_oov`` counts every document the model could not
+    n_in`` — with ``n_in`` counting DISTINCT arriving doc ids (the
+    pipeline is keyed end to end, so intra-batch row duplicates from
+    an at-least-once source are one document, not one OOV).  ``n_oov`` counts every document the model could not
     score: `score IS NULL` rows (all tokens outside the vocabulary)
     PLUS documents that produced no scores row at all (zero tokens —
     `classifier_scores` aggregates the exploded token stream, so an
@@ -215,7 +217,13 @@ def gated_ingest_batch_monitored(
     spark = batch_df.sparkSession
     scores = classifier_scores(batch_df, weights, id_col, text_col).persist()
     try:
-        n_in = batch_df.count()
+        # DISTINCT arriving ids, not rows (review catch): the pipeline
+        # is keyed on id_col throughout — classifier_scores groups by
+        # id, the sinks are keyed — so an at-least-once source that
+        # duplicates rows inside one micro-batch would otherwise
+        # inflate n_in past the scored-doc count and misreport the
+        # duplicates as OOV (a false oov_alarm on a healthy batch)
+        n_in = batch_df.select(id_col).distinct().count()
         row = scores.agg(
             F.sum(F.when(F.col("score").isNull(), 1).otherwise(0))
             .cast("long")

@@ -102,7 +102,7 @@ PERSIST_ALLOWLIST = {
     ("operators/graph.py", "tree_roots"): 4,            # pointer-doubling states; released in-loop / on finish
     ("operators/heavy_hitters.py", "heavy_hitters"): 1, # MG summaries (tiny: P*(k+1) rows, session-lifetime)
     ("operators/similarity.py", "embedding_near_pairs"): 1,  # signature projection (session-lifetime)
-    ("operators/similarity.py", "ann_calibration"): 3,  # exact top-k anchor (|Q| x k rows; 6 consumers) + coded_path-only audit/coded frames (|Q| x ~2k rows each, counted for the r11 lossy-write assertion then reused by the rank/ADC plan)
+    ("operators/similarity.py", "ann_calibration"): 1,  # exact top-k anchor (|Q| x k rows; 6 consumers); the coded_path audit counts deliberately do NOT persist (no release point for a frame the return value outlives)
     ("operators/dedup.py", "simhash_calibration"): 2,  # fingerprints (3 consumers: pigeonhole pairing + both pair lookups) and token counts (3: norms + both dot sides) — without them the Arrow simhash kernel runs 3x and the tokenize 4x
     ("queries/clustering.py", "q_semantic_dedup"): 1,   # (vec_id, cluster) assignment table (narrow, 3 consumers)
     ("queries/dedup_scale.py", "q_ann_pq_topk"): 1,     # 10-row approx result (cardinality agg + recall join share the encode+ADC lineage)

@@ -539,3 +539,34 @@ def test_banding_drift_alarm_err_floor_absorbs_sketch_noise(
     assert flags[5]["err_alarm"], flags[5]       # real failure pages
     assert flags[6]["miss_alarm"], flags[6]      # rate floor is tighter
     assert not flags[6]["err_alarm"]
+
+
+def test_monitored_gate_counts_distinct_ids_under_duplicate_rows(
+    spark, tmp_path, doc_batches
+):
+    """An at-least-once source can duplicate rows INSIDE one
+    micro-batch; the pipeline is keyed on doc_id throughout, so the
+    health counters must count distinct documents — a duplicated
+    healthy batch must not misreport its duplicates as OOV (the
+    false-oov_alarm review catch)."""
+    from pulsar_sync_java_spark.operators.quality import classifier_weights
+    from pulsar_sync_java_spark.streaming.neardup import (
+        gated_ingest_batch_monitored,
+    )
+
+    b1, _ = doc_batches
+    ref = load_table(spark, SF_DIR, "documents")
+    weights = classifier_weights(ref)
+    doubled = b1.unionByName(b1)  # every row twice
+
+    monitor = str(tmp_path / "health")
+    gated_ingest_batch_monitored(
+        doubled, weights, str(tmp_path / "sigs"), str(tmp_path / "corpus"),
+        monitor, batch_id=0,
+    )
+    r = spark.read.parquet(monitor).collect()[0]
+    n_docs = b1.count()
+    assert r["n_in"] == n_docs           # distinct ids, not 2x rows
+    assert r["n_oov"] == 0               # duplicates are NOT oov
+    assert r["n_oov"] + r["n_gate_dropped"] + r["n_gated"] == r["n_in"]
+    assert r["n_gated"] > 0

@@ -35,7 +35,10 @@ def main() -> None:
     if len(series) < 2:
         print("need >= 2 sf:path args", file=sys.stderr)
         sys.exit(2)
-    names = sorted(series[0][1])
+    # union across ALL series — a query measured only at the larger
+    # scale factors must still appear (with em-dashes for the missing
+    # legs), not vanish from a sweep that then reads as complete
+    names = sorted({n for _, best in series for n in best})
     pairs = list(zip(series, series[1:]))
     hdr = ["query"] + [f"t(sf{sf:g})" for sf, _ in series] + [
         f"α {lo:g}→{hi:g}" for (lo, _), (hi, _) in pairs
@@ -45,10 +48,11 @@ def main() -> None:
     for name in names:
         row = [name]
         for _, best in series:
-            row.append(f"{best.get(name, float('nan')):.2f}s")
+            t = best.get(name)
+            row.append("—" if t is None else f"{t:.2f}s")
         for (lo, blo), (hi, bhi) in pairs:
             tlo, thi = blo.get(name), bhi.get(name)
-            if tlo and thi:
+            if tlo is not None and thi is not None and tlo > 0 and thi > 0:
                 alpha = math.log(thi / tlo) / math.log(hi / lo)
                 row.append(f"{alpha:.2f}")
             else:
