@@ -987,3 +987,87 @@ def test_state_write_version_ordering_never_regresses_pointer(
     # the normal path keeps working after manual version injection
     srv.apply_refresh({"path": "/idx/v4", "centroids": [[4.0, 4.0]]})
     assert srv.snapshot()[0] == "/idx/v4"
+
+
+def test_state_write_failure_leaves_version_unclaimed(
+    spark, tmp_path, monkeypatch
+):
+    """Review-pass pin: the pointer-change version is claimed only
+    AFTER os.replace lands.  A write that fails mid-I/O must leave
+    the version unclaimed so a retry (or the next changed pointer)
+    still persists — claiming it up front would skip the re-write
+    and leave the durable file holding the superseded pointer."""
+    import json
+    import os as _os
+
+    from pulsar_sync_java_spark.streaming import ann_serve
+
+    state = str(tmp_path / "ptr.json")
+    srv = IvfServer("/idx/v0", [[0.0, 1.0]], state_path=state)
+
+    real_replace = _os.replace
+    boom = {"armed": True}
+
+    def flaky_replace(src, dst):
+        if boom["armed"] and dst == state:
+            boom["armed"] = False
+            raise OSError(28, "No space left on device")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(ann_serve.os, "replace", flaky_replace)
+
+    st1 = {"kind": "ivf", "path": "/idx/v1", "centroids": [[1.0, 1.0]]}
+    with pytest.raises(OSError):
+        srv._write_state(st1, 1)
+    # durable file still holds v0; version 1 must NOT be claimed
+    assert json.load(open(state))["path"] == "/idx/v0"
+    # the retry persists the same version instead of being skipped
+    srv._write_state(st1, 1)
+    assert json.load(open(state))["path"] == "/idx/v1"
+
+
+def test_cursor_advance_kernel_trims_consumed_samples(spark):
+    """The keyed-state bound in action: once every tracked
+    subscription has emitted, samples at-or-before the minimum
+    emitted floor are trimmed from state — and trimming never starts
+    while any tracked subscription has yet to emit."""
+    import pandas as pd
+
+    from pulsar_sync_java_spark.streaming.cursor_advance import _advancer
+    from tests.test_cursor_advance_props import FakeState
+
+    fn = _advancer(10_000)
+    state = FakeState()
+
+    def batch(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["kind", "cursor", "ts", "event_id"]
+        )
+        return [
+            tuple(r)
+            for res in fn(("t", 0), [pdf], state)
+            for r in res.itertuples(index=False)
+        ]
+
+    # 5 samples + one cursor at 250 and one cursor stuck before all
+    # samples: NO trim while subB has not emitted
+    rows = [("sample", None, ts, ts + 1) for ts in (100, 150, 200, 300, 400)]
+    rows += [("cursor", "subA", 250, None), ("cursor", "subB", 50, None)]
+    out = batch(rows)
+    assert ("t", 0, "subA", 200, 201) in out
+    samples, _ = state.get
+    assert len(samples) == 5  # subB pending: everything retained
+
+    # subB advances and emits -> horizon = min(200, 100) = 100 trims
+    # the 100-ts sample only
+    out = batch([("cursor", "subB", 120, None)])
+    assert out == [("t", 0, "subB", 100, 101)]
+    samples, _ = state.get
+    assert sorted(s[0] for s in samples) == [150, 200, 300, 400]
+
+    # both advance past everything: retained tail shrinks to the
+    # samples above the new shared floor
+    out = batch([("cursor", "subA", 500, None), ("cursor", "subB", 500, None)])
+    assert {o[2] for o in out} == {"subA", "subB"}
+    samples, _ = state.get
+    assert [s[0] for s in samples] == [400] or samples[-1][0] == 400
