@@ -176,3 +176,13 @@ def test_persist_population_matches_declared_allowlist():
         f"{ {k: v for k, v in found.items() if PERSIST_ALLOWLIST.get(k) != v} }\n"
         f"stale: { {k: v for k, v in PERSIST_ALLOWLIST.items() if found.get(k) != v} }"
     )
+
+
+def test_detail_sidecar_name_suffixed_off_canonical_sf():
+    """A verify/debug bench run at any sf other than the canonical
+    driver scale must not clobber the committed sf0.1 BENCH_DETAIL.json
+    (r12 verdict #7)."""
+    assert bench._detail_name(0.1) == "BENCH_DETAIL.json"
+    assert bench._detail_name(0.01) == "BENCH_DETAIL_sf0.01.json"
+    assert bench._detail_name(1.0) == "BENCH_DETAIL_sf1.0.json"
+    assert bench._detail_name("sf-custom") == "BENCH_DETAIL_sfsf-custom.json"
