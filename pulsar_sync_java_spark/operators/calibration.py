@@ -22,9 +22,12 @@ classes stay testable end-to-end through the unified page:
 collapsed-family hook) and ``ann_centroids``/``ann_codebooks`` (the
 mis-trained-codebook hook).
 
-Scale: documents and embeddings are sampled to ``max_docs`` /
-probe-batch sizes before any pair work, so the report is
-sample²-bounded regardless of corpus size — the operator schedules it
+Scale: the documents side is sampled to ``max_docs`` before any pair
+work, and the embeddings side to ``max_emb`` (deterministic smallest
+ids, so the default probes stay resolvable) before the ANN audit —
+ann_calibration's exact anchor pays one full scan of whatever frame
+it receives, so the bound is applied HERE, making the report
+sample-bounded regardless of corpus size.  The operator schedules it
 per model-refresh cadence, not per request (the q_ann_calibration
 cost model)."""
 
@@ -46,6 +49,7 @@ def calibration_report(
     spark: SparkSession,
     sf_dir: str,
     max_docs: int = 1000,
+    max_emb: int = 20_000,
     probe_ids: tuple = (0, 101, 202),
     threshold: float = 0.5,
     minhash_num_hashes: int = 64,
@@ -74,7 +78,15 @@ def calibration_report(
         .orderBy("doc_id")
         .limit(max_docs)
     )
-    emb = load_table(spark, sf_dir, "embeddings")
+    # deterministic smallest-id slice, mirroring the documents bound:
+    # the exact ANN anchor scans its whole input frame, so the budget
+    # is enforced here, and the small default probe_ids stay inside
+    # the slice whenever they exist at all (r12 ADVICE)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(max_emb)
+    )
 
     rows: list[tuple] = []
 
@@ -94,9 +106,17 @@ def calibration_report(
     rows.append(("minhash", "n_exact_pairs", float(mh["n_exact"]), True))
 
     # -- SimHash ------------------------------------------------------
+    # materialize-and-release: the audit's two corpus-scale cached
+    # frames must not outlive the collect in a long-lived scheduler
+    # session (r12 ADVICE)
+    sh_handles: list = []
     sh = simhash_calibration(
-        docs, fingerprints=simhash_fingerprints
+        docs,
+        fingerprints=simhash_fingerprints,
+        cache_handles=sh_handles,
     ).collect()
+    for h in sh_handles:
+        h.unpersist()
     near = [r["exact_cos"] for r in sh if r["hamming"] <= 3]
     far = [r["exact_cos"] for r in sh if r["hamming"] > 3]
     sep = (
@@ -116,21 +136,47 @@ def calibration_report(
     rows.append(("simhash", "n_near_pairs", float(len(near)), True))
 
     # -- ANN / PQ coded metric ---------------------------------------
-    flags = ann_calibration(
-        emb,
-        list(probe_ids),
-        centroids=ann_centroids,
-        codebooks=ann_codebooks,
-        paths=("pq",),
-    ).collect()
+    # Probe-resolution is DATA, separated from model health (r12
+    # ADVICE): probe_ids that don't exist in the corpus (tiny or
+    # re-keyed embeddings table) mean the MONITOR is misconfigured,
+    # not that the model failed.  Resolve first — ann_calibration
+    # (correctly) raises on absent ids, but a health page should name
+    # the misconfiguration as its own failing row instead of crashing:
+    # n_probes carries that signal alone (ok = every probe resolved);
+    # the fraction gates below then pass vacuously when nothing
+    # resolved — the asymmetric-vacuity device the SimHash gate above
+    # already uses.
+    resolved = [
+        int(r["vec_id"])
+        for r in emb.filter(
+            F.col("vec_id").isin([int(q) for q in probe_ids])
+        )
+        .select("vec_id")
+        .collect()
+    ]
+    flags = (
+        ann_calibration(
+            emb,
+            resolved,
+            centroids=ann_centroids,
+            codebooks=ann_codebooks,
+            paths=("pq",),
+        ).collect()
+        if resolved
+        else []
+    )
     n = len(flags)
+    rows.append(("ann_pq", "n_probes", float(n), n == len(probe_ids)))
     for metric, col in (
         ("recall_pq_ok_frac", "recall_pq_ok"),
         ("rank_corr_ok_frac", "rank_corr_ok"),
         ("adc_err_ok_frac", "adc_err_ok"),
     ):
         frac = sum(1 for r in flags if r[col]) / n if n else 0.0
-        rows.append(("ann_pq", metric, frac, frac >= ANN_FLAG_FRAC_MIN))
+        rows.append((
+            "ann_pq", metric, frac,
+            frac >= ANN_FLAG_FRAC_MIN if n else True,
+        ))
 
     return spark.createDataFrame(
         rows, "family string, metric string, value double, ok boolean"

@@ -544,6 +544,7 @@ def simhash_calibration(
     max_hamming: int = 3,
     sample_k: int = 25,
     fingerprints: DataFrame | None = None,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Per-pair SimHash quality monitoring — the SimHash member of the
     calibration-twin family (q_sketch_calibration for MinHash,
@@ -578,7 +579,15 @@ def simhash_calibration(
     the near-dup side is the capped pigeonhole candidate set, so the
     pair frame is broadcast-sized; the token-count join fans each pair
     out by ONE document's token vocabulary (pairs x ~tokens/doc rows),
-    never corpus x corpus.  One tokenize pass feeds counts and norms."""
+    never corpus x corpus.  One tokenize pass feeds counts and norms.
+
+    `cache_handles`, when a list, collects the two persisted frames so
+    a long-lived caller (calibration_report, which materializes the
+    result immediately) can `unpersist()` them after collection —
+    without it a session scheduling this audit per model-refresh
+    cadence accumulates executor storage memory indefinitely (r12
+    ADVICE).  The CLI/one-shot path may leave it None: session exit
+    releases the cache."""
     # persist: the fingerprint frame feeds the pigeonhole pairing AND
     # both per-pair signature lookups, the count frame feeds norms AND
     # both sides of the dot join — without a cache the Arrow simhash
@@ -593,6 +602,8 @@ def simhash_calibration(
         if fingerprints is not None
         else simhash64(df, id_col, text_col, portable=True)
     ).persist()
+    if cache_handles is not None:
+        cache_handles.append(sims)
     near = simhash_near_pairs(sims, id_col, max_hamming).select(
         "doc_a", "doc_b"
     )
@@ -624,6 +635,8 @@ def simhash_calibration(
         .groupBy(id_col, "__t")
         .agg(F.count(F.lit(1)).alias("__c"))
     ).persist()
+    if cache_handles is not None:
+        cache_handles.append(cnts)
     norms = cnts.groupBy(id_col).agg(
         F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__n2")
     )

@@ -94,3 +94,36 @@ def test_calibrate_cli_prints_gates_and_exit_code(spark, capsys):
     fams = {r["family"] for r in out[:-1]}
     assert fams == {"minhash", "simhash", "ann_pq"}
     assert all(r["ok"] for r in out[:-1])
+
+
+def test_calibration_report_unresolvable_probes_vacuous_not_model_failure(
+    spark,
+):
+    """r12 ADVICE: probe ids absent from the embeddings table are a
+    MONITOR misconfiguration, not model failure — the page must not
+    crash (ann_calibration's own guard raises) and must not flag the
+    fraction gates; the n_probes data row alone carries the failure."""
+    page = _page(
+        calibration_report(spark, SF_DIR, probe_ids=(987_654, 987_655))
+    )
+    assert page[("ann_pq", "n_probes")] == (0.0, False)
+    for metric in (
+        "recall_pq_ok_frac",
+        "rank_corr_ok_frac",
+        "adc_err_ok_frac",
+    ):
+        assert page[("ann_pq", metric)][1] is True, metric  # vacuous
+    # the other two families are untouched by the probe misfire
+    assert page[("minhash", "band_miss_rate")][1]
+    assert page[("simhash", "separation")][1]
+
+
+def test_calibration_report_releases_simhash_caches(spark):
+    """r12 ADVICE: the SimHash audit's two persisted corpus-scale
+    frames must not outlive the report in a long-lived scheduler
+    session."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    calibration_report(spark, SF_DIR)
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before, (before, after)
