@@ -219,11 +219,16 @@ FROM a2 JOIN (SELECT cluster, COUNT(*) AS cluster_size
 
 
 def kmeans_assignments(
-    e: DataFrame, sample_pct: int = 100, seed_salt: int = 0
+    e: DataFrame,
+    sample_pct: int = 100,
+    seed_salt: int = 0,
+    k: int = _K,
 ) -> DataFrame:
-    """Shared Lloyd driver behind q_kmeans_assign (full-pass) and
-    q_kmeans_minibatch (sampled-update): K=8, 2 iterations, init = K
-    smallest vec_ids; returns (vec_id, cluster, cluster_size).
+    """Shared Lloyd driver behind q_kmeans_assign (full-pass),
+    q_kmeans_minibatch (sampled-update) and `semantic_dedup`'s
+    corpus-derived K: `k` clusters (default the oracle-pinned K=8),
+    2 iterations, init = k smallest vec_ids; returns (vec_id,
+    cluster, cluster_size).
 
     `sample_pct=100` is the exact full-pass algorithm — no filter is
     planned at all, so the oracle-gated default's bytes are untouched.
@@ -239,7 +244,7 @@ def kmeans_assignments(
     keeps no centroid and drops out — deterministic in both engines
     (the update join simply emits K' < K rows); with the data-ordered
     init and real embeddings this does not occur at any test SF."""
-    cent = e.filter(F.col("vec_id") < _K).select(
+    cent = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cluster"),
         F.transform("embedding", lambda x: x.cast("double")).alias("carr"),
     )
@@ -419,6 +424,10 @@ FROM a2 k LEFT JOIN labels l ON l.vec_id = k.vec_id
 
 _SEM_THRESHOLD = 0.35
 _SEM_KSUB = 16
+# Reduce-group target for the pair stage: K·S² ≈ this (the measured-
+# healthy width from the r12 sf1 sweep); semantic_dedup derives S
+# from it as K grows.
+_SEM_PAIR_GROUPS = 512
 # Block decomposition width for the in-cell pair self-join: the join
 # key is (cluster, block_a, block_b) with block = pmod(xxhash64(id),
 # S), so the pair stage fans out over K*S^2 reduce groups instead of
@@ -466,6 +475,47 @@ def _sem_pq_model(e: DataFrame, sf_dir: str) -> tuple[int, list]:
     return got
 
 
+def semantic_dedup(
+    e: DataFrame,
+    sf_dir: str,
+    k: int | None = None,
+    blocks: int | None = None,
+    threshold: float = _SEM_THRESHOLD,
+    sample_pct: int = 100,
+) -> DataFrame:
+    """The PRODUCTION SemDeDup entry point (r12 verdict #2): same
+    pipeline as the declared q_semantic_dedup, but the two scale dials
+    default to corpus-derived values instead of literals —
+
+    - ``k=None`` → K = max(8, ceil(√N)) (one count job): the SemDeDup
+      K ~ √N prescription, which balances the Lloyd assignment term
+      (N·K) against the in-cell pair term (N²/K) at N^1.5 each —
+      α ≈ 1.5 per decade instead of the α ≈ 2.5 a frozen K inherits
+      (SCALE.md §11.3; measured sf1: 538 s at K=8 → 149 s at K=224).
+      A deployment that wants α ≈ 1 sets K ∝ N (constant cell size)
+      explicitly; beyond ~10⁵ clusters the broadcast centroid table
+      outgrows the flat Lloyd and the IVF coarse quantizer
+      (operators/similarity.py) is the clustering stage instead.
+    - ``blocks=None`` → S = max(1, round(√(512/K))): holds the pair
+      stage's reduce-group count K·S² near the measured-healthy 512
+      as K grows, so small-K corpora keep full task width (the r12
+      parallelism-collapse fix) without S-fold replicating the coded
+      rows once K alone already provides the width.
+
+    Equivalence: auto-derived and explicitly-passed same-valued dials
+    produce identical results by construction (property-pinned in
+    tests/test_clustering_ops.py)."""
+    if k is None:
+        import math
+
+        n = e.count()
+        k = max(_K, math.isqrt(max(n - 1, 0)) + 1)  # ceil(sqrt(n))
+    if blocks is None:
+        blocks = max(1, round((_SEM_PAIR_GROUPS / k) ** 0.5))
+    return _semantic_dedup_pipeline(e, sf_dir, k, blocks, threshold,
+                                    sample_pct)
+
+
 @query("q_semantic_dedup", oracle=_SEMDEDUP_SQL)
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup end-to-end: cluster the embedding space with the gated
@@ -473,7 +523,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs on coded arithmetic, exact-cosine verify the survivors, and
     connected-component the >= 0.35 pairs into semantic dup groups —
     every vector labeled with its group (min vec_id) and whether it
-    would be dropped (non-keeper).
+    would be dropped (non-keeper).  K is pinned to 8 here because the
+    oracle replays the same K; production deployments call
+    `semantic_dedup`, which derives K (and the block count) from the
+    corpus instead of inheriting this literal.
 
     The in-cell pair scan is the 100 TB cost center (r10 verdict #6),
     so it now runs CODED: each vector carries d 4-bit-ish PQ codes
@@ -503,12 +556,25 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor set (lossless bound), every Lloyd argmin and every
     verified cosine keeps the decimal-exact discipline, so the
     composed pipeline stays hash-gateable end to end."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _semantic_dedup_pipeline(
+        e, sf_dir, _K, _SEM_PAIR_BLOCKS, _SEM_THRESHOLD, 100
+    )
+
+
+def _semantic_dedup_pipeline(
+    e: DataFrame,
+    sf_dir: str,
+    k: int,
+    blocks: int,
+    threshold: float,
+    sample_pct: int,
+) -> DataFrame:
     from pulsar_sync_java_spark.operators.vectorized import (
         pq_flat_encode_udf,
         pq_gram_dot_udf,
     )
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dim, books = _sem_pq_model(e, sf_dir)
     # the (vec_id, cluster) assignment table feeds three consumers
     # (both sides of the pair self-join + the final output join);
@@ -517,7 +583,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # narrow 2-column rows, the SemDeDup working set a production run
     # materializes anyway)
     assign = (
-        kmeans_assignments(e, sample_pct=100)
+        kmeans_assignments(e, sample_pct=sample_pct, k=k)
         .select("vec_id", "cluster")
         .persist()
     )
@@ -545,7 +611,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S possible partner blocks, side B across the S possible own
     # blocks of its partner, and the 3-column equi-join meets in the
     # middle
-    S = _SEM_PAIR_BLOCKS
+    S = blocks
     blk = F.pmod(F.xxhash64("vec_id"), F.lit(S)).cast("int")
     parts = F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
     a = coded.select(
@@ -579,7 +645,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["cluster", "__blk_a", "__blk_b"])
         .filter(F.col("va") < F.col("vb"))
         .withColumn("__adc", adc)
-        .filter(F.col("__adc") >= F.lit(_SEM_THRESHOLD) - bound)
+        .filter(F.col("__adc") >= F.lit(threshold) - bound)
         .select("va", "vb")
     )
     proj = e.select(
@@ -611,7 +677,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "va",
         "vb",
         (dot / (F.sqrt("nxa") * F.sqrt("nxb"))).alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= _SEM_THRESHOLD)
+    ).filter(F.col("cos_sim") >= threshold)
     labels = connected_components(sim, src="va", dst="vb")
     return (
         assign.join(labels, assign.vec_id == labels.id, "left")

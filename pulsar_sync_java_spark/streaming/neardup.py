@@ -63,14 +63,25 @@ def ingest_batch(
     text_col: str = "text",
     num_hashes: int = 64,
     bands: int = 16,
+    timings: dict | None = None,
 ) -> int:
     """Process one batch of documents; returns keepers appended.
 
     Exposed separately from the stream wiring so the decision kernel is
     unit-testable (and usable for one-shot delta ingestion without a
     streaming query).
+
+    `timings`, when a dict, receives per-stage wall seconds —
+    ``sec_neardup`` (signature kernel + LSH probe + drop-set
+    derivation, forced by a count on the persisted drop set) and
+    ``sec_append`` (both idempotent sink appends) — the r12 verdict #6
+    observability split; without it the stages run in the same lazy
+    plan and only their sum is attributable.
     """
+    import time as _time
+
     spark = batch_df.sparkSession
+    t0 = _time.perf_counter()
     sigs = minhash_signatures(
         batch_df, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, portable=True,
@@ -97,15 +108,25 @@ def ingest_batch(
             .select(F.greatest("doc_a", "doc_b").alias(id_col))
         )
         dropped = within if dropped is None else dropped.unionByName(within)
-        dropped = dropped.distinct()
-
-        keeper_sigs = sigs.join(dropped, id_col, "left_anti")
-        # docs the signature kernel skipped (< n tokens, no shingles)
-        # are trivially unique — kept, but never indexed
-        keepers = batch_df.join(dropped, id_col, "left_anti")
-        n = idempotent_append(keepers, sink_dir, [id_col])
-        idempotent_append(keeper_sigs, corpus_sig_dir, [id_col])
-        return n
+        # persisted: the drop set feeds BOTH left_anti joins below —
+        # uncached, the whole LSH probe would run twice
+        dropped = dropped.distinct().persist()
+        try:
+            if timings is not None:
+                dropped.count()  # force: decision cost ends here
+                timings["sec_neardup"] = _time.perf_counter() - t0
+            t1 = _time.perf_counter()
+            keeper_sigs = sigs.join(dropped, id_col, "left_anti")
+            # docs the signature kernel skipped (< n tokens, no
+            # shingles) are trivially unique — kept, but never indexed
+            keepers = batch_df.join(dropped, id_col, "left_anti")
+            n = idempotent_append(keepers, sink_dir, [id_col])
+            idempotent_append(keeper_sigs, corpus_sig_dir, [id_col])
+            if timings is not None:
+                timings["sec_append"] = _time.perf_counter() - t1
+            return n
+        finally:
+            dropped.unpersist()
     finally:
         sigs.unpersist()
 
@@ -175,6 +196,7 @@ def gated_ingest_batch_monitored(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tick_fn=None,
     **kwargs,
 ) -> int:
     """`gated_ingest_batch` plus a per-batch HEALTH ROW appended to
@@ -208,13 +230,28 @@ def gated_ingest_batch_monitored(
     frozen model; n_appended is sink-state-dependent by nature, which
     is exactly why replays must not rewrite it).  One extra 1-row
     control-plane append per batch; the counters ride the same
-    aggregate scan the gate already pays."""
+    aggregate scan the gate already pays.
+
+    Per-stage timing (r12 verdict #6): the row carries wall seconds
+    per stage — ``sec_gate`` (classifier scoring + decision counters),
+    ``sec_neardup`` / ``sec_append`` (from `ingest_batch`), and
+    ``sec_tick`` (the optional `tick_fn` closure — calibration /
+    compaction maintenance the stream wiring schedules on this batch;
+    0.0 when none ran) — so an aggregate throughput number like the
+    r12 527 docs/s is decomposable to the stage that actually bounds
+    it.  Timing is measurement only: a replay recomputes the stages
+    but the keyed first-write-wins append keeps the FIRST row's
+    numbers, consistent with the decision counters."""
+    import time as _time
+
     from pulsar_sync_java_spark.operators.quality import (
         classifier_gate,
         classifier_scores,
     )
 
     spark = batch_df.sparkSession
+    t_gate = _time.perf_counter()
+    timings: dict = {}
     scores = classifier_scores(batch_df, weights, id_col, text_col).persist()
     try:
         # DISTINCT arriving ids, not rows (review catch): the pipeline
@@ -242,12 +279,18 @@ def gated_ingest_batch_monitored(
         gated = classifier_gate(
             batch_df, weights, id_col, text_col, scores=scores
         )
+        timings["sec_gate"] = _time.perf_counter() - t_gate
         n_appended = ingest_batch(
             gated, corpus_sig_dir, sink_dir, threshold=threshold,
-            id_col=id_col, text_col=text_col, **kwargs,
+            id_col=id_col, text_col=text_col, timings=timings, **kwargs,
         )
     finally:
         scores.unpersist()
+    timings["sec_tick"] = 0.0
+    if tick_fn is not None:
+        t_tick = _time.perf_counter()
+        tick_fn()
+        timings["sec_tick"] = _time.perf_counter() - t_tick
     health = spark.createDataFrame(
         [
             (
@@ -257,10 +300,15 @@ def gated_ingest_batch_monitored(
                 int(n_in) - n_gated - n_oov,
                 n_gated,
                 int(n_appended),
+                round(timings.get("sec_gate", 0.0), 3),
+                round(timings.get("sec_neardup", 0.0), 3),
+                round(timings.get("sec_append", 0.0), 3),
+                round(timings["sec_tick"], 3),
             )
         ],
         "batch_id long, n_in long, n_oov long, n_gate_dropped long, "
-        "n_gated long, n_appended long",
+        "n_gated long, n_appended long, sec_gate double, "
+        "sec_neardup double, sec_append double, sec_tick double",
     )
     idempotent_append(health, monitor_dir, ["batch_id"])
     return n_appended
@@ -519,35 +567,45 @@ def gated_neardup_ingest_stream(
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         weights = batch_df.sparkSession.read.parquet(weights_path)
+
+        def ticks() -> None:
+            if (
+                calibrate_every
+                and batch_id % calibrate_every == calibrate_every - 1
+            ):
+                sketch_calibration_batch(
+                    batch_df, calib_dir, batch_id, threshold=threshold,
+                    id_col=kwargs.get("id_col", "doc_id"),
+                    text_col=kwargs.get("text_col", "text"),
+                    num_hashes=kwargs.get("num_hashes", 64),
+                    bands=kwargs.get("bands", 16),
+                )
+            if compact_every and batch_id % compact_every == compact_every - 1:
+                from pulsar_sync_java_spark.sinks.writers import (
+                    compact_table_files,
+                )
+
+                id_col = kwargs.get("id_col", "doc_id")
+                for table in (sink_dir, corpus_sig_dir):
+                    compact_table_files(
+                        batch_df.sparkSession, table, id_col,
+                        compact_target_rows, compact_under_rows,
+                    )
+
         if monitor_dir is not None:
+            # ticks run INSIDE the monitored batch so their wall time
+            # lands in this batch's sec_tick health column
             gated_ingest_batch_monitored(
                 batch_df, weights, corpus_sig_dir, sink_dir,
-                monitor_dir, batch_id, threshold=threshold, **kwargs,
+                monitor_dir, batch_id, threshold=threshold,
+                tick_fn=ticks, **kwargs,
             )
         else:
             gated_ingest_batch(
                 batch_df, weights, corpus_sig_dir, sink_dir,
                 threshold=threshold, **kwargs,
             )
-        if calibrate_every and batch_id % calibrate_every == calibrate_every - 1:
-            sketch_calibration_batch(
-                batch_df, calib_dir, batch_id, threshold=threshold,
-                id_col=kwargs.get("id_col", "doc_id"),
-                text_col=kwargs.get("text_col", "text"),
-                num_hashes=kwargs.get("num_hashes", 64),
-                bands=kwargs.get("bands", 16),
-            )
-        if compact_every and batch_id % compact_every == compact_every - 1:
-            from pulsar_sync_java_spark.sinks.writers import (
-                compact_table_files,
-            )
-
-            id_col = kwargs.get("id_col", "doc_id")
-            for table in (sink_dir, corpus_sig_dir):
-                compact_table_files(
-                    batch_df.sparkSession, table, id_col,
-                    compact_target_rows, compact_under_rows,
-                )
+            ticks()
 
     return (
         doc_stream.writeStream.foreachBatch(apply)

@@ -104,7 +104,7 @@ PERSIST_ALLOWLIST = {
     ("operators/similarity.py", "embedding_near_pairs"): 1,  # signature projection (session-lifetime)
     ("operators/similarity.py", "ann_calibration"): 1,  # exact top-k anchor (|Q| x k rows; 6 consumers); the coded_path audit counts deliberately do NOT persist (no release point for a frame the return value outlives)
     ("operators/dedup.py", "simhash_calibration"): 2,  # fingerprints (3 consumers: pigeonhole pairing + both pair lookups) and token counts (3: norms + both dot sides) — without them the Arrow simhash kernel runs 3x and the tokenize 4x
-    ("queries/clustering.py", "q_semantic_dedup"): 1,   # (vec_id, cluster) assignment table (narrow, 3 consumers)
+    ("queries/clustering.py", "_semantic_dedup_pipeline"): 1,  # (vec_id, cluster) assignment table (narrow, 3 consumers); shared by q_semantic_dedup and the auto-K semantic_dedup helper
     ("queries/dedup_scale.py", "q_ann_pq_topk"): 1,     # 10-row approx result (cardinality agg + recall join share the encode+ADC lineage)
     ("queries/dedup_scale.py", "q_sketch_calibration"): 1,   # portable sigs (banded subtree + 2 lookups; plan-matched with q_minhash_lsh)
     ("queries/dedup_scale.py", "q_incremental_dedup"): 1,    # minhash sigs (plan-matched with the other sig users)
@@ -125,7 +125,7 @@ PERSIST_ALLOWLIST = {
     ("queries/training.py", "q_corpus_materialize"): 1, # feature table = pushdown barrier (measured 13x)
     ("queries/training.py", "q_dedup_keepers"): 1,      # minhash sigs (plan-matched)
     ("sinks/writers.py", "idempotent_append"): 2,       # released: both unpersist in finally-shaped flow
-    ("streaming/neardup.py", "ingest_batch"): 1,        # released per micro-batch
+    ("streaming/neardup.py", "ingest_batch"): 2,        # batch sigs + drop-id set (feeds both left_anti joins); both released per micro-batch
     ("streaming/neardup.py", "gated_ingest_batch_monitored"): 1,  # per-batch classifier scores feed the gate AND the health counters; released in the finally
 }
 

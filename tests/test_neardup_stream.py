@@ -353,6 +353,12 @@ def test_monitored_gate_health_table_and_drift_alarm(
         assert r["n_oov"] + r["n_gate_dropped"] + r["n_gated"] == r["n_in"]
         assert r["n_gate_dropped"] >= 0
         assert r["n_appended"] <= r["n_gated"]
+        # per-stage timing columns (r12 verdict #6): the stages that
+        # ran carry positive wall seconds; no ticks are scheduled in
+        # this stream so sec_tick is exactly 0
+        assert r["sec_gate"] > 0 and r["sec_neardup"] > 0
+        assert r["sec_append"] > 0
+        assert r["sec_tick"] == 0.0
     # the garbage batch: every doc OOV, nothing survives the gate,
     # and ZERO scored rejections — OOV is not a gate drop
     g = health[4]
@@ -443,6 +449,7 @@ def test_sketch_calibration_tick_banding_drift_alarm(
                 checkpoint_dir=ck,
                 calibrate_every=1,
                 calib_dir=calib,
+                monitor_dir=str(tmp_path / "health"),
             )
             .trigger(availableNow=True)
             .start()
@@ -453,6 +460,10 @@ def test_sketch_calibration_tick_banding_drift_alarm(
             raise exc
 
     run(str(tmp_path / "ckpt"))
+    # every batch runs a calibration tick (calibrate_every=1) and the
+    # monitored health row attributes its wall time (r12 verdict #6)
+    for r in spark.read.parquet(str(tmp_path / "health")).collect():
+        assert r["sec_tick"] > 0, r
     health = {
         r["batch_id"]: r for r in spark.read.parquet(calib).collect()
     }

@@ -20,7 +20,15 @@ Row counts per sf (measured ratios from the driver's sf0.01 dir):
 
 Usage:  python tools/gen_testdata.py <sf> [<sf> ...]   e.g. 0.01 0.1 1
 Output: localdata/sf<sf>/<table>.parquet
-"""
+
+Layout (r12 verdict #4): at sf >= 1 every non-tiny table is written
+as a DIRECTORY named <table>.parquet holding >= N_FILES part files —
+the multi-file reality a 100 TB lake has, so scan parallelism at the
+measured scale comes from the file count (Spark's per-file splits)
+like production, not from byte-splitting one giant row group.  Sub-1
+slices keep the single-file layout the driver's testdata uses.
+Values are IDENTICAL either way: the split slices the same generated
+arrays, so single- vs multi-file is purely a layout change."""
 
 from __future__ import annotations
 
@@ -56,9 +64,37 @@ EPOCH_1995 = np.datetime64("1995-01-01")
 EPOCH_2024 = np.datetime64("2024-01-01")
 
 
-def _write(path: str, table: pa.Table) -> None:
-    pq.write_table(table, path, compression="snappy")
-    print(f"  wrote {path}  ({table.num_rows} rows)", flush=True)
+N_FILES = 32          # part files per table at sf >= 1
+_SPLIT_MIN_ROWS = 10_000  # tiny dims (region/nation/...) stay one file
+
+
+def _write(path: str, table: pa.Table, n_files: int = 1) -> None:
+    if n_files <= 1 or table.num_rows < _SPLIT_MIN_ROWS:
+        # single file; drop any directory a previous multi-file run left
+        if os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
+        pq.write_table(table, path, compression="snappy")
+        print(f"  wrote {path}  ({table.num_rows} rows)", flush=True)
+        return
+    if os.path.isfile(path):
+        os.remove(path)  # previous single-file run
+    os.makedirs(path, exist_ok=True)
+    per = -(-table.num_rows // n_files)  # ceil
+    for i in range(n_files):
+        part = table.slice(i * per, per)
+        if part.num_rows == 0:
+            break
+        pq.write_table(
+            part,
+            os.path.join(path, f"part-{i:05d}.parquet"),
+            compression="snappy",
+        )
+    print(
+        f"  wrote {path}/  ({table.num_rows} rows, {n_files} files)",
+        flush=True,
+    )
 
 
 def _ts_col(days_float: np.ndarray, epoch: np.datetime64) -> pa.Array:
@@ -70,6 +106,7 @@ def gen_sf(sf: float) -> None:
     out = os.path.join(ROOT, f"sf{sf:g}")
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng([SEED, int(sf * 1_000_000)])
+    nf = N_FILES if sf >= 1 else 1
 
     n_cust = int(150_000 * sf)
     n_supp = max(int(10_000 * sf), 4)
@@ -85,12 +122,12 @@ def gen_sf(sf: float) -> None:
     _write(os.path.join(out, "region.parquet"), pa.table({
         "r_regionkey": pa.array(np.arange(5, dtype=np.int32)),
         "r_name": pa.array(REGIONS),
-    }))
+    }), nf)
     _write(os.path.join(out, "nation.parquet"), pa.table({
         "n_nationkey": pa.array(np.arange(25, dtype=np.int32)),
         "n_name": pa.array([f"NATION_{i}" for i in range(25)]),
         "n_regionkey": pa.array((np.arange(25) % 5).astype(np.int32)),
-    }))
+    }), nf)
 
     _write(os.path.join(out, "customer.parquet"), pa.table({
         "c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
@@ -98,14 +135,14 @@ def gen_sf(sf: float) -> None:
         "c_nationkey": pa.array(rng.integers(0, 25, n_cust).astype(np.int32)),
         "c_acctbal": pa.array(np.round(rng.uniform(-999, 9999, n_cust), 2)),
         "c_mktsegment": pa.array(np.array(SEGMENTS)[rng.integers(0, 5, n_cust)]),
-    }))
+    }), nf)
 
     _write(os.path.join(out, "supplier.parquet"), pa.table({
         "s_suppkey": pa.array(np.arange(n_supp, dtype=np.int64)),
         "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
         "s_nationkey": pa.array(rng.integers(0, 25, n_supp).astype(np.int32)),
         "s_acctbal": pa.array(np.round(rng.uniform(-999, 9999, n_supp), 2)),
-    }))
+    }), nf)
 
     _write(os.path.join(out, "part.parquet"), pa.table({
         "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
@@ -116,7 +153,7 @@ def gen_sf(sf: float) -> None:
         "p_type": pa.array(np.array(PTYPES)[rng.integers(0, 5, n_part)]),
         "p_size": pa.array(rng.integers(1, 51, n_part).astype(np.int32)),
         "p_retailprice": pa.array(np.round(900.0 + (np.arange(n_part) % 1000) / 10.0, 2)),
-    }))
+    }), nf)
 
     # orders — o_orderdate spans 1995-01-01 .. 2001-08-01 (driver range)
     _write(os.path.join(out, "orders.parquet"), pa.table({
@@ -128,10 +165,14 @@ def gen_sf(sf: float) -> None:
             rng.integers(0, 2404, n_ord).astype(np.float64), EPOCH_1995
         ),
         "o_orderpriority": pa.array(np.array(PRIORITIES)[rng.integers(0, 5, n_ord)]),
-    }))
+    }), nf)
 
-    # lineitem — ~4 lines/order (1..7), chunked so sf1 stays in RAM
+    # lineitem — ~4 lines/order (1..7), chunked so sf1 stays in RAM.
+    # Chunk size is FIXED regardless of layout so the rng draw
+    # sequence (hence the data) is identical single- vs multi-file;
+    # multi-file mode buffers the chunk tables and splits at the end.
     writer = None
+    li_chunks: list[pa.Table] = []
     li_path = os.path.join(out, "lineitem.parquet")
     chunk = 2_000_000
     done = 0
@@ -154,13 +195,21 @@ def gen_sf(sf: float) -> None:
                 rng.integers(1, 2500, m).astype(np.float64), EPOCH_1995
             ),
         })
-        if writer is None:
-            writer = pq.ParquetWriter(li_path, t.schema, compression="snappy")
-        writer.write_table(t)
+        if nf > 1:
+            li_chunks.append(t)
+        else:
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    li_path, t.schema, compression="snappy"
+                )
+            writer.write_table(t)
         done += m
     if writer is not None:
         writer.close()
-    print(f"  wrote {li_path}  ({n_li} rows)", flush=True)
+        print(f"  wrote {li_path}  ({n_li} rows)", flush=True)
+    if li_chunks:
+        _write(li_path, pa.concat_tables(li_chunks), nf)
+        li_chunks.clear()
 
     # events — 30 days of 2024-01, JSON props {"k": 0..99}
     _write(os.path.join(out, "events.parquet"), pa.table({
@@ -172,7 +221,7 @@ def gen_sf(sf: float) -> None:
         "props": pa.array([
             '{"k": %d}' % k for k in rng.integers(0, 100, n_ev)
         ]),
-    }))
+    }), nf)
 
     # documents — word-salad over the 30-word vocab + rare "dup";
     # length 10..110 words (driver: 48..553 chars, mean ~298)
@@ -194,7 +243,7 @@ def gen_sf(sf: float) -> None:
         ]),
         "source": pa.array([f"src{int(s)}" for s in rng.integers(1, 21, n_doc)]),
         "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
-    }))
+    }), nf)
 
     # embeddings — 64-d unit vectors in 10 clusters (driver: 10 labels,
     # unit norm); cluster centers drawn once per sf from the same rng
@@ -210,7 +259,7 @@ def gen_sf(sf: float) -> None:
             list(vecs.astype(np.float32)), type=pa.list_(pa.float32())
         ),
         "label": pa.array(labels.astype(np.int32)),
-    }))
+    }), nf)
 
 
 def main() -> None:
