@@ -19,7 +19,9 @@ equivalent of the reference's uncaught-exception handler: loud, not
 swallowed).
 
 ``python -m pulsar_sync_java_spark calibrate SF_DIR`` runs the
-unified sketch-model health page instead (see `_main_calibrate`).
+unified sketch-model health page instead (see `_main_calibrate`);
+``python -m pulsar_sync_java_spark semdedup SF_DIR OUT_DIR`` runs the
+production auto-K SemDeDup pass (see `_main_semdedup`).
 """
 
 from __future__ import annotations
@@ -110,10 +112,64 @@ def _main_calibrate(argv: list[str]) -> int:
     return 0 if ok else 1
 
 
+def _main_semdedup(argv: list[str]) -> int:
+    """``python -m pulsar_sync_java_spark semdedup SF_DIR OUT_DIR`` —
+    run the production SemDeDup pass (`queries/clustering.py:
+    semantic_dedup`) with its corpus-derived dials (K = max(8,
+    ceil(√N)) clusters, block count from the 512-reduce-group target
+    — r12 verdict #2) and write the (vec_id, cluster, sem_group,
+    is_dup) labels as parquet.  Prints one JSON summary line with the
+    derived dials and the dup count, so a pipeline can log what the
+    dial derivation actually chose."""
+    p = argparse.ArgumentParser(
+        prog="python -m pulsar_sync_java_spark semdedup",
+        description="Production SemDeDup: corpus-derived K and block "
+        "count, PQ-prefiltered in-cell pairs, exact verify, "
+        "connected-component groups.",
+    )
+    p.add_argument("sf_dir", help="table directory (embeddings)")
+    p.add_argument("out_dir", help="output parquet directory for labels")
+    p.add_argument(
+        "--k", type=int, default=None,
+        help="override the derived cluster count (default: ceil(sqrt(N)))",
+    )
+    p.add_argument(
+        "--threshold", type=float, default=0.35,
+        help="cosine threshold for a semantic-dup pair",
+    )
+    args = p.parse_args(argv)
+    import math
+
+    from pulsar_sync_java_spark.queries.clustering import semantic_dedup
+    from pulsar_sync_java_spark.session import get_spark
+    from pulsar_sync_java_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="pulsar-sync-semdedup")
+    e = load_table(spark, args.sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    n = e.count()
+    k = args.k if args.k is not None else max(
+        8, math.isqrt(max(n - 1, 0)) + 1
+    )
+    out = semantic_dedup(e, args.sf_dir, k=k, threshold=args.threshold)
+    out.write.mode("overwrite").parquet(args.out_dir)
+    labeled = spark.read.parquet(args.out_dir)
+    n_dups = labeled.filter("is_dup").count()
+    print(json.dumps(
+        {"n": n, "k": k, "threshold": args.threshold,
+         "n_dups": n_dups, "out": args.out_dir},
+        separators=(",", ":"),
+    ))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "calibrate":
         return _main_calibrate(argv[1:])
+    if argv and argv[0] == "semdedup":
+        return _main_semdedup(argv[1:])
     args = _parser().parse_args(argv)
     from pulsar_sync_java_spark.engine import SyncEngine, SyncEngineConfig
     from pulsar_sync_java_spark.session import get_spark

@@ -127,3 +127,24 @@ def test_calibration_report_releases_simhash_caches(spark):
     calibration_report(spark, SF_DIR)
     after = jsc.getPersistentRDDs().size()
     assert after <= before, (before, after)
+
+
+def test_semdedup_cli_derives_dials_and_writes_labels(spark, tmp_path, capsys):
+    """`python -m pulsar_sync_java_spark semdedup SF_DIR OUT` — the
+    production auto-K entry point (r12 verdict #2): derives K from the
+    corpus, writes the label table, and reports the dials it chose."""
+    import json
+    import math
+
+    from pulsar_sync_java_spark.__main__ import main
+
+    out_dir = str(tmp_path / "labels")
+    rc = main(["semdedup", SF_DIR, out_dir])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    labeled = spark.read.parquet(out_dir)
+    n = labeled.count()
+    assert line["n"] == n
+    assert line["k"] == max(8, math.isqrt(max(n - 1, 0)) + 1)
+    assert line["n_dups"] == labeled.filter("is_dup").count()
+    assert set(labeled.columns) == {"vec_id", "cluster", "sem_group", "is_dup"}

@@ -41,7 +41,12 @@ def main() -> int:
     spark = get_spark(app_name="oracle-sweep")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # <table>.parquet may be a single file (driver layout) or a
+        # directory of part files (gen_testdata multi-file layout at
+        # sf >= 1) — DuckDB needs the glob for the directory form
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     if only is not None:
