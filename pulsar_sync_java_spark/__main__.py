@@ -138,9 +138,10 @@ def _main_semdedup(argv: list[str]) -> int:
         help="cosine threshold for a semantic-dup pair",
     )
     args = p.parse_args(argv)
-    import math
-
-    from pulsar_sync_java_spark.queries.clustering import semantic_dedup
+    from pulsar_sync_java_spark.queries.clustering import (
+        derive_semdedup_dials,
+        semantic_dedup,
+    )
     from pulsar_sync_java_spark.session import get_spark
     from pulsar_sync_java_spark.sources.tables import load_table
 
@@ -149,15 +150,18 @@ def _main_semdedup(argv: list[str]) -> int:
         "vec_id", "embedding"
     )
     n = e.count()
-    k = args.k if args.k is not None else max(
-        8, math.isqrt(max(n - 1, 0)) + 1
+    # ONE derivation (queries/clustering.py) serves the helper and
+    # this CLI, and the summary line carries BOTH derived dials so a
+    # pipeline log can reproduce the run exactly
+    k, s = derive_semdedup_dials(n, k=args.k)
+    out = semantic_dedup(
+        e, args.sf_dir, k=k, blocks=s, threshold=args.threshold
     )
-    out = semantic_dedup(e, args.sf_dir, k=k, threshold=args.threshold)
     out.write.mode("overwrite").parquet(args.out_dir)
     labeled = spark.read.parquet(args.out_dir)
     n_dups = labeled.filter("is_dup").count()
     print(json.dumps(
-        {"n": n, "k": k, "threshold": args.threshold,
+        {"n": n, "k": k, "blocks": s, "threshold": args.threshold,
          "n_dups": n_dups, "out": args.out_dir},
         separators=(",", ":"),
     ))

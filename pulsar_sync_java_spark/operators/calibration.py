@@ -110,13 +110,18 @@ def calibration_report(
     # frames must not outlive the collect in a long-lived scheduler
     # session (r12 ADVICE)
     sh_handles: list = []
-    sh = simhash_calibration(
-        docs,
-        fingerprints=simhash_fingerprints,
-        cache_handles=sh_handles,
-    ).collect()
-    for h in sh_handles:
-        h.unpersist()
+    try:
+        sh = simhash_calibration(
+            docs,
+            fingerprints=simhash_fingerprints,
+            cache_handles=sh_handles,
+        ).collect()
+    finally:
+        # release even when the collect fails — a scheduler retrying
+        # past transient executor failures must not accumulate the
+        # very frames this mechanism exists to free
+        for h in sh_handles:
+            h.unpersist()
     near = [r["exact_cos"] for r in sh if r["hamming"] <= 3]
     far = [r["exact_cos"] for r in sh if r["hamming"] > 3]
     sep = (

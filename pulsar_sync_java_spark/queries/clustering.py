@@ -218,11 +218,31 @@ FROM a2 JOIN (SELECT cluster, COUNT(*) AS cluster_size
 )
 
 
+def derive_semdedup_dials(
+    n: int, k: int | None = None
+) -> tuple[int, int]:
+    """The corpus-derived SemDeDup dials (r12 verdict #2), in ONE
+    place so the query module and the CLI cannot drift: K = max(8,
+    ceil(√N)) — balances the Lloyd assignment term (N·K) against the
+    in-cell pair term (N²/K) at N^1.5 each (measured α(1→3) = 1.35,
+    SCALE.md §11) — and block count S = max(1, round(√(512/K))),
+    holding the pair stage's K·S² reduce groups near the
+    measured-healthy 512.  An explicit `k` overrides the derivation
+    but S still derives from it."""
+    import math
+
+    if k is None:
+        k = max(_K, math.isqrt(max(n - 1, 0)) + 1)  # ceil(sqrt(n))
+    s = max(1, round((_SEM_PAIR_GROUPS / k) ** 0.5))
+    return k, s
+
+
 def kmeans_assignments(
     e: DataFrame,
     sample_pct: int = 100,
     seed_salt: int = 0,
     k: int = _K,
+    init: str = "id_lt_k",
 ) -> DataFrame:
     """Shared Lloyd driver behind q_kmeans_assign (full-pass),
     q_kmeans_minibatch (sampled-update) and `semantic_dedup`'s
@@ -243,11 +263,47 @@ def kmeans_assignments(
     test covers both).  A cluster that loses every sampled member
     keeps no centroid and drops out — deterministic in both engines
     (the update join simply emits K' < K rows); with the data-ordered
-    init and real embeddings this does not occur at any test SF."""
-    cent = e.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").cast("int").alias("cluster"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("carr"),
-    )
+    init and real embeddings this does not occur at any test SF.
+
+    `init` selects the seeding rule: ``"id_lt_k"`` (default) is the
+    oracle-replayable literal `vec_id < k` — it assumes 0-based
+    contiguous ids (the test corpora) and is what every declared
+    query's SQL twin replays; ``"k_smallest"`` seeds from the k
+    actually-smallest vec_ids (rank order), identical on contiguous
+    ids but correct on RE-KEYED corpora where the literal filter
+    would silently select no centroids — the production
+    `semantic_dedup` path uses it (review-pass catch).  Either way,
+    zero seedable centroids raises loudly instead of returning an
+    empty assignment."""
+    if init == "k_smallest":
+        from pyspark.sql import Window
+
+        # k rows: the rank window is trivially small
+        cent = (
+            e.orderBy("vec_id")
+            .limit(k)
+            .select(
+                (
+                    F.row_number().over(Window.orderBy("vec_id")) - 1
+                ).alias("cluster"),
+                F.transform(
+                    "embedding", lambda x: x.cast("double")
+                ).alias("carr"),
+            )
+        )
+    else:
+        cent = e.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").cast("int").alias("cluster"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("carr"),
+        )
+    if cent.limit(1).count() == 0:
+        raise ValueError(
+            f"kmeans_assignments: init={init!r} with k={k} selected "
+            "zero seed centroids — the corpus is empty, or its "
+            "vec_ids are not 0-based contiguous (use "
+            "init='k_smallest' for re-keyed corpora); refusing to "
+            "emit an empty assignment silently"
+        )
     for it in range(_ITERS):
         batch = (
             e
@@ -502,18 +558,20 @@ def semantic_dedup(
       parallelism-collapse fix) without S-fold replicating the coded
       rows once K alone already provides the width.
 
+    Seeding uses the rank-based ``k_smallest`` init (identical to the
+    declared query's literal on 0-based-contiguous ids, correct on
+    re-keyed corpora — see `kmeans_assignments`).
+
     Equivalence: auto-derived and explicitly-passed same-valued dials
     produce identical results by construction (property-pinned in
-    tests/test_clustering_ops.py)."""
-    if k is None:
-        import math
-
-        n = e.count()
-        k = max(_K, math.isqrt(max(n - 1, 0)) + 1)  # ceil(sqrt(n))
-    if blocks is None:
-        blocks = max(1, round((_SEM_PAIR_GROUPS / k) ** 0.5))
+    tests/test_new_query_props.py)."""
+    if k is None or blocks is None:
+        k, ds = derive_semdedup_dials(
+            e.count() if k is None else 0, k=k
+        )
+        blocks = ds if blocks is None else blocks
     return _semantic_dedup_pipeline(e, sf_dir, k, blocks, threshold,
-                                    sample_pct)
+                                    sample_pct, init="k_smallest")
 
 
 @query("q_semantic_dedup", oracle=_SEMDEDUP_SQL)
@@ -569,6 +627,7 @@ def _semantic_dedup_pipeline(
     blocks: int,
     threshold: float,
     sample_pct: int,
+    init: str = "id_lt_k",
 ) -> DataFrame:
     from pulsar_sync_java_spark.operators.vectorized import (
         pq_flat_encode_udf,
@@ -583,7 +642,7 @@ def _semantic_dedup_pipeline(
     # narrow 2-column rows, the SemDeDup working set a production run
     # materializes anyway)
     assign = (
-        kmeans_assignments(e, sample_pct=sample_pct, k=k)
+        kmeans_assignments(e, sample_pct=sample_pct, k=k, init=init)
         .select("vec_id", "cluster")
         .persist()
     )

@@ -95,6 +95,18 @@ _CURSOR = StructType(
     ]
 )
 
+#: Keyed-state schema, VERSION 2 (the `horizon` field was added by the
+#: r13 trim-horizon fix).  Spark's state store rejects a restart whose
+#: state schema differs from the checkpoint's, so a deployment
+#: upgrading a live stream starts a FRESH checkpoint rather than
+#: migrating in place — which is safe by construction here: the sink
+#: contract is `idempotent_append` keyed on (topic, partition, cursor,
+#: ts), so replaying the source from the start re-derives every
+#: already-emitted advance as a no-op, and per-subscription positions
+#: live in the SINK (latest row per cursor), not only in state.  The
+#: rebuilt state begins at horizon = -inf with the full replayed
+#: sample tail, i.e. strictly MORE information than the old
+#: checkpoint held — no delayed-never-wrong protection is lost.
 ADVANCE_STATE_SCHEMA = StructType(
     [
         StructField("samples", ArrayType(_SAMPLE)),

@@ -241,7 +241,17 @@ def gated_ingest_batch_monitored(
     r12 527 docs/s is decomposable to the stage that actually bounds
     it.  Timing is measurement only: a replay recomputes the stages
     but the keyed first-write-wins append keeps the FIRST row's
-    numbers, consistent with the decision counters."""
+    numbers, consistent with the decision counters.
+
+    Upgrade note: the timing columns widened the health schema (6 →
+    10 columns, r13).  Parquet appends into a PRE-upgrade
+    monitor_dir produce a mixed-schema directory — readers of the
+    old counters are unaffected, but a reader doing arithmetic on
+    the sec_* columns over such a directory must pass
+    ``mergeSchema`` (old rows surface the new columns as null) or,
+    cleaner, a deployment upgrading in place points the stream at a
+    fresh monitor_dir (the table is control-plane sized — one row
+    per micro-batch — so starting over costs nothing)."""
     import time as _time
 
     from pulsar_sync_java_spark.operators.quality import (

@@ -178,11 +178,37 @@ def test_persist_population_matches_declared_allowlist():
     )
 
 
-def test_detail_sidecar_name_suffixed_off_canonical_sf():
-    """A verify/debug bench run at any sf other than the canonical
-    driver scale must not clobber the committed sf0.1 BENCH_DETAIL.json
-    (r12 verdict #7)."""
-    assert bench._detail_name(0.1) == "BENCH_DETAIL.json"
-    assert bench._detail_name(0.01) == "BENCH_DETAIL_sf0.01.json"
-    assert bench._detail_name(1.0) == "BENCH_DETAIL_sf1.0.json"
-    assert bench._detail_name("sf-custom") == "BENCH_DETAIL_sfsf-custom.json"
+def test_detail_sidecar_name_suffixed_off_canonical_dir():
+    """A verify/debug bench run against anything but the canonical
+    dataset must not clobber the committed BENCH_DETAIL.json (r12
+    verdict #7)."""
+    assert (
+        bench._detail_name(0.1, bench.CANONICAL_SF_DIR)
+        == "BENCH_DETAIL.json"
+    )
+    assert (
+        bench._detail_name(0.01, "/root/testdata/sf0.01")
+        == "BENCH_DETAIL_sf0.01.json"
+    )
+    assert (
+        bench._detail_name(1.0, "/root/repo/localdata/sf1")
+        == "BENCH_DETAIL_sf1.0.json"
+    )
+    assert (
+        bench._detail_name("sf-custom", "/tmp/odd")
+        == "BENCH_DETAIL_sfsf-custom.json"
+    )
+
+
+def test_detail_sidecar_name_keys_on_canonical_dir_not_sf_value():
+    """Review-pass catch: a localdata/sf0.1 scaling-slice run parses
+    to the same sf VALUE as the canonical dataset — only the canonical
+    /root/testdata/sf0.1 dir may claim the bare sidecar name."""
+    assert (
+        bench._detail_name(0.1, "/root/repo/localdata/sf0.1")
+        == "BENCH_DETAIL_sf0.1.json"
+    )
+    assert (
+        bench._detail_name(0.1, "/root/testdata/sf0.1")
+        == "BENCH_DETAIL.json"
+    )

@@ -121,12 +121,19 @@ def test_calibration_report_unresolvable_probes_vacuous_not_model_failure(
 def test_calibration_report_releases_simhash_caches(spark):
     """r12 ADVICE: the SimHash audit's two persisted corpus-scale
     frames must not outlive the report in a long-lived scheduler
-    session."""
+    session.  Measured as STEADY-STATE growth — the first run may
+    register the engine's documented session-lifetime caches (the
+    shingle projection, ann_calibration's exact anchor — both in
+    PERSIST_ALLOWLIST), so the property is that a SECOND scheduled
+    run adds nothing: per-run frames are released, only the declared
+    session-lifetime set remains.  (Asserting on the absolute count
+    made the test order-dependent — the review-pass catch.)"""
     jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    calibration_report(spark, SF_DIR)  # warm: session-lifetime caches
+    steady = jsc.getPersistentRDDs().size()
     calibration_report(spark, SF_DIR)
     after = jsc.getPersistentRDDs().size()
-    assert after <= before, (before, after)
+    assert after <= steady, (steady, after)
 
 
 def test_semdedup_cli_derives_dials_and_writes_labels(spark, tmp_path, capsys):

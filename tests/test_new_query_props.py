@@ -174,6 +174,42 @@ def test_semantic_dedup_auto_k_equivalence_and_derivation(spark):
     assert pinned == declared
 
 
+def test_semantic_dedup_rekeyed_corpus_not_silently_empty(spark):
+    """Review-pass catch: the production helper must work on corpora
+    whose vec_ids are NOT 0-based contiguous.  The k_smallest init
+    seeds from the actually-smallest ids (invariant under a constant
+    id shift), so a re-keyed corpus gets the SAME group structure
+    shifted — while the declared query's literal `vec_id < k` init
+    would have selected zero centroids and (pre-fix) returned an
+    empty assignment silently; kmeans_assignments now raises loudly
+    in that case instead."""
+    from pyspark.sql import functions as F
+
+    from pulsar_sync_java_spark.queries.clustering import (
+        kmeans_assignments,
+        semantic_dedup,
+    )
+    from pulsar_sync_java_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    shift = 1_000_000
+    rekeyed = e.withColumn("vec_id", F.col("vec_id") + F.lit(shift))
+
+    base = sorted(map(tuple, semantic_dedup(e, SF_DIR, k=8).collect()))
+    got = sorted(
+        map(tuple, semantic_dedup(rekeyed, SF_DIR + "#rk", k=8).collect())
+    )
+    # same structure, every id shifted (clusters are rank-based)
+    assert got == [
+        (v + shift, c, g + shift, d) for (v, c, g, d) in base
+    ]
+    # the literal init on the re-keyed corpus raises, never silent
+    with pytest.raises(ValueError, match="zero seed centroids"):
+        kmeans_assignments(rekeyed, k=8).limit(1).count()
+
+
 def test_chunk_overlap_matches_python_slicer(spark):
     """Re-chunk every document with a plain Python loop (boundaries,
     counts, md5s) and compare row-for-row."""

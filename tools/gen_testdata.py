@@ -80,7 +80,14 @@ def _write(path: str, table: pa.Table, n_files: int = 1) -> None:
         return
     if os.path.isfile(path):
         os.remove(path)  # previous single-file run
-    os.makedirs(path, exist_ok=True)
+    if os.path.isdir(path):
+        # drop the WHOLE directory: a previous run with more part
+        # files (or more rows) would otherwise leave stale parts that
+        # silently duplicate rows in every downstream read
+        import shutil
+
+        shutil.rmtree(path)
+    os.makedirs(path)
     per = -(-table.num_rows // n_files)  # ceil
     for i in range(n_files):
         part = table.slice(i * per, per)
@@ -167,13 +174,24 @@ def gen_sf(sf: float) -> None:
         "o_orderpriority": pa.array(np.array(PRIORITIES)[rng.integers(0, 5, n_ord)]),
     }), nf)
 
-    # lineitem — ~4 lines/order (1..7), chunked so sf1 stays in RAM.
-    # Chunk size is FIXED regardless of layout so the rng draw
+    # lineitem — ~4 lines/order (1..7), chunked so every sf stays in
+    # RAM.  Chunk size is FIXED regardless of layout so the rng draw
     # sequence (hence the data) is identical single- vs multi-file;
-    # multi-file mode buffers the chunk tables and splits at the end.
+    # multi-file mode STREAMS each chunk into the part files covering
+    # its fixed global row range (never buffering the whole table —
+    # the chunked-writer design's point, review-pass catch).
     writer = None
-    li_chunks: list[pa.Table] = []
+    li_writers: dict[int, pq.ParquetWriter] = {}
     li_path = os.path.join(out, "lineitem.parquet")
+    if nf > 1:
+        if os.path.isfile(li_path):
+            os.remove(li_path)
+        if os.path.isdir(li_path):
+            import shutil
+
+            shutil.rmtree(li_path)
+        os.makedirs(li_path)
+    li_per = -(-n_li // nf) if nf > 1 else n_li  # rows per part (ceil)
     chunk = 2_000_000
     done = 0
     while done < n_li:
@@ -196,7 +214,19 @@ def gen_sf(sf: float) -> None:
             ),
         })
         if nf > 1:
-            li_chunks.append(t)
+            off = 0
+            while off < m:
+                p_idx = (done + off) // li_per
+                take = min(m - off, (p_idx + 1) * li_per - (done + off))
+                w = li_writers.get(p_idx)
+                if w is None:
+                    w = li_writers[p_idx] = pq.ParquetWriter(
+                        os.path.join(li_path, f"part-{p_idx:05d}.parquet"),
+                        t.schema,
+                        compression="snappy",
+                    )
+                w.write_table(t.slice(off, take))
+                off += take
         else:
             if writer is None:
                 writer = pq.ParquetWriter(
@@ -207,9 +237,13 @@ def gen_sf(sf: float) -> None:
     if writer is not None:
         writer.close()
         print(f"  wrote {li_path}  ({n_li} rows)", flush=True)
-    if li_chunks:
-        _write(li_path, pa.concat_tables(li_chunks), nf)
-        li_chunks.clear()
+    if li_writers:
+        for w in li_writers.values():
+            w.close()
+        print(
+            f"  wrote {li_path}/  ({n_li} rows, {len(li_writers)} files)",
+            flush=True,
+        )
 
     # events — 30 days of 2024-01, JSON props {"k": 0..99}
     _write(os.path.join(out, "events.parquet"), pa.table({
