@@ -1055,19 +1055,22 @@ def test_cursor_advance_kernel_trims_consumed_samples(spark):
     rows += [("cursor", "subA", 250, None), ("cursor", "subB", 50, None)]
     out = batch(rows)
     assert ("t", 0, "subA", 200, 201) in out
-    samples, _ = state.get
+    samples, _, horizon = state.get
     assert len(samples) == 5  # subB pending: everything retained
+    assert horizon < 0  # no trim has happened
 
     # subB advances and emits -> horizon = min(200, 100) = 100 trims
     # the 100-ts sample only
     out = batch([("cursor", "subB", 120, None)])
     assert out == [("t", 0, "subB", 100, 101)]
-    samples, _ = state.get
+    samples, _, horizon = state.get
     assert sorted(s[0] for s in samples) == [150, 200, 300, 400]
+    assert horizon == 100  # persisted: <=100 emissions now withheld
 
-    # both advance past everything: retained tail shrinks to the
-    # samples above the new shared floor
+    # both advance past everything: every at-or-below-horizon sample
+    # is dropped (the r13 fix removed the one-sample retention — the
+    # persisted horizon, not a leftover sample, carries the bound)
     out = batch([("cursor", "subA", 500, None), ("cursor", "subB", 500, None)])
     assert {o[2] for o in out} == {"subA", "subB"}
-    samples, _ = state.get
-    assert [s[0] for s in samples] == [400] or samples[-1][0] == 400
+    samples, _, horizon = state.get
+    assert samples == [] and horizon == 400
