@@ -121,6 +121,92 @@ def _assign(e: DataFrame, cent: DataFrame) -> DataFrame:
     return best.select("vec_id", F.col("b.cluster").alias("cluster"))
 
 
+# Above this K the literal-centroid argmin expression (K structs x D
+# literals in the plan) outgrows what Catalyst analyzes cheaply; the
+# broadcast-DataFrame Lloyd pass takes over (auto-K corpora; see
+# kmeans_assignments).
+_EXPR_MAX_K = 64
+
+
+def _dbl_sql(v: float) -> str:
+    """A Spark SQL double literal that parses back to the identical
+    IEEE value (repr is the shortest round-trip representation;
+    Double.parseDouble inverts it exactly)."""
+    import math
+
+    if not math.isfinite(v):
+        raise ValueError(f"non-finite centroid component: {v!r}")
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _assign_expr(cent_rows: list[tuple[int, list[float]]]):
+    """Map-side nearest-centroid expression over DRIVER-HELD centroids
+    (the MLlib shape: K x D doubles live on the driver between Lloyd
+    passes; each pass ships them to tasks inside the plan).  Same
+    exact-decimal distance and the same lexicographic (dist, cluster)
+    argmin as `_assign` — `least()` over K structs is the same total
+    order as `min(struct(dist, cluster))` — but with ZERO join and
+    ZERO shuffle: the r13 profile measured the crossJoin->groupBy
+    formulation at 18 jobs / 37 one-task stages for q_kmeans_assign,
+    all scheduling overhead (guide §2.4: remove shuffles outright).
+
+    Built as ONE SQL string through F.expr: the Column-API version of
+    this expression is K x D F.lit() calls = hundreds of py4j round
+    trips, measured ~1.5 s of pure driver time PER CONSTRUCTION at
+    K=8, D=64 — the string parses in the JVM in milliseconds."""
+    structs = []
+    for cl, carr in cent_rows:
+        arr = ", ".join(_dbl_sql(v) for v in carr)
+        dist = (
+            "aggregate("
+            f"zip_with(embedding, array({arr}), "
+            "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
+            "CAST(0 AS DECIMAL(30,12)), "
+            "(acc, t) -> CAST(acc + CAST(t AS DECIMAL(30,12)) "
+            "AS DECIMAL(30,12)))"
+        )
+        structs.append(
+            f"named_struct('dist', {dist}, 'cluster', CAST({int(cl)} AS INT))"
+        )
+    best = structs[0] if len(structs) == 1 else (
+        "least(" + ", ".join(structs) + ")"
+    )
+    return F.expr(f"({best}).cluster")
+
+
+def _update_rows(
+    batch: DataFrame, cent_rows: list[tuple[int, list[float]]]
+) -> list[tuple[int, list[float]]]:
+    """Centroid recompute with a bounded driver collect: per-
+    (cluster, dim) exact decimal mean -> correctly-rounded double,
+    exactly `_update`'s arithmetic (same posexplode rows, same decimal
+    sum, same single division), but the K·D result rows return to the
+    driver instead of pivoting through a second shuffle — the driver
+    is the natural home of a KB-scale centroid table between passes.
+    The assignment is computed IN-ROW (no join back onto the batch)."""
+    assign = batch.select(
+        _assign_expr(cent_rows).alias("cluster"), "embedding"
+    )
+    agg = (
+        assign.select("cluster", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+    by_cl: dict[int, list[tuple[int, float]]] = {}
+    for r in agg.collect():  # bounded: K x D rows
+        by_cl.setdefault(int(r["cluster"]), []).append(
+            (int(r["dim"]), float(r["c"]))
+        )
+    return sorted(
+        (cl, [c for _, c in sorted(dims)]) for cl, dims in by_cl.items()
+    )
+
+
 def _update(e: DataFrame, assign: DataFrame) -> DataFrame:
     """Centroid recompute: per-(cluster, dim) exact decimal mean ->
     correctly-rounded double, rebuilt into dim-ordered arrays.  One
@@ -243,6 +329,7 @@ def kmeans_assignments(
     seed_salt: int = 0,
     k: int = _K,
     init: str = "id_lt_k",
+    impl: str = "auto",
 ) -> DataFrame:
     """Shared Lloyd driver behind q_kmeans_assign (full-pass),
     q_kmeans_minibatch (sampled-update) and `semantic_dedup`'s
@@ -274,7 +361,39 @@ def kmeans_assignments(
     would silently select no centroids — the production
     `semantic_dedup` path uses it (review-pass catch).  Either way,
     zero seedable centroids raises loudly instead of returning an
-    empty assignment."""
+    empty assignment.
+
+    Two result-identical execution paths (r13 optimization round):
+
+    - ``k <= _EXPR_MAX_K`` (every declared query; small-corpus
+      auto-K): the MLlib shape — centroids are COLLECTED to the
+      driver per pass (bounded K x D doubles; py4j/pickle double
+      transfer is bit-exact both ways) and the next pass's argmin is
+      a map-side `least()` expression, so each Lloyd iteration is one
+      scan + one partial-aggregated K·D-row shuffle instead of
+      crossJoin -> N-row argmin shuffle -> join -> two more shuffles.
+      Profiled at sf0.1: 18 jobs / 37 one-task stages -> 5 jobs, and
+      the same restructure removes the per-pass N-row exchanges that
+      at 100 TB would each shuffle the corpus-sized assignment.
+    - ``k > _EXPR_MAX_K``: the prior broadcast-DataFrame Lloyd pass
+      (K-row centroid table crossJoined under a broadcast hint) — a
+      K x D literal plan would bloat Catalyst analysis, and the
+      crossJoin formulation's shuffles amortize at that K.
+
+    `impl` forces a path ("expr" / "df"; default "auto" = the K rule)
+    — the equality of the two paths is property-pinned in
+    tests/test_new_query_props.py."""
+    from pulsar_sync_java_spark.operators.util import spread
+
+    # Every Lloyd pass is a CPU-bound per-row projection (K decimal-
+    # exact distance folds per vector); a single-split scan would run
+    # them all on one task (spread is gated away when the scan already
+    # has enough splits — the 100 TB case).  Measured at sf0.1: the
+    # K=8 argmin pass drops 1.18s -> 0.45s under the spread exchange.
+    e = spread(e)
+    use_expr = (impl == "expr") or (impl == "auto" and k <= _EXPR_MAX_K)
+    if use_expr:
+        return _kmeans_assignments_expr(e, sample_pct, seed_salt, k, init)
     if init == "k_smallest":
         from pyspark.sql import Window
 
@@ -318,6 +437,71 @@ def kmeans_assignments(
     sizes = final.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
     return final.join(F.broadcast(sizes), "cluster").select(
         "vec_id", "cluster", "cluster_size"
+    )
+
+
+def _kmeans_assignments_expr(
+    e: DataFrame,
+    sample_pct: int,
+    seed_salt: int,
+    k: int,
+    init: str,
+) -> DataFrame:
+    """The driver-held-centroid Lloyd loop (see kmeans_assignments).
+    EAGER like connected_components: calling this runs the seed
+    collect plus one bounded K·D-row collect per iteration."""
+    if init == "k_smallest":
+        seed_rows = sorted(
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in e.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(k)
+            .collect()
+        )
+        cent_rows = [
+            (i, carr) for i, (_, carr) in enumerate(seed_rows)
+        ]
+    else:
+        cent_rows = sorted(
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in e.filter(F.col("vec_id") < k)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+    if not cent_rows:
+        raise ValueError(
+            f"kmeans_assignments: init={init!r} with k={k} selected "
+            "zero seed centroids — the corpus is empty, or its "
+            "vec_ids are not 0-based contiguous (use "
+            "init='k_smallest' for re-keyed corpora); refusing to "
+            "emit an empty assignment silently"
+        )
+    for it in range(_ITERS):
+        batch = (
+            e
+            if sample_pct >= 100
+            else e.filter(
+                _mb_bucket(F.col("vec_id"), seed_salt + it) < sample_pct
+            )
+        )
+        cent_rows = _update_rows(batch, cent_rows)
+    final = e.select("vec_id", _assign_expr(cent_rows).alias("cluster"))
+    # cluster sizes: K rows collected once, re-attached as a literal
+    # CASE map — no join, no exchange (the size table is K rows; the
+    # broadcast-join alternative costs a build + an AQE stage).  A
+    # cluster absent from the collect cannot appear in `final` (same
+    # deterministic expression), so the CASE is total over the output.
+    size_rows = sorted(
+        (int(r["cluster"]), int(r["n"]))
+        for r in final.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    size_case = "CASE cluster " + " ".join(
+        f"WHEN {cl} THEN CAST({n} AS BIGINT)" for cl, n in size_rows
+    ) + " END"
+    return final.select(
+        "vec_id", "cluster", F.expr(size_case).alias("cluster_size")
     )
 
 
@@ -640,9 +824,15 @@ def _semantic_dedup_pipeline(
     # without the persist each consumer re-runs the whole Lloyd chain
     # (declared in tests/test_bench_contract.py PERSIST_ALLOWLIST —
     # narrow 2-column rows, the SemDeDup working set a production run
-    # materializes anyway)
+    # materializes anyway).  impl="df" on purpose (r13): the LAZY
+    # Lloyd chain keeps this persist plan-matched across repeated
+    # invocations (Spark's CacheManager reuses the materialized
+    # assignment), where the eager driver-centroid path would re-run
+    # its seed/update collect jobs on every call before ever reaching
+    # the cache.
     assign = (
-        kmeans_assignments(e, sample_pct=sample_pct, k=k, init=init)
+        kmeans_assignments(e, sample_pct=sample_pct, k=k, init=init,
+                           impl="df")
         .select("vec_id", "cluster")
         .persist()
     )

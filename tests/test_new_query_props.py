@@ -174,6 +174,46 @@ def test_semantic_dedup_auto_k_equivalence_and_derivation(spark):
     assert pinned == declared
 
 
+def test_kmeans_expr_and_df_paths_identical(spark):
+    """r13 optimization: `kmeans_assignments` has two result-identical
+    execution paths — the driver-held-centroid expression path (small
+    K; every declared query) and the broadcast-DataFrame Lloyd pass
+    (large/auto K).  Pin their equality across K values, both inits,
+    and the mini-batch sampling, so neither path can drift from the
+    oracle-gated semantics."""
+    from pulsar_sync_java_spark.queries.clustering import (
+        kmeans_assignments,
+    )
+    from pulsar_sync_java_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    for k, pct, init in (
+        (1, 100, "id_lt_k"),
+        (5, 100, "k_smallest"),
+        (8, 50, "id_lt_k"),   # the q_kmeans_minibatch dials
+        (8, 100, "id_lt_k"),  # the q_kmeans_assign dials
+    ):
+        expr = sorted(
+            map(
+                tuple,
+                kmeans_assignments(
+                    e, sample_pct=pct, k=k, init=init, impl="expr"
+                ).collect(),
+            )
+        )
+        df = sorted(
+            map(
+                tuple,
+                kmeans_assignments(
+                    e, sample_pct=pct, k=k, init=init, impl="df"
+                ).collect(),
+            )
+        )
+        assert expr == df, (k, pct, init)
+
+
 def test_semantic_dedup_rekeyed_corpus_not_silently_empty(spark):
     """Review-pass catch: the production helper must work on corpora
     whose vec_ids are NOT 0-based contiguous.  The k_smallest init

@@ -423,17 +423,20 @@ def test_snapshot_diff_is_one_full_outer_join(spark, queries):
     assert "PushedFilters: [IsNotNull(o_orderkey)" in plan or "PushedFilters:" in plan
 
 
-def test_kmeans_broadcasts_centroids_every_pass(spark, queries):
-    """q_kmeans_assign: every assignment pass joins against the K-row
-    centroid table via BROADCAST (BroadcastNestedLoopJoin for the
-    K-row cross join / BroadcastHashJoin for the size join) — a
-    SortMergeJoin anywhere would mean a Lloyd pass started shuffling
-    the full embedding table against K rows."""
+def test_kmeans_final_plan_is_joinless_map(spark, queries):
+    """q_kmeans_assign / q_kmeans_minibatch (r13): the returned plan is
+    a pure map over the embedding scan — the Lloyd centroids were
+    collected to the driver per pass (MLlib shape) and re-attached as
+    literal argmin/CASE expressions, so the final assignment has NO
+    join and at most the one `spread` round-robin exchange.  A Join or
+    a second Exchange would mean a Lloyd pass went back to shuffling
+    the corpus-sized assignment against K rows."""
     for q in ("q_kmeans_assign", "q_kmeans_minibatch"):
         plan = plan_of(queries[q](spark, SF_DIR))
         assert "CartesianProduct" not in plan, q
         assert "SortMergeJoin" not in plan, (q, plan)
-        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert not re.findall(r"\(\d+\) \w*Join\b", plan), (q, plan)
+        assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 1, (q, plan)
 
 
 def test_scd2_single_event_shuffle(spark, queries):
