@@ -54,9 +54,14 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k against a literal query vector."""
+    """Exact cosine top-k against a literal query vector.
+
+    spread(): the per-row dot/norm folds are the cost (CPU-bound
+    projection over every corpus vector); on a single-split scan they
+    would serialize onto one task (r13 profile), and on a real
+    many-split scan the gate skips the exchange."""
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    scored = df.select(
+    scored = spread(df).select(
         F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim")
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
@@ -1890,8 +1895,11 @@ def ann_calibration(
     )
     # corpus-row norms fold once per row BEFORE the query cross join
     # (not |Q| times after it) — same values, 1/|Q| the fold work on
-    # the anchor scan
-    corpus = df.select(
+    # the anchor scan.  spread(): the anchor scan's |Q|+1 decimal
+    # folds per corpus row are the exact arm's cost; a single-split
+    # scan would run them on one task (r13 profile; gated away on
+    # many-split scans)
+    corpus = spread(df).select(
         id_col, vec_col, dec_arr_sum(sq(F.col(vec_col))).alias("__nx")
     )
     scored = (
