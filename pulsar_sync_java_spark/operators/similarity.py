@@ -1249,10 +1249,20 @@ def pq_train(
             a = ((Bj * Bj).sum(axis=1)[None, :] - 2.0 * (Xj @ Bj.T)).argmin(
                 axis=1
             )
+            # group-by-cell via stable sort + slices: O(n log n) rather
+            # than k_sub full-array masks (measured ~0.9 s/train at the
+            # bench dials, m=16 x k_sub=256 x 3 iters).  The stable
+            # sort keeps members in ascending row order — the same
+            # rows, in the same order, as the Xj[a == ci] mask — so
+            # each slice's .mean() is bit-identical to the old loop's.
+            order = np.argsort(a, kind="stable")
+            sa = a[order]
+            Xs = Xj[order]
+            starts = np.searchsorted(sa, np.arange(k_sub), side="left")
+            ends = np.searchsorted(sa, np.arange(k_sub), side="right")
             for ci in range(k_sub):
-                members = Xj[a == ci]
-                if len(members):
-                    Bj[ci] = members.mean(axis=0)
+                if ends[ci] > starts[ci]:
+                    Bj[ci] = Xs[starts[ci] : ends[ci]].mean(axis=0)
         books[j] = Bj
     return [[[float(v) for v in row] for row in book] for book in books]
 
