@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pulsar_sync_java_spark.operators.util import pair_structs
+from pulsar_sync_java_spark.operators.util import pair_structs, spread
 
 
 def _variants(text: F.Column) -> F.Column:
@@ -110,13 +110,18 @@ def fuzzy_pairs(
     variants = _variants if max_distance == 1 else _variants_k2
     base = df.select(F.col(id_col).alias("__fid"), F.col(text_col).alias("__ftxt"))
     # 64-bit variant keys: the shuffle carries (long, id), not the
-    # variant strings themselves
-    blocked = base.select(
+    # variant strings themselves.  spread(): the |text|+1 substring
+    # variants + hashes per row are CPU-bound and a single-split scan
+    # runs them one-task (r13; gated off on many-split scans).  The
+    # per-(id, variant) dedup rides the bucket aggregate below as
+    # collect_set — a separate dropDuplicates here paid a second
+    # full shuffle of the exploded rows for the same answer.
+    blocked = spread(base).select(
         "__fid",
         F.explode(
             F.transform(variants(F.col("__ftxt")), lambda v: F.xxhash64(v))
         ).alias("__v"),
-    ).dropDuplicates(["__fid", "__v"])
+    )
     if on_overflow == "error":
         size_ok = F.assert_true(
             F.size("__ids") <= max_bucket,
@@ -132,7 +137,7 @@ def fuzzy_pairs(
         size_ok = F.size("__ids") <= max_bucket
     buckets = (
         blocked.groupBy("__v")
-        .agg(F.sort_array(F.collect_list("__fid")).alias("__ids"))
+        .agg(F.sort_array(F.collect_set("__fid")).alias("__ids"))
         .filter((F.size("__ids") >= 2) & size_ok)
     )
     cand = (
