@@ -1003,6 +1003,13 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited, "node", "left_anti")
             .withColumn("dist", F.lit(k))
+            # each level feeds BOTH the next frontier and the growing
+            # visited union; unpersisted, level k's subtree is planned
+            # ~2^(3-k) times and AQE materializes every copy (measured
+            # 60 jobs / 157 stages at sf0.1 — the r13 profile's worst
+            # stage-count offender).  Frontier-sized rows, lazy, the
+            # textbook BFS persist (GraphX does the same).
+            .persist()
         )
         visited = visited.unionByName(nxt)
         frontier = nxt
@@ -1302,13 +1309,16 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             lab.withColumnRenamed("node", "dst"), "dst"
         ).select(F.col("src").alias("node"), "label")
         cnt = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
-        rk = F.row_number().over(
-            Window.partitionBy("node").orderBy(F.col("c").desc(), "label")
-        )
+        # argmax by (c desc, label asc) as ONE aggregate: max over
+        # struct(c, -label) — labels are non-negative part keys, so
+        # the largest negated label IS the smallest label.  Same
+        # deterministic winner as the former row_number window, minus
+        # the per-iteration sort (the aggregate's partial/final merge
+        # replaces a full partition sort on every LPA round).
         lab = (
-            cnt.withColumn("rk", rk).filter(F.col("rk") == 1).select(
-                "node", "label"
-            )
+            cnt.groupBy("node")
+            .agg(F.max(F.struct("c", (-F.col("label")).alias("nl"))).alias("b"))
+            .select("node", (-F.col("b.nl")).alias("label"))
         )
     return lab.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).alias("n_members"),

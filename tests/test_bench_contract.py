@@ -112,7 +112,7 @@ PERSIST_ALLOWLIST = {
     ("operators/similarity.py", "ivf_pq_index_refresh"): 1,  # coded delta (drift collect + append are separate actions); unpersists in finally
     ("queries/aggregates.py", "q_hll_intersect"): 1,    # distinct (type, key) set (sketch agg + exact joins share it)
     ("queries/behavior.py", "q_assoc_rules"): 1,        # per-basket sorted item arrays, guarded BEFORE collect (pair explode + supports explode + basket count)
-    ("queries/extras.py", "q_bfs_khop"): 1,             # symmetric edge table (3 expansion levels probe it)
+    ("queries/extras.py", "q_bfs_khop"): 2,             # symmetric edge table (3 expansion levels probe it) + per-level frontier (feeds next frontier AND the visited union; unpersisted the subtree doubles per level — 60 AQE jobs measured)
     ("queries/extras.py", "q_degree_assortativity"): 2, # pair set (union arms + edge count) and node-sized degree table (pair joins + global stats)
     ("queries/extras.py", "q_hits"): 3,                 # edge table + per-iteration score frames (max agg + join-back each read them; uncut the subtree doubles per iteration)
     ("queries/extras.py", "q_label_prop"): 1,           # symmetric co-purchase edge table (3 LPA iterations probe it)
