@@ -835,25 +835,39 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, so the whole merge table hash-gates with no partial
     oracle."""
     rules, _ = _bpe_learn(load_table(spark, sf_dir, "documents"))
-    out = rules[0]
-    for r in rules[1:]:
-        out = out.unionByName(r)
-    return out
+    return spark.createDataFrame(
+        rules,
+        "iter int, left_sym string, right_sym string, "
+        "merged string, cnt long",
+    )
 
 
-def _bpe_learn(d: DataFrame) -> tuple[list[DataFrame], DataFrame]:
-    """The shared BPE training loop (q_bpe_train / q_bpe_encode):
-    returns (per-iteration 1-row merge-rule frames, final vocabulary
-    (word, w, arr) with all ``_BPE_ITERS`` merges applied).  One lazy
-    plan — corpus collapses to the word-frequency vocab once; each
-    iteration is a vocab-sized pair aggregate + a 1-row broadcast
-    argmax + the JVM-codegen canonical-string replace merge."""
+def _bpe_learn(
+    d: DataFrame,
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """The shared BPE training loop (q_bpe_train / q_bpe_encode /
+    the tokenizer-true budget queries): returns (merge-rule rows
+    (iter, left, right, merged, cnt), final vocabulary (word, w, arr)
+    with all ``_BPE_ITERS`` merges applied).
+
+    r13 shape: the corpus collapses ONCE to the persisted character-
+    split word-frequency vocabulary (plan-matched across all four BPE
+    queries — one cache entry serves train, encode, and both budget
+    queries), and each iteration's 1-row argmax is COLLECTED to the
+    driver and re-attached as string literals in the canonical-string
+    replace merge.  The prior lazy form crossJoined a broadcast 1-row
+    argmax per iteration — 2 AQE jobs per merge just to move one row
+    (profiled: 16 jobs / 36 one-task stages per BPE query); the merge
+    rule IS driver-state between iterations, exactly like the Lloyd
+    centroids (queries/clustering.py).  Iteration k's collect re-runs
+    only the k-1 vocab-sized replace projections above the cache,
+    never the corpus tokenize."""
     words = d.select(F.explode(_spark_tokens()).alias("word"))
     vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("w"))
     cur = vocab.select(
         "word", "w", F.regexp_extract_all("word", F.lit("."), 0).alias("arr")
-    )
-    rules = []
+    ).persist()
+    rules: list[tuple[int, str, str, str, int]] = []
     for k in range(1, _BPE_ITERS + 1):
         pairs = cur.select(
             "w",
@@ -869,23 +883,19 @@ def _bpe_learn(d: DataFrame) -> tuple[list[DataFrame], DataFrame]:
             .agg(F.sum("w").cast("long").alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("x").asc(), F.col("y").asc())
             .limit(1)
+            .collect()
         )
-        rules.append(
-            best.select(
-                F.lit(k).alias("iter"),
-                F.col("x").alias("left_sym"),
-                F.col("y").alias("right_sym"),
-                F.concat("x", "y").alias("merged"),
-                "cnt",
-            )
-        )
+        if not best:
+            break  # no adjacent pairs left (the lazy form's empty rule)
+        x, y, cnt = best[0]["x"], best[0]["y"], int(best[0]["cnt"])
+        rules.append((k, x, y, x + y, cnt))
         canon = F.concat(F.lit("  "), F.array_join("arr", "  "), F.lit("  "))
         merged = F.replace(
             canon,
-            F.concat(F.lit(" "), F.col("x"), F.lit("  "), F.col("y"), F.lit(" ")),
-            F.concat(F.lit(" "), F.col("x"), F.col("y"), F.lit(" ")),
+            F.lit(f" {x}  {y} "),
+            F.lit(f" {x}{y} "),
         )
-        cur = cur.crossJoin(F.broadcast(best)).select(
+        cur = cur.select(
             "word",
             "w",
             F.filter(F.split(merged, "  "), lambda t: t != "").alias("arr"),

@@ -116,6 +116,7 @@ PERSIST_ALLOWLIST = {
     ("queries/extras.py", "q_degree_assortativity"): 2, # pair set (union arms + edge count) and node-sized degree table (pair joins + global stats)
     ("queries/extras.py", "q_hits"): 3,                 # edge table + per-iteration score frames (max agg + join-back each read them; uncut the subtree doubles per iteration)
     ("queries/extras.py", "q_label_prop"): 1,           # symmetric co-purchase edge table (3 LPA iterations probe it)
+    ("queries/pipeline.py", "_bpe_learn"): 1,          # char-split word-frequency vocab: ONE plan-matched cache entry shared by q_bpe_train/encode and both tokenizer-true budget queries; every merge iteration re-reads it
     ("queries/pipeline.py", "q_char_diversity"): 1,     # (doc, char) count aggregate (diversity agg + argmax share it)
     ("queries/extras.py", "q_bm25_topk"): 1,            # (doc, term) tf aggregate = the inverted index (3 consumers)
     ("queries/pipeline.py", "q_chi2_terms"): 1,         # (lang, token) count aggregate (marginals + scoring share it)
