@@ -56,12 +56,16 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact cosine top-k against a literal query vector.
 
-    spread(): the per-row dot/norm folds are the cost (CPU-bound
-    projection over every corpus vector); on a single-split scan they
-    would serialize onto one task (r13 profile), and on a real
-    many-split scan the gate skips the exchange."""
+    Deliberately NOT spread (r13, measured): one dot+norm fold per
+    row costs ~60 ms serial on the whole bench corpus, less than the
+    exchange + extra AQE stages a spread adds — q_ann_pq_topk
+    regressed ~1.5 s with a spread here (its candidate inputs are
+    already spread upstream, so the gate made it a no-op exactly
+    where it would have been free).  Multi-fold exact scans that DO
+    benefit carry their own spread (q_sim_topk, ann_calibration's
+    anchor)."""
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    scored = spread(df).select(
+    scored = df.select(
         F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim")
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
