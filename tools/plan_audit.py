@@ -134,8 +134,8 @@ EXPECT = {
     "q_fuzzy_join": "deletion-variant Generate (variants xxhash64'd inside the fan-out, so the bucket shuffle carries (long, id) not strings) -> ONE bucket aggregate -> pair explosion; exact levenshtein verify is a post-join Filter; never NestedLoop; bucket overflow raises (on_overflow='error') instead of silently dropping, since the quadratic oracle cannot mirror a drop",
     "q_snapshot_diff": "CDC classification: one FullOuter sort-merge join on the key + a tiny per-class aggregate; both snapshot filters pushed to the scan",
     "q_trend_ols": "ONE partial+final moments aggregate (sums-row per type through the shuffle); OLS slope/intercept are per-group constant expressions",
-    "q_kmeans_assign": "every Lloyd pass joins the K-row centroid table via BROADCAST (BNLJ for the cross join, BHJ for sizes) — no SortMergeJoin anywhere; update pass is a partial+final (cluster,dim) decimal aggregate",
-    "q_kmeans_minibatch": "same broadcast-centroid Lloyd shape; each update pass additionally carries the portable sample filter INSIDE the scan stage (no extra exchange); final assignment full-corpus",
+    "q_kmeans_assign": "r13: joinless map-side argmin — Lloyd centroids collected per pass (MLlib shape) and re-attached as a literal least()/CASE projection; final plan = scan -> spread exchange -> project, zero Join nodes",
+    "q_kmeans_minibatch": "same r13 joinless driver-centroid shape; the portable mini-batch sample filter rides the update-pass scans; final assignment full-corpus",
     "q_approx_percentiles": "GK sketch + exact band percentiles fused in ONE ObjectHashAggregate pass — one shuffle of sketch state, flags are per-group constant expressions",
     "q_merge_apply": "apply side never shuffles the base: touched keys BroadcastHashJoin LeftAnti onto the base scan, upsert images Union'd on; the diff's full-outer join is the only exchange pair",
     "q_heavy_hitters": "MG summaries read from cache (InMemoryTableScan), candidate cut over P*(k+1) rows; verify pass = BroadcastHashJoin LeftSemi probe + partial+final count — corpus key space never shuffles",
