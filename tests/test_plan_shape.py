@@ -973,12 +973,14 @@ def test_hits_reads_persisted_edges_and_broadcasts_max(spark, queries):
     assert "BroadcastNestedLoopJoin" in plan
 
 
-def test_label_prop_argmax_uses_group_limit(spark, queries):
-    """q_label_prop: the per-node argmax (rk = 1 filter) must push
-    below the window sort as a WindowGroupLimit — the standard
-    top-1-per-group physical shape."""
+def test_label_prop_argmax_is_aggregate_not_window(spark, queries):
+    """q_label_prop (r13): the per-node argmax runs as ONE
+    partial+final max(struct(c, -label)) aggregate — no Window node
+    (the former row_number formulation paid a full partition sort per
+    LPA round), and no sort anywhere but the scanless internals."""
     plan = plan_of(queries["q_label_prop"](spark, SF_DIR))
-    assert "WindowGroupLimit" in plan
+    assert "Window" not in plan, plan
+    assert "max(named_struct" in plan or "partial_max" in plan, plan
     assert "CartesianProduct" not in plan
 
 
