@@ -549,7 +549,11 @@ def tree_roots(
     return out
 
 
-def count_triangles(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
+def count_triangles(
+    edges: DataFrame,
+    max_degree: int | None = None,
+    pre_normalized: bool = False,
+) -> DataFrame:
     """Exact triangle count of an undirected simple graph, degree-
     oriented so no join ever fans out on a hub node's full
     neighborhood.
@@ -573,21 +577,35 @@ def count_triangles(edges: DataFrame, max_degree: int | None = None) -> DataFram
     ORIENTED out-degree still exceeds the bound — the skew tripwire
     idiom (operators/fuzzy.py max_bucket).
 
+    `pre_normalized=True` declares the input ALREADY a simple-graph
+    edge set — distinct rows with src < dst (src != dst implied) — and
+    skips the normalize+persist stage here.  The caller owns both the
+    invariant and the caching posture: pass a PERSISTED frame (the
+    normalized table is consumed five times), e.g. an a<b filter over the
+    family-shared persisted symmetric edge table
+    (queries/extras.py:_copurchase_edges), so the operator reads one
+    shared cache entry instead of persisting a private duplicate of
+    the same pairs.
+
     Returns one row: (n_nodes, n_edges, n_triangles).
     """
-    # the normalized edge table is consumed FIVE times (degrees,
-    # orientation, closing check, node/edge census) — persist it, or
-    # every consumer re-runs the upstream edge derivation (for the
-    # co-purchase graph, a fact-table self-join) from scratch; O(|E|)
-    # cache, the pagerank/dedup-cluster posture
-    e = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    if pre_normalized:
+        e = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    else:
+        # the normalized edge table is consumed FIVE times (degrees,
+        # orientation, closing check, node/edge census) — persist it, or
+        # every consumer re-runs the upstream edge derivation (for the
+        # co-purchase graph, a fact-table self-join) from scratch; O(|E|)
+        # cache, the pagerank/dedup-cluster posture
+        e = (
+            edges.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .persist()
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .persist()
-    )
     both = e.select(F.col("a").alias("node")).unionAll(
         e.select(F.col("b").alias("node"))
     )
