@@ -424,19 +424,32 @@ def test_snapshot_diff_is_one_full_outer_join(spark, queries):
 
 
 def test_kmeans_final_plan_is_joinless_map(spark, queries):
-    """q_kmeans_assign / q_kmeans_minibatch (r13): the returned plan is
-    a pure map over the embedding scan — the Lloyd centroids were
-    collected to the driver per pass (MLlib shape) and re-attached as
-    literal argmin/CASE expressions, so the final assignment has NO
-    join and at most the one `spread` round-robin exchange.  A Join or
-    a second Exchange would mean a Lloyd pass went back to shuffling
-    the corpus-sized assignment against K rows."""
+    """q_kmeans_assign / q_kmeans_minibatch (r13, tightened r14): the
+    Lloyd centroids are collected to the driver per pass (MLlib shape)
+    and re-attached as literal argmin/CASE expressions, so the plan has
+    NO join anywhere — a Join would mean a Lloyd pass went back to
+    shuffling the corpus-sized assignment against K rows.  Since r14
+    the returned plan is a PURE PROJECTION over the persisted narrow
+    (vec_id, cluster) assignment (no exchange, no scan above the
+    cache): the K-fold argmin corpus pass lives inside the
+    InMemoryRelation build (where AQE's formatted output re-displays
+    its one spread exchange once per plan variant), and evaluates once
+    per invocation instead of twice (size collect + output)."""
     for q in ("q_kmeans_assign", "q_kmeans_minibatch"):
         plan = plan_of(queries[q](spark, SF_DIR))
         assert "CartesianProduct" not in plan, q
         assert "SortMergeJoin" not in plan, (q, plan)
         assert not re.findall(r"\(\d+\) \w*Join\b", plan), (q, plan)
-        assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 1, (q, plan)
+        # outer plan = cache read + CASE projection, nothing else
+        outer = plan.split("InMemoryRelation", 1)[0]
+        assert "InMemoryTableScan" in plan, (q, plan)
+        assert "Exchange" not in outer and "Scan parquet" not in outer, (
+            q,
+            plan,
+        )
+        # inside the cache build: the one gated spread exchange, shown
+        # at most twice (AQE Final + Initial plan variants)
+        assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2, (q, plan)
 
 
 def test_scd2_single_event_shuffle(spark, queries):
