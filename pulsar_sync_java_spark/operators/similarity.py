@@ -192,6 +192,7 @@ def lsh_topk_multi(
             for (qid, qv), sig in zip(queries, qsigs)
         ],
         "query_id long, __qsig long, __qv array<double>",
+        verifySchema=False,  # rows built here as exact int/list[float]
     )
     sig = hyperplane_signature_udf(planes)(F.col(vec_col))
     corpus = spread(df).select(id_col, vec_col).withColumn("__sig", sig)
@@ -539,10 +540,13 @@ def ivf_topk_multi(
         for cell in order[:nprobe]:
             probe_rows.append((int(qid), int(cell)))
     spark = df.sparkSession
-    pdf = spark.createDataFrame(probe_rows, "query_id long, __cluster int")
+    pdf = spark.createDataFrame(
+        probe_rows, "query_id long, __cluster int", verifySchema=False
+    )  # rows built above as exact ints
     qdf = spark.createDataFrame(
         [(int(qid), [float(v) for v in qv]) for qid, qv in queries],
         "query_id long, __qv array<double>",
+        verifySchema=False,  # exact int/list[float]
     )
     from pulsar_sync_java_spark.operators.vectorized import (
         nearest_centroid_udf,
@@ -1249,6 +1253,7 @@ def pq_train(
             Bj = Xj[:k_sub].copy()
         else:
             Bj = Xj[np.arange(k_sub) % len(Xj)].copy()
+        cells_idx = np.arange(k_sub)
         for _ in range(iters):
             a = ((Bj * Bj).sum(axis=1)[None, :] - 2.0 * (Xj @ Bj.T)).argmin(
                 axis=1
@@ -1257,16 +1262,21 @@ def pq_train(
             # than k_sub full-array masks (measured ~0.9 s/train at the
             # bench dials, m=16 x k_sub=256 x 3 iters).  The stable
             # sort keeps members in ascending row order — the same
-            # rows, in the same order, as the Xj[a == ci] mask — so
-            # each slice's .mean() is bit-identical to the old loop's.
+            # rows, in the same order, as the Xj[a == ci] mask.  Each
+            # slice mean runs as np.add.reduce / n, which IS ndarray
+            # .mean()'s exact computation (umr_sum then true_divide by
+            # the count — bit-identical), minus the _methods._mean
+            # wrapper that cost ~35 us x m*iters*k_sub calls (r14
+            # cProfile: 12,320 mean calls, 0.47 s).
             order = np.argsort(a, kind="stable")
             sa = a[order]
             Xs = Xj[order]
-            starts = np.searchsorted(sa, np.arange(k_sub), side="left")
-            ends = np.searchsorted(sa, np.arange(k_sub), side="right")
+            starts = np.searchsorted(sa, cells_idx, side="left")
+            ends = np.searchsorted(sa, cells_idx, side="right")
             for ci in range(k_sub):
-                if ends[ci] > starts[ci]:
-                    Bj[ci] = Xs[starts[ci] : ends[ci]].mean(axis=0)
+                s0, e0 = starts[ci], ends[ci]
+                if e0 > s0:
+                    Bj[ci] = np.add.reduce(Xs[s0:e0], axis=0) / (e0 - s0)
         books[j] = Bj
     return [[[float(v) for v in row] for row in book] for book in books]
 
@@ -1339,7 +1349,8 @@ def _pq_adc_topc(
     Ties break on id for determinism."""
     spark = coded.sparkSession
     lutdf = spark.createDataFrame(
-        lut_rows, f"{cell_col} int, __lut array<array<double>>"
+        lut_rows, f"{cell_col} int, __lut array<array<double>>",
+        verifySchema=False,  # rows built here as exact int/list[float]
     )
     adc = adc_lut_fold("__lut", codes_col)
     return (
@@ -1479,11 +1490,17 @@ def ivf_pq_topk_multi(
         ):
             lut_rows.append((int(qid), int(cell), lut))
     spark = df.sparkSession
+    # verifySchema=False: rows are built above with explicit int()/
+    # float() conversions; the default per-element verifier walks the
+    # ~nprobe*m*k_sub LUT doubles on the driver (~0.3s per
+    # construction, measured via cProfile r14)
     ludf = spark.createDataFrame(
-        lut_rows, "query_id long, __cell int, __lut array<array<double>>"
+        lut_rows, "query_id long, __cell int, __lut array<array<double>>",
+        verifySchema=False,
     )
     qdf = spark.createDataFrame(
-        qvec_rows, "query_id long, __qv array<double>"
+        qvec_rows, "query_id long, __qv array<double>",
+        verifySchema=False,
     )
     cells_union = sorted({r[1] for r in lut_rows})
     enc = pq_encode_udf(centroids, codebooks).asNondeterministic()(
@@ -1974,13 +1991,29 @@ def ann_calibration(
         if "lsh" in paths
         else None
     )
+    # ONE seeded-sample collect serves BOTH trainers (r14): the IVF
+    # arm's raw-space quantizer and the PQ model's normalized sample
+    # draw the same n=256*k smallest-hash rows with the same seed, so
+    # collecting twice was a redundant corpus scan + driver transfer
+    # (~0.35s measured).  Raw rows here; each consumer applies its own
+    # metric-space transform (IVF trains raw, PQ normalizes) —
+    # bit-identical to the private collects it replaces.
+    raw_sample = (
+        _seeded_sample(
+            df, id_col, vec_col, 256 * n_centroids, seed,
+            caller="ann_calibration",
+        )
+        if ("ivf" in paths) or ("pq" in paths and centroids is None)
+        else None
+    )
     r_ivf = None
     if "ivf" in paths:
         # one RAW-space sample + Lloyd for all IVF probes (ivf_topk's
         # own metric space — distinct from the PQ model's normalized
         # sample)
         cents_ivf = kmeans_centroids(
-            df, id_col, vec_col, n_centroids, iters, seed
+            df, id_col, vec_col, n_centroids, iters, seed,
+            sample=raw_sample,
         )
         r_ivf = recall_flag(
             ivf_topk_multi(
@@ -2005,10 +2038,7 @@ def ann_calibration(
                 )
         return out
     if centroids is None:
-        X = _l2_normalize(
-            _seeded_sample(df, id_col, vec_col, 256 * n_centroids, seed,
-                           caller="ann_calibration")
-        )
+        X = _l2_normalize(raw_sample)
         cents = kmeans_centroids(
             df, id_col, vec_col, n_centroids, iters, seed, sample=X
         )
@@ -2072,8 +2102,12 @@ def ann_calibration(
             q_norm, cents, books, list(range(len(cents)))
         ):
             lut_rows.append((qid, cell, lut))
+    # verifySchema=False: lut_rows built above as exact int/list[float];
+    # the verifier walked |Q| x n_centroids x m x k_sub doubles (~0.4s
+    # of driver time per construction, measured via cProfile r14)
     ludf = df.sparkSession.createDataFrame(
-        lut_rows, "query_id long, __cell int, __lut array<array<double>>"
+        lut_rows, "query_id long, __cell int, __lut array<array<double>>",
+        verifySchema=False,
     )
     if coded_path is not None:
         # judge the STORED codes — the bytes production probes read.

@@ -214,7 +214,8 @@ def probe_queries(
             (int(qid), [float(v) for v in vec], [int(c) for c in order[:nprobe]])
         )
     qdf = spark.createDataFrame(
-        rows, "query_id long, qvec array<double>, cells array<int>"
+        rows, "query_id long, qvec array<double>, cells array<int>",
+        verifySchema=False,  # rows built above as exact int/list types
     )
     cells_union = sorted({c for _, _, cs in rows for c in cs})
     cand = (
@@ -410,11 +411,17 @@ def probe_queries_pq(
         qvec_rows.append((int(qid), [float(v) for v in vec]))
         for cell, lut in _pq_lut_rows(q_norm, centroids, codebooks, probe):
             lut_rows.append((int(qid), cell, lut))
+    # verifySchema=False: rows built above as exact int/list[float];
+    # the per-element verifier walks nprobe*m*k_sub LUT doubles per
+    # query on the driver (see similarity.py r14 note)
     ludf = spark.createDataFrame(
         lut_rows,
         "query_id long, ivf_cell int, __lut array<array<double>>",
+        verifySchema=False,
     )
-    qv = spark.createDataFrame(qvec_rows, "query_id long, qvec array<double>")
+    qv = spark.createDataFrame(
+        qvec_rows, "query_id long, qvec array<double>", verifySchema=False
+    )
     cells_union = sorted({r[1] for r in lut_rows})
     codes = (
         spark.read.parquet(path)
