@@ -70,6 +70,35 @@ def test_compact_line_current_suite_fits_and_accounts():
         assert p["detail"] == "BENCH_DETAIL.json"
 
 
+def test_compact_line_carries_whole_suite_signals():
+    """r14 (r13 verdict #4): the line must carry truncation-proof
+    whole-suite signals — geomean of ALL per-query bests, the suite
+    size, and per-family rollups — so the driver's round-over-round
+    radar is not limited to the ~half of the suite that fits the
+    2000-char window.  Additions only: every pre-existing key stays."""
+    import math
+
+    for n in (10, 93, 200, 400):
+        t = _fake_timings(n)
+        p = json.loads(bench._compact_line(123.4, t, 0.1))
+        assert p["n_queries"] == n
+        exp = math.exp(sum(math.log(max(v, 1e-4)) for v in t.values()) / n)
+        assert abs(p["geomean"] - exp) < 1e-3
+        assert {"metric", "value", "unit", "queries", "sf"} <= set(p)
+    # real suite names produce a family rollup computed over ALL
+    # queries (not just the ones that survived truncation)
+    from pulsar_sync_java_spark.queries import all_queries
+
+    names = list(all_queries())
+    t = {k: 1.0 for k in names}
+    p = json.loads(bench._compact_line(99.9, t, 0.1))
+    fams = p["families"]
+    assert fams["ann"] >= 4.0  # 4+ ANN family members at 1.0s each
+    assert all(len(vs) <= 40 for vs in fams)  # bounded tokens
+    # geomean of all-1.0 timings is exactly 1.0 regardless of truncation
+    assert abs(p["geomean"] - 1.0) < 1e-9
+
+
 def test_compact_line_pathological_key_still_fits():
     """ADVICE r5: one absurdly long query name must not break the
     guaranteed-fit contract — the last resort is queries={} with the
