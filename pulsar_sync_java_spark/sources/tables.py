@@ -57,10 +57,31 @@ def ensure_session_confs(spark: SparkSession) -> None:
     )
 
 
+#: Lazy DataFrame HANDLES keyed by (applicationId, realpath(sf_dir),
+#: table) — NOT data: a DataFrame is an immutable logical plan, every
+#: action on it still scans the parquet files.  What the memo removes
+#: is per-call plan-construction cost: `spark.read.parquet` re-runs
+#: footer/schema inference + file listing on every call (measured r14:
+#: 100-400 ms per WARM call, py4j + driver-side inference), and almost
+#: every declared query pays it 1-3x per bench run — the single
+#: largest slice of the ~90-query long tail's fixed overhead.  Keyed
+#: by applicationId so a restarted session (tests) gets fresh handles;
+#: the test data directories are immutable, so the file listing baked
+#: into a handle cannot go stale (self-generated corpora are written
+#: once before first read).
+_TABLE_HANDLES: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table; scans stay prunable (no caching here)."""
+    """Load one synthetic table; scans stay prunable (no caching of
+    DATA here — the handle memo above caches only the logical plan)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    app = spark.sparkContext.applicationId
+    key = (app, os.path.realpath(sf_dir), name)
+    cached = _TABLE_HANDLES.get(key)
+    if cached is not None:
+        return cached
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -81,6 +102,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
+    _TABLE_HANDLES[key] = df
     return df
 
 
