@@ -995,13 +995,27 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — the exact-selection twin of the production path
     (approx_percentile's one-pass sketch); the exact version exists
     to gate it, the plan shape is the cost of exactness and is
-    documented as such."""
+    documented as such.
+
+    EAGER since r14 (the Lloyd-centroid / BPE-argmax discipline): med
+    and mad are GROUP-sized (one row per event type), so each is
+    collected at construction and re-attached as a literal CASE —
+    previously they rode broadcast joins and, because the dev frame
+    feeds both the MAD window and the final aggregate, the whole
+    median pipeline re-evaluated once per consumer (profiled r14:
+    ~5 corpus scans + 2 window sorts, 1.6 s at sf0.1).  Now the two
+    construction jobs pay one window sort each and the returned plan
+    is ONE scan + one group-sized aggregate.  py4j transfers the
+    collected doubles bit-exactly (the kmeans literal contract), so
+    every downstream comparison sees the identical IEEE values."""
     v = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     ).select("event_type", "value")
     by_t = Window.partitionBy("event_type")
 
-    def positional_median(df: DataFrame, col: str, out: str) -> DataFrame:
+    def positional_median_rows(
+        df: DataFrame, col: str
+    ) -> dict[str, tuple[int, float]]:
         r = F.row_number().over(by_t.orderBy(col))
         n = F.count(F.lit(1)).over(by_t)
         ranked = df.select(
@@ -1009,33 +1023,62 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         lo = F.floor((F.col("n") + 1) / 2)
         hi = F.floor((F.col("n") + 2) / 2)
-        return ranked.groupBy("event_type", "n").agg(
+        rows = ranked.groupBy("event_type", "n").agg(
             (
                 (
                     F.max(F.when(F.col("r") == lo, F.col(col)))
                     + F.max(F.when(F.col("r") == hi, F.col(col)))
                 )
                 / 2
-            ).alias(out)
-        )
+            ).alias("m")
+        ).collect()
+        return {row["event_type"]: (int(row["n"]), float(row["m"])) for row in rows}
 
-    med = positional_median(v, "value", "median")
-    d = v.join(F.broadcast(med), "event_type").select(
+    def case_over_types(stats: dict, pick) -> F.Column:
+        # literal lookup keyed by event_type: a handful of WHEN arms
+        # (one per type), exact doubles via F.lit — no join, no
+        # broadcast build, and crucially no re-evaluation of the
+        # upstream median pipeline per consumer
+        expr = None
+        for et in sorted(stats):
+            arm = F.when(F.col("event_type") == et, F.lit(pick(stats[et])))
+            expr = arm if expr is None else expr.when(
+                F.col("event_type") == et, F.lit(pick(stats[et]))
+            )
+        return expr
+
+    med = positional_median_rows(v, "value")
+    if not med:
+        # empty input: an empty result with the declared schema (the
+        # lazy form's behavior), not a None-CASE AnalysisException
+        return v.select(
+            "event_type",
+            F.lit(0).cast("long").alias("n"),
+            F.lit(0.0).alias("median"),
+            F.lit(0.0).alias("mad"),
+            F.lit(0).cast("long").alias("n_outliers"),
+        ).limit(0)
+    med_lit = case_over_types(med, lambda t: t[1])
+    d = v.select(
         "event_type",
-        "n",
-        "median",
-        F.abs(F.col("value") - F.col("median")).alias("dev"),
+        F.abs(F.col("value") - med_lit).alias("dev"),
     )
-    mad = positional_median(
-        d.select("event_type", "dev"), "dev", "mad"
-    ).drop("n")
+    mad = positional_median_rows(d, "dev")
+    mad_lit = case_over_types(mad, lambda t: t[1])
+    n_lit = case_over_types(med, lambda t: t[0]).cast("long")
     return (
-        d.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type", "n", "median", "mad")
+        d.groupBy("event_type")
         .agg(
             F.sum(
-                (F.col("dev") > F.lit(_MAD_K) * F.col("mad")).cast("long")
+                (F.col("dev") > F.lit(_MAD_K) * mad_lit).cast("long")
             ).alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            n_lit.alias("n"),
+            med_lit.alias("median"),
+            mad_lit.alias("mad"),
+            "n_outliers",
         )
     )
 
