@@ -31,7 +31,31 @@ from pulsar_sync_java_spark.functions.text import (
     shingles_from_tokens,
     tokens,
 )
-from pulsar_sync_java_spark.operators.util import pair_structs, spread, spread_by
+from pulsar_sync_java_spark.operators.util import (
+    _spread_count,
+    pair_structs,
+    spread,
+    spread_by,
+)
+
+
+def _shingle_width(df: DataFrame) -> int:
+    """Partition width for the shared shingle-array projection and its
+    feeding exchange — BETWEEN the size heuristic and full parallelism
+    (r14, superseding the r10 full-width pin).  The projection feeds
+    ~10 downstream stages per calibration query, each scheduling
+    `width` tasks, so full cluster width over-schedules: measured at
+    sf0.1/local[32], the shingle quartet summed 6.4-7.0s at width 8 vs
+    7.5-11.2s at 32 and 8.1-9.0s at 16, interleaved A/B; the r10
+    4-task cliff (3.4s n-gram) is avoided by the 2x-size-scaled floor.
+    On a real cluster the spread gate skips the exchange entirely
+    (scans have enough splits), so this width only governs the
+    under-split local regime."""
+    sc = df.sparkSession.sparkContext
+    return min(
+        sc.defaultParallelism,
+        max(2 * _spread_count(df), max(sc.defaultParallelism // 4, 2)),
+    )
 
 
 def shingle_rows(
@@ -77,14 +101,14 @@ def _shingle_arrays(
     touch a shingle string again.  Re-persisting an already-cached
     plan is a CacheManager no-op (the 'already cached' warning), not a
     second copy."""
-    ds = spread(df, full=True)
+    w = _shingle_width(df)
+    ds = spread(df, width=w)
     toks = ds.select(F.col(id_col), tokens(text_col).alias("__toks"))
     sh_arr = shingles_from_tokens(F.col("__toks"), n)
     if hash_shingles:
         sh_arr = F.transform(sh_arr, lambda s: F.xxhash64(s))
     return spread(
-        toks.select(F.col(id_col), sh_arr.alias("__sh")),
-        full=True,
+        toks.select(F.col(id_col), sh_arr.alias("__sh")), width=w
     ).persist()
 
 

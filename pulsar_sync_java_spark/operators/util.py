@@ -171,7 +171,7 @@ def _spread_mode(df: DataFrame) -> str:
         return "auto"
 
 
-def spread(df: DataFrame, full: bool = False) -> DataFrame:
+def spread(df: DataFrame, full: bool = False, width: int | None = None) -> DataFrame:
     """Round-robin repartition to a size-scaled partition count
     (`_spread_count`), for CPU-bound per-row projections (sketch
     signatures, fingerprints, Python codec batches).
@@ -181,6 +181,13 @@ def spread(df: DataFrame, full: bool = False) -> DataFrame:
     -> million-row groupBy), where the work above the exchange is many
     times the bytes below it and the size heuristic under-provisions
     (measured: n-gram Jaccard 3.4s at 4 tasks vs 2.2s at 32).
+
+    `width=n` (r14) pins an explicit partition count instead — for
+    call sites whose best width is BETWEEN the size heuristic and the
+    full parallelism (the shingle projection: many consumer stages
+    each schedule `width` tasks, so full width over-schedules;
+    measured in operators/dedup.py:_shingle_width).  Still gated and
+    mode-respecting like the other forms.
 
     Why this exists: Spark's scan parallelism comes from input splits.
     A small parquet file (or one with a single row group) is ONE split,
@@ -216,11 +223,12 @@ def spread(df: DataFrame, full: bool = False) -> DataFrame:
     mode = _spread_mode(df)
     if mode == "never":
         return df
-    want = (
-        df.sparkSession.sparkContext.defaultParallelism
-        if full
-        else _spread_count(df)
-    )
+    if width is not None:
+        want = width
+    elif full:
+        want = df.sparkSession.sparkContext.defaultParallelism
+    else:
+        want = _spread_count(df)
     if mode != "always":
         have = _existing_partitions(df)
         if have is not None and have >= want:
