@@ -154,6 +154,13 @@ def _assign_expr(cent_rows: list[tuple[int, list[float]]]):
     this expression is K x D F.lit() calls = hundreds of py4j round
     trips, measured ~1.5 s of pure driver time PER CONSTRUCTION at
     K=8, D=64 — the string parses in the JVM in milliseconds."""
+    if not cent_rows:
+        # a zero-arg least() is an AnalysisException deep inside the
+        # plan; fail at the API boundary instead (r13 advice) — only
+        # reachable if a caller bypasses the seed/empty-batch guards
+        raise ValueError(
+            "_assign_expr: empty centroid list — no clusters to assign to"
+        )
     structs = []
     for cl, carr in cent_rows:
         arr = ", ".join(_dbl_sql(v) for v in carr)
@@ -202,6 +209,16 @@ def _update_rows(
         by_cl.setdefault(int(r["cluster"]), []).append(
             (int(r["dim"]), float(r["c"]))
         )
+    if not by_cl:
+        # empty mini-batch (no row survived the sampling filter): the
+        # Lloyd update over nothing keeps every centroid — carrying
+        # the previous list forward is the standard mini-batch k-means
+        # behavior and keeps the NEXT _assign_expr well-formed (r13
+        # advice: an empty list made it emit a zero-arg least()).
+        # Unreachable at the declared dials (sample_pct=35 over the
+        # bench corpora always selects rows); the df path's empty
+        # degradation differs, documented here rather than hidden.
+        return cent_rows
     return sorted(
         (cl, [c for _, c in sorted(dims)]) for cl, dims in by_cl.items()
     )
